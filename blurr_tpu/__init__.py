@@ -1,0 +1,14 @@
+"""BLURR-TPU: a TPU-native (JAX/XLA/Pallas) inference-acceleration framework for
+Vision-Language-Action models.
+
+Re-designed from scratch for TPU hardware with the capabilities of the reference
+BLURR stack (Boosted Low-Resource Inference for VLA models): Pi-0 (PaliGemma VLM +
+flow-matching action expert) and autoregressive VLAs (OpenVLA family), with
+per-episode instruction-prefix KV caching, BF16 compute, fused XLA/Pallas attention,
+reduced-step flow rollouts, INT8 quantization, and vision-token pooling.
+
+Capability parity target documented in SURVEY.md; reference package surface:
+/root/reference/blurr/__init__.py.
+"""
+
+__version__ = "0.1.0"

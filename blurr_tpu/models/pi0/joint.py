@@ -1,0 +1,532 @@
+"""Joint mixture transformer engine, TPU-native.
+
+The reference engine (reference src/model/vla/joint_model.py) runs N
+"mixtures" (vlm / proprio / action expert) that share one attention pattern
+per layer while keeping separate weights, with a mutable per-mixture KVCache
+and three string cache modes. This re-design keeps the exact math but maps it
+to XLA's compilation model:
+
+- Layer weights are stacked on a leading [L, ...] axis and every multi-layer
+  walk is a single ``jax.lax.scan`` — one compiled loop body instead of 18
+  unrolled layers.
+- The KV cache is a functional pytree ``(k, v)`` of shape
+  [L, B, KV_heads, S_prefix, head_dim], produced once by ``prefill`` and
+  threaded (and donated) through the flow-integration scan. The reference's
+  cache modes map to dedicated entry points:
+    * ``append_non_active``  -> ``prefill`` + ``decode``   (fast action path)
+    * ``no_append``          -> ``naive_forward``           (ablation path)
+    * ``append``             -> ``single_prefill`` / ``single_decode_step``
+                                (autoregressive text path, preallocated buffer)
+- The last prefill layer computes only K/V: its attention output is discarded
+  by the reference anyway (final_layer_post_attn_skip_names, joint_model.py
+  :344,380-383), so we skip the whole attention+MLP there.
+
+Numerics: embeds scaled by sqrt(hidden) at entry (bf16-rounded like the
+reference, joint_model.py:356-365); Gemma RMSNorm / fp32 RoPE / tanh
+soft-clamp 50.0 in the non-flash path (joint_model.py:272-288).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from blurr_tpu.ops.activations import geglu
+from blurr_tpu.ops.attention import DEFAULT_SOFTCLAMP, grouped_attention
+from blurr_tpu.ops.norms import (
+    adaptive_layerscale,
+    adaptive_rms_norm,
+    rms_norm,
+)
+from blurr_tpu.ops.rotary import apply_rope, rope_cos_sin
+
+
+# ---------------------------------------------------------------------------
+# Static specs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MixtureSpec:
+    hidden_size: int
+    intermediate_size: int
+    rope_theta: float = 10000.0
+    use_final_norm: bool = False
+    cache: bool = True
+    adaptive_mode: Optional[str] = None  # None | "adaLN" | "adaLN-Zero"
+
+
+@dataclass(frozen=True)
+class JointSpec:
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    head_dim: int
+    rms_norm_eps: float = 1e-6
+    time_hidden_size: int = 256
+    use_softclamp: bool = True  # reference use_flash_attn=False semantics
+    mixtures: Dict[str, MixtureSpec] = field(default_factory=dict)
+
+    @property
+    def softclamp(self) -> Optional[float]:
+        return DEFAULT_SOFTCLAMP if self.use_softclamp else None
+
+    @staticmethod
+    def from_config(cfg: dict) -> "JointSpec":
+        mixtures = {}
+        for name, m in cfg["mixture"].items():
+            mixtures[name] = MixtureSpec(
+                hidden_size=m["hidden_size"],
+                intermediate_size=m["intermediate_size"],
+                rope_theta=float(m.get("rope_theta", 10000.0)),
+                use_final_norm=bool(m.get("use_final_norm", False)),
+                cache=bool(m.get("cache", True)),
+                adaptive_mode=m.get("adaptive_mode") or None,
+            )
+        return JointSpec(
+            num_hidden_layers=cfg["num_hidden_layers"],
+            num_attention_heads=cfg["num_attention_heads"],
+            num_key_value_heads=cfg["num_key_value_heads"],
+            head_dim=cfg["head_dim"],
+            rms_norm_eps=float(cfg.get("rms_norm_eps", 1e-6)),
+            time_hidden_size=int(cfg.get("time_hidden_size", 256) or 256),
+            use_softclamp=not bool(cfg.get("use_flash_attn", False)),
+            mixtures=mixtures,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def _norm_params(nl: Optional[int], h: int, spec: MixtureSpec, tc: int, key, dtype):
+    """Norm parameter block: Gemma RMSNorm scale or adaptive (adaLN) params.
+    ``nl=None`` gives unstacked (final-norm) params."""
+    shape = (h,) if nl is None else (nl, h)
+    if spec.adaptive_mode:
+        cond_shape = (tc, h) if nl is None else (nl, tc, h)
+        k1, k2 = jax.random.split(key)
+        return {
+            "to_gamma_w": (jax.random.normal(k1, cond_shape) * tc**-0.5).astype(dtype),
+            "to_gamma_b": jnp.zeros(shape, dtype),
+            "to_beta_w": (jax.random.normal(k2, cond_shape) * tc**-0.5).astype(dtype),
+        }
+    return {"scale": jnp.zeros(shape, dtype)}  # Gemma stores w, applies (1+w)
+
+
+def init_mixture_params(
+    rng: jax.Array, spec: MixtureSpec, joint: JointSpec, dtype=jnp.float32
+) -> Dict:
+    nl = joint.num_hidden_layers
+    h = spec.hidden_size
+    inter = spec.intermediate_size
+    nh, kvh, hd = joint.num_attention_heads, joint.num_key_value_heads, joint.head_dim
+    tc = joint.time_hidden_size
+    keys = iter(jax.random.split(rng, 16))
+
+    def stack(key, fan_in, shape):
+        return (jax.random.normal(key, (nl, *shape)) * fan_in**-0.5).astype(dtype)
+
+    params = {
+        "q_w": stack(next(keys), h, (h, nh * hd)),
+        "k_w": stack(next(keys), h, (h, kvh * hd)),
+        "v_w": stack(next(keys), h, (h, kvh * hd)),
+        "o_w": stack(next(keys), nh * hd, (nh * hd, h)),
+        "gate_w": stack(next(keys), h, (h, inter)),
+        "up_w": stack(next(keys), h, (h, inter)),
+        "down_w": stack(next(keys), inter, (inter, h)),
+        "input_norm": _norm_params(nl, h, spec, tc, next(keys), dtype),
+        "post_norm": _norm_params(nl, h, spec, tc, next(keys), dtype),
+    }
+    if spec.adaptive_mode == "adaLN-Zero":
+        for name in ("post_scale", "final_scale"):
+            params[name] = {
+                "gamma_w": jnp.zeros((nl, tc, h), dtype),
+                "gamma_b": jnp.full((nl, h), -2.0, dtype),  # adaln_zero_bias_init
+            }
+    if spec.use_final_norm:
+        params["final_norm"] = _norm_params(None, h, spec, tc, next(keys), dtype)
+    return params
+
+
+def init_joint_params(
+    rng: jax.Array, spec: JointSpec, dtype=jnp.float32
+) -> Dict[str, Dict]:
+    keys = jax.random.split(rng, len(spec.mixtures))
+    return {
+        name: init_mixture_params(k, m, spec, dtype)
+        for k, (name, m) in zip(keys, spec.mixtures.items())
+    }
+
+
+# ---------------------------------------------------------------------------
+# Per-mixture layer pieces
+# ---------------------------------------------------------------------------
+
+
+def _apply_norm(np_: Dict, x, time_cond, spec: MixtureSpec, eps: float):
+    if spec.adaptive_mode:
+        return adaptive_rms_norm(x, time_cond, np_, eps)
+    return rms_norm(x, np_["scale"], eps)
+
+
+def _apply_scale(lp: Dict, name: str, x, time_cond, spec: MixtureSpec):
+    """adaLN-Zero gated branch scale; identity otherwise."""
+    if spec.adaptive_mode == "adaLN-Zero":
+        return adaptive_layerscale(x, time_cond, lp[name])
+    return x
+
+
+def _split_heads(x: jax.Array, n_heads: int, head_dim: int) -> jax.Array:
+    b, s, _ = x.shape
+    return x.reshape(b, s, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, nh, s, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+
+
+def _qkv(lp, x, cos, sin, joint: JointSpec):
+    """Project + rope one mixture's normed hidden states.
+
+    Returns q [B,NH,S,D] (roped), k [B,KVH,S,D] (roped), v [B,KVH,S,D]."""
+    nh, kvh, hd = joint.num_attention_heads, joint.num_key_value_heads, joint.head_dim
+    q = apply_rope(_split_heads(x @ lp["q_w"], nh, hd), cos, sin)
+    k = apply_rope(_split_heads(x @ lp["k_w"], kvh, hd), cos, sin)
+    v = _split_heads(x @ lp["v_w"], kvh, hd)
+    return q, k, v
+
+
+def _mlp(lp, x):
+    return geglu(x @ lp["gate_w"], x @ lp["up_w"]) @ lp["down_w"]
+
+
+def scale_embeds(x: jax.Array) -> jax.Array:
+    """sqrt(hidden) entry scaling, rounded in the compute dtype like the
+    reference (joint_model.py:356-365 builds the scalar in embeds.dtype)."""
+    scale = jnp.asarray(x.shape[-1] ** 0.5, dtype=x.dtype)
+    return x * scale
+
+
+def mixture_rope(
+    spec: MixtureSpec, joint: JointSpec, position_ids: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    return rope_cos_sin(position_ids, joint.head_dim, spec.rope_theta)
+
+
+# ---------------------------------------------------------------------------
+# Prefill: vlm + proprio forward, emit prefix KV cache
+# ---------------------------------------------------------------------------
+
+
+def prefill(
+    params: Dict[str, Dict],
+    spec: JointSpec,
+    embeds: Dict[str, jax.Array],  # {"vlm": [B,Sv,Hv], "proprio": [B,Sp,Hp]}
+    position_ids: Dict[str, jax.Array],
+    prefix_mask: jax.Array,  # bool [B, Sv+Sp, Sv+Sp]
+) -> Tuple[jax.Array, jax.Array]:
+    """Run the instruction prefix (image+text+proprio) once per control step.
+
+    Returns the prefix KV cache ``(k, v)`` with shape
+    [L, B, KV_heads, Sv+Sp, head_dim]; K is stored post-RoPE, matching the
+    reference cache contents (joint_model.py:198-222).
+    """
+    names = list(embeds.keys())
+    eps = spec.rms_norm_eps
+    svs = [embeds[n].shape[1] for n in names]
+
+    hs = {n: scale_embeds(embeds[n]) for n in names}
+    ropes = {n: mixture_rope(spec.mixtures[n], spec, position_ids[n]) for n in names}
+
+    def full_layer(carry, lps):
+        hs = dict(zip(names, carry))
+        qs, ks, vs = [], [], []
+        normed = {}
+        for n in names:
+            m = spec.mixtures[n]
+            x = _apply_norm(lps[n]["input_norm"], hs[n], None, m, eps)
+            normed[n] = x
+            q, k, v = _qkv(lps[n], x, *ropes[n], spec)
+            qs.append(q)
+            ks.append(k)
+            vs.append(v)
+        q = jnp.concatenate(qs, axis=2)
+        k = jnp.concatenate(ks, axis=2)
+        v = jnp.concatenate(vs, axis=2)
+        attn = grouped_attention(q, k, v, prefix_mask, spec.softclamp)
+        attn = _merge_heads(attn)
+        outs = []
+        offset = 0
+        for n, s in zip(names, svs):
+            m = spec.mixtures[n]
+            a = attn[:, offset : offset + s] @ lps[n]["o_w"]
+            offset += s
+            h = hs[n] + a
+            x = _apply_norm(lps[n]["post_norm"], h, None, m, eps)
+            h = h + _mlp(lps[n], x)
+            outs.append(h)
+        return tuple(outs), (k, v)
+
+    stacked = {
+        n: {k: v for k, v in params[n].items() if k != "final_norm"} for n in names
+    }
+    sub = jax.tree.map(lambda a: a[:-1], stacked)
+    layers_last = jax.tree.map(lambda a: a[-1], stacked)
+    carry = tuple(hs[n] for n in names)
+    carry, (k_head, v_head) = jax.lax.scan(full_layer, carry, sub)
+
+    # Last layer: the attention output is discarded by the caller, so only the
+    # K/V projections are needed (final_layer_post_attn_skip_names semantics).
+    hs = dict(zip(names, carry))
+    ks, vs = [], []
+    for n in names:
+        m = spec.mixtures[n]
+        lp = layers_last[n]
+        x = _apply_norm(lp["input_norm"], hs[n], None, m, eps)
+        kvh, hd = spec.num_key_value_heads, spec.head_dim
+        k = apply_rope(_split_heads(x @ lp["k_w"], kvh, hd), *ropes[n])
+        v = _split_heads(x @ lp["v_w"], kvh, hd)
+        ks.append(k)
+        vs.append(v)
+    k_last = jnp.concatenate(ks, axis=2)[None]
+    v_last = jnp.concatenate(vs, axis=2)[None]
+    return (
+        jnp.concatenate([k_head, k_last], axis=0),
+        jnp.concatenate([v_head, v_last], axis=0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode: action expert over the cached prefix (append_non_active)
+# ---------------------------------------------------------------------------
+
+
+def decode(
+    params: Dict[str, Dict],
+    spec: JointSpec,
+    action_embeds: jax.Array,  # [B, A, Ha]
+    action_position_ids: jax.Array,
+    cache: Tuple[jax.Array, jax.Array],  # ([L,B,KVH,P,D], [L,B,KVH,P,D])
+    action_mask: jax.Array,  # bool [B, A, P+A]
+    time_cond: Optional[jax.Array] = None,
+) -> jax.Array:
+    """One flow-integration step of the action expert.
+
+    Queries come from the 4 action tokens only; K/V is the cached prefix
+    concatenated with fresh action K/V (cache_mode="append_non_active",
+    joint_model.py:164-243). Returns final-normed action hidden states.
+    """
+    ap = params["action"]
+    m = spec.mixtures["action"]
+    eps = spec.rms_norm_eps
+    cos, sin = mixture_rope(m, spec, action_position_ids)
+    k_cache, v_cache = cache
+
+    layer_stack = {k: ap[k] for k in ap if k != "final_norm"}
+
+    def layer(h, xs):
+        lp, kc, vc = xs
+        x = _apply_norm(lp["input_norm"], h, time_cond, m, eps)
+        q, k, v = _qkv(lp, x, cos, sin, spec)
+        k_full = jnp.concatenate([kc, k], axis=2)
+        v_full = jnp.concatenate([vc, v], axis=2)
+        attn = grouped_attention(q, k_full, v_full, action_mask, spec.softclamp)
+        a = _merge_heads(attn) @ lp["o_w"]
+        a = _apply_scale(lp, "post_scale", a, time_cond, m)
+        h = h + a
+        x = _apply_norm(lp["post_norm"], h, time_cond, m, eps)
+        mlp_out = _mlp(lp, x)
+        mlp_out = _apply_scale(lp, "final_scale", mlp_out, time_cond, m)
+        return h + mlp_out, None
+
+    h = scale_embeds(action_embeds)
+    h, _ = jax.lax.scan(layer, h, (layer_stack, k_cache, v_cache))
+    return _apply_norm(ap["final_norm"], h, time_cond, m, eps)
+
+
+# ---------------------------------------------------------------------------
+# Naive path: all mixtures forwarded every step (no_append)
+# ---------------------------------------------------------------------------
+
+
+def naive_forward(
+    params: Dict[str, Dict],
+    spec: JointSpec,
+    embeds: Dict[str, jax.Array],  # vlm, proprio, action
+    position_ids: Dict[str, jax.Array],
+    full_mask: jax.Array,  # bool [B, T, T]
+    time_cond: Optional[jax.Array] = None,
+    return_all: bool = False,
+) -> jax.Array:
+    """Forward all mixtures jointly with the full block mask (the reference's
+    infer_action_naive / flow-matching-training path). Returns the action
+    mixture's final-normed hidden states ([B, A, Ha]), or all mixtures' last
+    hidden states when ``return_all`` (training/diagnostics).
+    """
+    names = list(embeds.keys())
+    eps = spec.rms_norm_eps
+    svs = [embeds[n].shape[1] for n in names]
+    total = sum(svs)
+    offsets = [sum(svs[:i]) for i in range(len(svs))]
+
+    hs = {n: scale_embeds(embeds[n]) for n in names}
+    ropes = {n: mixture_rope(spec.mixtures[n], spec, position_ids[n]) for n in names}
+
+    def tc_for(n):
+        return time_cond if spec.mixtures[n].adaptive_mode else None
+
+    def full_layer(carry, lps):
+        hs = dict(zip(names, carry))
+        qs, ks, vs = [], [], []
+        for n in names:
+            m = spec.mixtures[n]
+            x = _apply_norm(lps[n]["input_norm"], hs[n], tc_for(n), m, eps)
+            q, k, v = _qkv(lps[n], x, *ropes[n], spec)
+            qs.append(q)
+            ks.append(k)
+            vs.append(v)
+        attn = grouped_attention(
+            jnp.concatenate(qs, axis=2),
+            jnp.concatenate(ks, axis=2),
+            jnp.concatenate(vs, axis=2),
+            full_mask,
+            spec.softclamp,
+        )
+        attn = _merge_heads(attn)
+        outs = []
+        for n, s, off in zip(names, svs, offsets):
+            m = spec.mixtures[n]
+            a = attn[:, off : off + s] @ lps[n]["o_w"]
+            a = _apply_scale(lps[n], "post_scale", a, tc_for(n), m)
+            h = hs[n] + a
+            x = _apply_norm(lps[n]["post_norm"], h, tc_for(n), m, eps)
+            mlp_out = _mlp(lps[n], x)
+            mlp_out = _apply_scale(lps[n], "final_scale", mlp_out, tc_for(n), m)
+            outs.append(h + mlp_out)
+        return tuple(outs), None
+
+    stacked = {
+        n: {k: v for k, v in params[n].items() if k != "final_norm"} for n in names
+    }
+    sub = jax.tree.map(lambda a: a[:-1], stacked)
+    layers_last = jax.tree.map(lambda a: a[-1], stacked)
+    carry = tuple(hs[n] for n in names)
+    carry, _ = jax.lax.scan(full_layer, carry, sub)
+    hs = dict(zip(names, carry))
+
+    # Final layer: vlm/proprio only contribute K/V; only the action rows of
+    # the attention are computed (reference skips their post-attn entirely).
+    ks, vs = [], []
+    for n in names:
+        lp = layers_last[n]
+        m = spec.mixtures[n]
+        x = _apply_norm(lp["input_norm"], hs[n], tc_for(n), m, eps)
+        kvh, hd = spec.num_key_value_heads, spec.head_dim
+        ks.append(apply_rope(_split_heads(x @ lp["k_w"], kvh, hd), *ropes[n]))
+        vs.append(_split_heads(x @ lp["v_w"], kvh, hd))
+        if n == "action":
+            nh = spec.num_attention_heads
+            q_a = apply_rope(_split_heads(x @ lp["q_w"], nh, hd), *ropes[n])
+    k = jnp.concatenate(ks, axis=2)
+    v = jnp.concatenate(vs, axis=2)
+    action_rows = full_mask[:, offsets[-1] : offsets[-1] + svs[-1], :]
+    attn = grouped_attention(q_a, k, v, action_rows, spec.softclamp)
+    lp_a = layers_last["action"]
+    m_a = spec.mixtures["action"]
+    a = _merge_heads(attn) @ lp_a["o_w"]
+    a = _apply_scale(lp_a, "post_scale", a, tc_for("action"), m_a)
+    h = hs["action"] + a
+    x = _apply_norm(lp_a["post_norm"], h, tc_for("action"), m_a, eps)
+    mlp_out = _mlp(lp_a, x)
+    mlp_out = _apply_scale(lp_a, "final_scale", mlp_out, tc_for("action"), m_a)
+    h = h + mlp_out
+    out = _apply_norm(
+        params["action"]["final_norm"], h, tc_for("action"), m_a, eps
+    )
+    if return_all:
+        return {"action": out}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Single-mixture autoregressive path (text generation, cache_mode="append")
+# ---------------------------------------------------------------------------
+
+
+def single_forward(
+    params: Dict,
+    spec: JointSpec,
+    name: str,
+    embeds: jax.Array,  # [B, S, H]
+    position_ids: jax.Array,
+    mask: jax.Array,  # bool [B, S, Skv]
+    cache: Optional[Tuple[jax.Array, jax.Array]] = None,  # preallocated buffers
+    cache_len: Optional[jax.Array] = None,  # tokens already in the cache
+    apply_final_norm: bool = True,
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    """One forward of a single mixture with append-mode caching.
+
+    ``cache`` is a preallocated [L, B, KVH, max_len, D] pair; new K/V for the
+    S query tokens is written at offset ``cache_len`` via dynamic_update_slice
+    (TPU-friendly fixed-shape decode). Returns (hidden, updated_cache).
+    """
+    mp = params[name]
+    m = spec.mixtures[name]
+    eps = spec.rms_norm_eps
+    cos, sin = mixture_rope(m, spec, position_ids)
+    layer_stack = {k: mp[k] for k in mp if k != "final_norm"}
+
+    use_cache = cache is not None
+    if use_cache:
+        k_buf, v_buf = cache
+        offset = cache_len if cache_len is not None else jnp.int32(0)
+
+    def layer(h, xs):
+        if use_cache:
+            lp, kc, vc = xs
+        else:
+            lp = xs
+        x = _apply_norm(lp["input_norm"], h, None, m, eps)
+        q, k, v = _qkv(lp, x, cos, sin, spec)
+        if use_cache:
+            kc = jax.lax.dynamic_update_slice(kc, k, (0, 0, offset, 0))
+            vc = jax.lax.dynamic_update_slice(vc, v, (0, 0, offset, 0))
+            attn = grouped_attention(q, kc, vc, mask, spec.softclamp)
+        else:
+            attn = grouped_attention(q, k, v, mask, spec.softclamp)
+        h = h + _merge_heads(attn) @ lp["o_w"]
+        x = _apply_norm(lp["post_norm"], h, None, m, eps)
+        h = h + _mlp(lp, x)
+        if use_cache:
+            return h, (kc, vc)
+        return h, None
+
+    h = scale_embeds(embeds)
+    if use_cache:
+        h, (k_new, v_new) = jax.lax.scan(layer, h, (layer_stack, k_buf, v_buf))
+        new_cache = (k_new, v_new)
+    else:
+        h, _ = jax.lax.scan(layer, h, layer_stack)
+        new_cache = None
+    if apply_final_norm and "final_norm" in mp:
+        h = _apply_norm(mp["final_norm"], h, None, m, eps)
+    return h, new_cache
+
+
+def alloc_single_cache(
+    spec: JointSpec, batch: int, max_len: int, dtype
+) -> Tuple[jax.Array, jax.Array]:
+    shape = (
+        spec.num_hidden_layers,
+        batch,
+        spec.num_key_value_heads,
+        max_len,
+        spec.head_dim,
+    )
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

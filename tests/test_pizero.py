@@ -1,0 +1,155 @@
+"""End-to-end Pi-0 invariants on a layer-reduced random-init model.
+
+The reference's own informal invariant (src/agent/eval.py:213-214): cached
+(infer_action) and naive (infer_action_naive) paths agree exactly in float32
+given the same initial noise.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blurr_tpu.models.pi0.pizero import PiZero
+from tests.util import tiny_inputs, tiny_pi0_cfg
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_pi0_cfg()
+    model = PiZero(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = model.tie_action_proprio_weights(params)
+    return model, params
+
+
+def test_cache_vs_naive_equivalence_fp32(model_and_params):
+    model, params = model_and_params
+    inputs = tiny_inputs(model.cfg)
+    cached = model.infer_action(params, **inputs)
+    naive = model.infer_action_naive(params, **inputs)
+    assert cached.shape == (2, 4, 7)
+    np.testing.assert_allclose(
+        np.asarray(cached), np.asarray(naive), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_actions_clipped(model_and_params):
+    model, params = model_and_params
+    inputs = tiny_inputs(model.cfg)
+    actions = np.asarray(model.infer_action(params, **inputs))
+    clip = model.spec.final_action_clip_value
+    assert (actions <= clip).all() and (actions >= -clip).all()
+
+
+def test_jit_compiles_and_matches_eager(model_and_params):
+    model, params = model_and_params
+    inputs = tiny_inputs(model.cfg)
+    eager = model.infer_action(params, **inputs)
+    jitted = jax.jit(model.infer_action)(params, **inputs)
+    np.testing.assert_allclose(
+        np.asarray(eager), np.asarray(jitted), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_inference_steps_change_output(model_and_params):
+    model, params = model_and_params
+    inputs = tiny_inputs(model.cfg)
+    a1 = np.asarray(model.infer_action(params, num_inference_steps=1, **inputs))
+    a4 = np.asarray(model.infer_action(params, num_inference_steps=4, **inputs))
+    assert not np.allclose(a1, a4)
+
+
+def test_euler_integration_matches_manual_loop(model_and_params):
+    """steps=N scan must equal an unfused python loop over single steps with
+    the same velocity model."""
+    model, params = model_and_params
+    inputs = tiny_inputs(model.cfg)
+    n = 3
+    scan_out = np.asarray(
+        model.infer_action(params, num_inference_steps=n, **inputs)
+    )
+
+    # Manual Euler loop via flow_loss internals: reuse infer_action with 1
+    # step per call, feeding the integrated action back in as "noise" and the
+    # correct time offset -- replicate by calling the naive path machinery.
+    from blurr_tpu.models.pi0 import joint as joint_lib
+    from blurr_tpu.ops import masks as mask_lib
+
+    s = model.spec
+    bsz = inputs["input_ids"].shape[0]
+    prefix_mask = mask_lib.pi0_prefix_mask(
+        inputs["attention_mask"], s.max_image_text_tokens, s.num_proprio_tokens
+    )
+    action_mask = mask_lib.pi0_action_mask(
+        inputs["attention_mask"], s.max_image_text_tokens,
+        s.num_proprio_tokens, s.num_action_tokens,
+    )
+    vlm_pos, prop_pos, act_pos = mask_lib.pi0_position_ids(
+        bsz, s.max_image_text_tokens, s.num_proprio_tokens, s.num_action_tokens
+    )
+    embeds = model._embed_merge(params, inputs["input_ids"], inputs["pixel_values"])
+    prop = model._encode_proprio(params, inputs["proprios"])
+    cache = joint_lib.prefill(
+        {"vlm": params["joint"]["vlm"], "proprio": params["joint"]["proprio"]},
+        model.joint_spec,
+        {"vlm": embeds, "proprio": prop},
+        {"vlm": vlm_pos, "proprio": prop_pos},
+        prefix_mask,
+    )
+    action = inputs["noise"]
+    t = jnp.zeros((bsz,), jnp.float32)
+    dt = 1.0 / n
+    for _ in range(n):
+        temb = model._time_embedding(t).astype(action.dtype)
+        a_emb = model._encode_action(params, action, temb)
+        hidden = joint_lib.decode(
+            {"action": params["joint"]["action"]},
+            model.joint_spec, a_emb, act_pos, cache, action_mask, None,
+        )
+        vel = model._decode_action(params, hidden)
+        action = action + dt * vel
+        t = t + dt
+    manual = np.clip(np.asarray(action), -1.0, 1.0)
+    np.testing.assert_allclose(scan_out, manual, rtol=1e-5, atol=1e-6)
+
+
+def test_flow_loss_finite(model_and_params):
+    model, params = model_and_params
+    inputs = tiny_inputs(model.cfg)
+    rng = np.random.RandomState(7)
+    actions = jnp.asarray(rng.randn(2, 4, 7).astype(np.float32))
+    t = jnp.asarray([0.3, 0.8], jnp.float32)
+    loss = model.flow_loss(
+        params,
+        inputs["input_ids"],
+        inputs["attention_mask"],
+        inputs["pixel_values"],
+        inputs["proprios"],
+        actions,
+        t,
+        inputs["noise"],
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_text_generation_shapes(model_and_params):
+    cfg = tiny_pi0_cfg()
+    cfg.mixture.vlm.use_final_norm = True
+    cfg.joint.config.mixture = cfg.mixture
+    cfg.use_lm_head = True
+    model = PiZero(cfg)
+    params = model.init_params(jax.random.PRNGKey(1))
+    inputs = tiny_inputs(cfg)
+    max_len = 20
+    logits, cache, cache_len = model.infer_text_prefill(
+        params, inputs["input_ids"], inputs["pixel_values"], max_len
+    )
+    assert logits.shape == (2, cfg.max_seq_len, cfg.vocab_size)
+    tok = jnp.argmax(logits[:, -1, :], axis=-1)
+    tok2, cache, cache_len = model.infer_text_decode_step(
+        params, tok, cache, cache_len
+    )
+    assert tok2.shape == (2,)
+    assert int(cache_len) == cfg.max_seq_len + 1
