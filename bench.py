@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Headline benchmark: Pi-0 BLURR-preset control-step latency on one TPU chip.
+
+Full bridge.yaml architecture (PaliGemma-3B-shape: 18-layer joint model,
+2048/16384 Gemma mixture + 1024/4096 action expert, SigLIP-27L, 256 image
+tokens + 276-token prefix), random-init BF16 weights, prefix-KV-cache path
+with a single flow step (the reference's 'blurr' preset semantics,
+scripts/eval_pi0_simpler.py:35-39).
+
+Prints ONE JSON line:
+  {"metric": "pi0_blurr_action_step_ms_p50", "value": <ms>, "unit": "ms",
+   "vs_baseline": <17.1 / ms>}
+vs_baseline > 1.0 means faster than the reference's published H100 17.1 ms
+(README.md:231).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+REFERENCE_BLURR_MS = 17.1  # BLURR-Pi-0 on H100, reference README.md:231
+
+
+def main():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from blurr_tpu.config.core import load_yaml
+    from blurr_tpu.models.pi0.pizero import PiZero
+    from blurr_tpu.paths import config_root
+    from blurr_tpu.utils.monitor import peak_tpu_memory_gb, timed_call
+
+    cfg = load_yaml(config_root() / "eval" / "bridge.yaml")
+    cfg["num_inference_steps"] = 1  # blurr preset
+    cfg["use_bf16"] = True
+
+    model = PiZero(cfg)
+    t0 = time.time()
+    params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = model.tie_action_proprio_weights(params)
+    params = jax.block_until_ready(params)
+    init_s = time.time() - t0
+
+    rng = np.random.RandomState(0)
+    bsz = 1
+    seq = cfg["max_image_text_tokens"]
+    n_img = cfg["vision"]["config"]["num_image_tokens"]
+    n_text = 10  # typical instruction length
+    ids = np.zeros((bsz, seq), np.int32)
+    am = np.zeros((bsz, seq), np.int32)
+    ids[:, :n_img] = cfg["image_token_index"]
+    ids[:, n_img : n_img + n_text] = rng.randint(3, 1000, (bsz, n_text))
+    am[:, : n_img + n_text] = 1
+    img = cfg["vision"]["config"]["image_size"]
+    args = (
+        params,
+        jnp.asarray(ids),
+        jnp.asarray(am),
+        jnp.asarray(rng.rand(bsz, 3, img, img) * 2 - 1, jnp.bfloat16),
+        jnp.asarray(
+            rng.randn(bsz, cfg["cond_steps"], cfg["proprio_dim"]), jnp.bfloat16
+        ),
+        jnp.asarray(
+            rng.randn(bsz, cfg["horizon_steps"], cfg["action_dim"]), jnp.bfloat16
+        ),
+    )
+
+    step = jax.jit(model.infer_action)
+    p50, mean, _ = timed_call(step, *args, warmup=5, iters=30)
+    p50_ms = p50 * 1000
+
+    result = {
+        "metric": "pi0_blurr_action_step_ms_p50",
+        "value": round(p50_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(REFERENCE_BLURR_MS / p50_ms, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# mean={mean*1000:.2f} ms, hz={1.0/p50:.1f}, init={init_s:.1f}s, "
+        f"peak_hbm={peak_tpu_memory_gb():.2f} GB",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Device-mesh parallelism for the VLA stack.
+
+The reference is single-GPU only (SURVEY.md §2.7: a vestigial DDP shim and
+nothing else), so this module is new design, not port: a
+``jax.sharding.Mesh`` over ICI with ('data', 'model') axes, NamedSharding
+rules for tensor parallelism over attention heads / MLP intermediate, and
+GSPMD (jit + sharding annotations) inserting the collectives.
+
+Default deployment is a 1x1 mesh — Pi-0 (3B) fits one v5e chip — with TP as
+the capability extension for larger models (e.g. OpenVLA-7B on small chips)
+and DP for throughput benchmarking.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = 1, model: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = data * model
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def _mixture_rules() -> Dict[str, P]:
+    """TP layout for one Gemma-format mixture: shard attention Q heads and
+    the MLP intermediate over 'model'. K/V projections stay replicated — the
+    Gemma joint model is MQA (1 KV head), so the KV tensors are tiny and
+    replicating them avoids sharding the head_dim (which would split RoPE
+    pairs). Layer-stacked arrays carry a leading L axis (never sharded)."""
+    return {
+        "q_w": P(None, None, "model"),  # [L, H, NH*D] -> split heads
+        "k_w": P(None, None, None),
+        "v_w": P(None, None, None),
+        "o_w": P(None, "model", None),  # [L, NH*D, H] -> split input
+        "gate_w": P(None, None, "model"),  # [L, H, I]
+        "up_w": P(None, None, "model"),
+        "down_w": P(None, "model", None),  # [L, I, H]
+    }
+
+
+def _spec_for_path(path: str, leaf) -> P:
+    rules = _mixture_rules()
+    parts = path.split("/")
+    name = parts[-1]
+    if "joint" in parts and name in rules:
+        return rules[name]
+    if name == "embed_tokens":
+        return P("model", None)  # shard vocab
+    if "siglip" in parts:
+        if name in ("q_w", "k_w", "v_w"):
+            return P(None, None, "model")
+        if name == "out_w":
+            return P(None, "model", None)
+        if name == "fc1_w":
+            return P(None, None, "model")
+        if name == "fc2_w":
+            return P(None, "model", None)
+    return P()  # replicate
+
+
+def pi0_param_sharding(params, mesh: Mesh):
+    """NamedSharding tree for a Pi-0 parameter pytree."""
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
+        return NamedSharding(mesh, _spec_for_path(path, tree))
+
+    return walk(params, "")
+
+
+def shard_params(params, mesh: Mesh):
+    shardings = pi0_param_sharding(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))

@@ -1,0 +1,117 @@
+"""Sharded flow-matching training step.
+
+The reference keeps a training ``forward`` (flow loss) but no distributed
+training (SURVEY.md §0, §2.7). Here the loss is differentiable end-to-end and
+the step function composes with a ('data', 'model') mesh: parameters carry TP
+NamedShardings, the batch is DP-sharded, and GSPMD inserts the ICI
+collectives (psum for the grad all-reduce, all-gathers at TP boundaries).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from blurr_tpu.models.pi0.pizero import PiZero
+from blurr_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+
+
+def make_train_step(model: PiZero, learning_rate: float = 1e-4):
+    def loss_fn(params, batch):
+        return model.flow_loss(
+            params,
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch["pixel_values"],
+            batch["proprios"],
+            batch["actions"],
+            batch["t"],
+            batch["x0"],
+        )
+
+    @jax.jit
+    def step(params, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        params = jax.tree.map(lambda p, g: p - learning_rate * g, params, grads)
+        return params, loss
+
+    return step
+
+
+def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
+    """Compile + execute ONE sharded training step on tiny shapes over an
+    ``n_devices`` mesh (driver contract: validates the multi-chip path
+    without real chips, using virtual CPU devices)."""
+    import numpy as np
+
+    if len(jax.devices()) < n_devices:
+        # The axon plugin pins JAX_PLATFORMS=axon; switch to the virtual CPU
+        # platform if the backend allows (fresh process).
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    devices = jax.devices()
+    assert len(devices) >= n_devices, (
+        f"need {n_devices} devices, have {len(devices)} "
+        "(set --xla_force_host_platform_device_count)"
+    )
+    if model_par is None:
+        model_par = 2 if n_devices % 2 == 0 else 1
+    if data is None:
+        data = n_devices // model_par
+
+    from tests.util import tiny_pi0_cfg  # layer-reduced flagship dims
+
+    cfg = tiny_pi0_cfg()
+    # head/intermediate counts divisible by the model axis
+    model = PiZero(cfg)
+    mesh = make_mesh(data=data, model=model_par, devices=devices[:n_devices])
+
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = shard_params(params, mesh)
+
+    bsz = max(2, data)
+    rng = np.random.RandomState(0)
+    s_img = cfg.vision.config.num_image_tokens
+    seq = cfg.max_image_text_tokens
+    ids = np.zeros((bsz, seq), np.int32)
+    am = np.zeros((bsz, seq), np.int32)
+    ids[:, :s_img] = cfg.image_token_index
+    ids[:, s_img : s_img + 4] = rng.randint(3, cfg.vocab_size, (bsz, 4))
+    am[:, : s_img + 4] = 1
+    img = cfg.vision.config.image_size
+    bsh = batch_sharding(mesh)
+    batch = {
+        "input_ids": jax.device_put(jnp.asarray(ids), bsh),
+        "attention_mask": jax.device_put(jnp.asarray(am), bsh),
+        "pixel_values": jax.device_put(
+            jnp.asarray(rng.rand(bsz, 3, img, img), jnp.float32), bsh
+        ),
+        "proprios": jax.device_put(
+            jnp.asarray(rng.randn(bsz, cfg.cond_steps, cfg.proprio_dim), jnp.float32),
+            bsh,
+        ),
+        "actions": jax.device_put(
+            jnp.asarray(
+                rng.randn(bsz, cfg.horizon_steps, cfg.action_dim), jnp.float32
+            ),
+            bsh,
+        ),
+        "t": jax.device_put(jnp.asarray(rng.rand(bsz), jnp.float32), bsh),
+        "x0": jax.device_put(
+            jnp.asarray(
+                rng.randn(bsz, cfg.horizon_steps, cfg.action_dim), jnp.float32
+            ),
+            bsh,
+        ),
+    }
+
+    with mesh:
+        step = make_train_step(model)
+        params, loss = step(params, batch)
+        jax.block_until_ready(loss)
+    assert jnp.isfinite(loss), f"non-finite loss: {loss}"
+    return float(loss)

@@ -1,0 +1,113 @@
+"""Timing / memory observability (parity surface: reference
+src/utils/monitor.py, with CUDA facilities mapped to TPU equivalents)."""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import wraps
+
+import jax
+
+
+def log_allocated_tpu_memory(log=None, stage: str = "loading model", device=None):
+    """HBM usage via device memory_stats (the torch.cuda.memory_allocated
+    equivalent)."""
+    device = device or jax.local_devices()[0]
+    stats = device.memory_stats() or {}
+    allocated = stats.get("bytes_in_use", 0) / 1024**3
+    msg = f"Allocated TPU HBM after {stage}: {allocated:.2f} GB"
+    (log.info if log else print)(msg)
+    return allocated
+
+
+def peak_tpu_memory_gb(device=None) -> float:
+    device = device or jax.local_devices()[0]
+    stats = device.memory_stats() or {}
+    return stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) / 1024**3
+
+
+# kept under the reference name for drop-in compatibility
+log_allocated_gpu_memory = log_allocated_tpu_memory
+
+
+def log_execution_time(logger=None):
+    """Decorator logging wall-clock of a call."""
+
+    def decorator(func):
+        @wraps(func)
+        def wrapper(*args, **kwargs):
+            start = time.perf_counter()
+            result = func(*args, **kwargs)
+            elapsed = time.perf_counter() - start
+            msg = f"{func.__name__} took {elapsed:.2f} seconds"
+            (logger.info if logger else print)(msg)
+            return result
+
+        return wrapper
+
+    return decorator
+
+
+class Timer:
+    def __init__(self):
+        self._start = time.perf_counter()
+
+    def __call__(self, reset: bool = True) -> float:
+        now = time.perf_counter()
+        diff = now - self._start
+        if reset:
+            self._start = now
+        return diff
+
+
+class MainRankFilter(logging.Filter):
+    """Log filter passing records only on the main rank (parity with
+    reference monitor.py:51-58; JAX process_index based)."""
+
+    def __init__(self, main_rank: int = 0):
+        super().__init__()
+        self.main_rank = main_rank
+
+    def filter(self, record):
+        return jax.process_index() == self.main_rank
+
+
+def _fetch_scalar(out):
+    """Force device completion by fetching a tiny slice of one output leaf.
+
+    On the axon TPU tunnel ``block_until_ready`` does not actually block; a
+    data fetch does (and the device executes its queue in order), so fetching
+    one element of the LAST queued result fences all prior work."""
+    import numpy as np
+
+    leaves = jax.tree.leaves(out)
+    leaf = leaves[0]
+    idx = tuple(slice(0, 1) for _ in leaf.shape)
+    return np.asarray(leaf[idx] if leaf.ndim else leaf)
+
+
+def timed_call(fn, *args, warmup: int = 3, iters: int = 20):
+    """Benchmark a device function: returns (per_iter_s, mean_s, details).
+
+    Uses a two-point scheme that cancels the host<->device round-trip: time
+    (1 call + fetch) and (1 + iters calls + fetch); the difference divided by
+    ``iters`` is the pure device step latency. This is necessary on the axon
+    tunnel where only fetches block, and it is also how one avoids counting
+    dispatch overhead on local TPUs.
+    """
+    for _ in range(max(warmup, 1)):
+        _fetch_scalar(fn(*args))
+
+    def run(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = fn(*args)
+        _fetch_scalar(out)
+        return time.perf_counter() - t0
+
+    t_base = min(run(1) for _ in range(3))
+    t_full = min(run(1 + iters) for _ in range(2))
+    per_iter = max((t_full - t_base) / iters, 1e-9)
+    return per_iter, per_iter, {"t_base": t_base, "t_full": t_full, "iters": iters}
