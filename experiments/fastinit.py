@@ -1,0 +1,33 @@
+"""Cheap deterministic parameter trees for latency experiments: same shapes
+and dtypes as real init, built from a single iota pattern per leaf (timing is
+identical to random weights on the MXU; avoids dozens of slow remote compiles
+for RNG programs)."""
+
+import jax
+import jax.numpy as jnp
+
+
+def fake_like_tree(shapes_dtypes_tree, scale=0.02):
+    def mk(sd):
+        shape, dtype = sd
+        n = 1
+        for s in shape:
+            n *= s
+        flat = (jnp.arange(n, dtype=jnp.float32) % 101 - 50) * (scale / 50)
+        return flat.reshape(shape).astype(dtype)
+
+    return jax.tree.map(mk, shapes_dtypes_tree, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], tuple))
+
+
+def fake_params(model, dtype=jnp.bfloat16, scale=0.02):
+    """Build a PiZero param tree with fake values via eval_shape (no RNG)."""
+    shapes = jax.eval_shape(lambda: model.init_params(jax.random.PRNGKey(0), dtype))
+
+    def mk(leaf):
+        n = 1
+        for s in leaf.shape:
+            n *= s
+        flat = (jnp.arange(n, dtype=jnp.float32) % 101 - 50) * (scale / 50)
+        return flat.reshape(leaf.shape).astype(leaf.dtype)
+
+    return jax.tree.map(mk, shapes)
