@@ -12,3 +12,15 @@ Capability parity target documented in SURVEY.md; reference package surface:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("BLURR_PLATFORM"):
+    # This environment pins JAX_PLATFORMS at the env level (axon tunnel);
+    # BLURR_PLATFORM=cpu forces the backend through jax.config instead.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["BLURR_PLATFORM"])
+    except Exception:
+        pass

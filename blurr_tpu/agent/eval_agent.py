@@ -1,0 +1,237 @@
+"""Closed-loop SimplerEnv evaluation agent (parity surface: reference
+src/agent/eval.py).
+
+TPU execution model: the whole control step — embed merge, SigLIP, prefill,
+flow scan, clip — is ONE jitted device program. The only host<->device
+traffic per control step is the (image, tokens, proprio, noise) upload and a
+[horizon, action_dim] action-chunk download; masks are built in-graph. The
+torch.compile / SDPA / TF32 toggles of the reference map to jax.jit + XLA
+defaults (`use_torch_compile` is accepted for CLI parity and simply selects
+jit, which is always used).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import blurr_tpu.agent.env_adapter.simpler  # noqa: F401  (registers adapters)
+from blurr_tpu.agent.fake_env import make_env
+from blurr_tpu.config.core import instantiate
+from blurr_tpu.models.pi0.pizero import PiZeroInference
+from blurr_tpu.utils.monitor import log_allocated_tpu_memory, log_execution_time
+
+try:
+    import imageio
+except Exception:  # pragma: no cover
+    imageio = None
+
+log = logging.getLogger(__name__)
+
+
+class EvalAgent:
+    def __init__(self, cfg):
+        log.info("EvalAgent.__init__ start, task=%s", cfg["env"].get("task"))
+        self.cfg = cfg
+        self.n_eval_episode = cfg["n_eval_episode"]
+        self.n_video = cfg["n_video"]
+        self.log_dir = cfg["log_dir"]
+        self.video_dir = os.path.join(self.log_dir, "videos")
+        os.makedirs(self.video_dir, exist_ok=True)
+
+        use_bf16 = bool(cfg.get("use_bf16", False))
+        use_fp16 = bool(cfg.get("use_fp16", False))
+        if use_bf16 and use_fp16:
+            raise ValueError("Specify at most one of `use_bf16` or `use_fp16`.")
+        if use_fp16:
+            log.warning("FP16 requested; TPUs prefer BF16 — using bfloat16.")
+            self.dtype = jnp.bfloat16
+        elif use_bf16:
+            self.dtype = jnp.bfloat16
+        else:
+            self.dtype = jnp.float32
+
+        log.info("Initializing PiZeroInference (this may take some time)...")
+        t0 = time.time()
+        self.model = PiZeroInference(cfg)
+        log.info("PiZeroInference initialized in %.2f s", time.time() - t0)
+        self.params = self.load_checkpoint(cfg.get("checkpoint_path"))
+        # jit boundary (the reference's torch.compile(mode="reduce-overhead"))
+        self._infer_cached = jax.jit(self.model.infer_action)
+        self._infer_naive = jax.jit(self.model.infer_action_naive)
+        log.info("Using device: %s dtype: %s", jax.devices()[0], self.dtype)
+        log_allocated_tpu_memory(log, "loading model")
+
+        self.act_steps = cfg["act_steps"]
+        self.use_prefix_kv_cache = bool(cfg.get("use_prefix_kv_cache", True))
+        self._rng = jax.random.PRNGKey(int(cfg.get("seed", 42)))
+
+        log.info("Creating SimplerEnv env with task='%s'...", cfg["env"]["task"])
+        t0 = time.time()
+        self.env = make_env(cfg["env"]["task"])
+        log.info("Env created in %.2f s", time.time() - t0)
+
+        log.info("Instantiating env adapter: %s", cfg["env"]["adapter"]["_target_"])
+        self.env_adapter = instantiate(cfg["env"]["adapter"])
+        log.info("Env adapter instantiated.")
+
+    @log_execution_time(log)
+    def load_checkpoint(self, path):
+        """Torch .pt checkpoint via the checkpoint bridge; empty/'random'
+        gives deterministic random-init weights (smoke/latency mode)."""
+        if not path or str(path).lower() in {"random", "none"}:
+            log.warning("No checkpoint: using random-init weights.")
+            params = self.model.init_params(jax.random.PRNGKey(0), dtype=self.dtype)
+            return self.model.tie_action_proprio_weights(params)
+        from blurr_tpu.models.pi0.checkpoint import (
+            pizero_params_from_torch_checkpoint,
+        )
+
+        params = pizero_params_from_torch_checkpoint(path, dtype=self.dtype)
+        log.info("Loaded model from %s", path)
+        return params
+
+    def _open_video_writer(self, path: str):
+        """mp4 writer, degrading gracefully when imageio lacks a backend."""
+        if imageio is None:
+            log.warning("imageio not installed; video recording disabled.")
+            return None
+        try:
+            return imageio.get_writer(path)
+        except Exception as exc:  # no ffmpeg backend etc.
+            log.warning("Video recording disabled (%s).", exc)
+            return None
+
+    def _infer(self, inputs: dict) -> np.ndarray:
+        self._rng, sub = jax.random.split(self._rng)
+        noise = jax.random.normal(
+            sub,
+            (1, self.model.spec.num_action_tokens, self.model.spec.action_dim),
+            self.dtype,
+        )
+        fn = self._infer_cached if self.use_prefix_kv_cache else self._infer_naive
+        actions = fn(
+            self.params,
+            inputs["input_ids"],
+            inputs["attention_mask"],
+            inputs["pixel_values"].astype(self.dtype),
+            inputs["proprios"].astype(self.dtype),
+            noise,
+        )
+        return np.asarray(actions[0], np.float32)
+
+    def run(self):
+        log.info(
+            "EvalAgent.run start: n_eval_episode=%d, n_video=%d, act_steps=%d",
+            self.n_eval_episode,
+            self.n_video,
+            self.act_steps,
+        )
+        env = self.env
+        env_adapter = self.env_adapter
+        cnt_episode = 0
+        successes = []
+
+        env_reset_options = {"obj_init_options": {"episode_id": cnt_episode}}
+        obs, reset_info = env.reset(options=env_reset_options)
+        env_adapter.reset()
+        instruction = env.get_language_instruction()
+        recording = self.n_video > 0
+        video_writer = None
+
+        def video_parent_path(x):
+            return os.path.join(self.video_dir, f"video_{x}")
+
+        if recording:
+            video_writer = self._open_video_writer(
+                video_parent_path(cnt_episode) + ".mp4"
+            )
+            recording = video_writer is not None
+        log.info(
+            "Reset info: %s Instruction: %s Max episode length: %s",
+            reset_info,
+            instruction,
+            getattr(env.spec, "max_episode_steps", None),
+        )
+        step_in_episode = 0
+        while True:
+            inputs = env_adapter.preprocess(env, obs, instruction)
+            t0 = time.time()
+            actions = self._infer(inputs)
+            log.debug(
+                "Episode %d, step %d: model forward done in %.3f s.",
+                cnt_episode,
+                step_in_episode,
+                time.time() - t0,
+            )
+            env_actions = env_adapter.postprocess(actions)
+
+            truncated = False
+            success = False
+            for env_action in env_actions[: self.act_steps]:
+                step_in_episode += 1
+                if step_in_episode % 10 == 0:
+                    log.info(
+                        "Episode %d, env step %d: stepping env...",
+                        cnt_episode,
+                        step_in_episode,
+                    )
+                obs, reward, success, truncated, info = env.step(env_action)
+                if truncated:
+                    break
+
+            if recording and video_writer is not None:
+                video_writer.append_data(env_adapter.get_video_frame(env, obs))
+
+            new_instruction = env.get_language_instruction()
+            if new_instruction != instruction:
+                instruction = new_instruction
+
+            if truncated:
+                successes.append(success)
+                log.info(
+                    "Episode %d finished. success=%s, total_steps=%d",
+                    cnt_episode,
+                    success,
+                    step_in_episode,
+                )
+                if recording and video_writer is not None:
+                    video_writer.close()
+                    if success:
+                        os.rename(
+                            video_parent_path(cnt_episode) + ".mp4",
+                            video_parent_path(cnt_episode) + "_success.mp4",
+                        )
+                cnt_episode += 1
+                step_in_episode = 0
+                if cnt_episode >= self.n_eval_episode:
+                    break
+                env_reset_options["obj_init_options"] = {"episode_id": cnt_episode}
+                obs, reset_info = env.reset(options=env_reset_options)
+                env_adapter.reset()
+                instruction = env.get_language_instruction()
+                log.info(
+                    f"Reset info: {reset_info} Instruction: {instruction} "
+                    f"Max episode length: {env.spec.max_episode_steps}"
+                )
+                recording = self.n_video > cnt_episode
+                if recording:
+                    video_writer = self._open_video_writer(
+                        video_parent_path(cnt_episode) + ".mp4"
+                    )
+                    recording = video_writer is not None
+
+        success_rate = float(np.mean(successes)) if successes else 0.0
+        # NOTE: the literal strings below are regex-matched by the result
+        # collectors (collect_bridge_eval_results.py) — do not change.
+        log.info("============ Evaluation Summary ============")
+        log.info(f"Number of episodes: {cnt_episode}")
+        log.info(f"Success rate: {success_rate}")
+        log.info("============================================")
+        return success_rate

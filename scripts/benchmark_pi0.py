@@ -1,0 +1,192 @@
+#!/usr/bin/env python3
+"""Benchmark latency / HBM (and optional GFLOPS) for Pi-0 checkpoints.
+
+CLI + output parity with reference scripts/benchmark_pi0.py; GFLOPS uses an
+analytic FLOP count of one forward divided by steady latency (same
+"effective throughput" definition as the reference's profiler-based count,
+scripts/benchmark_pi0.py:297-299). `--checkpoint random` benches random-init
+weights (no checkpoint needed for latency work).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+from blurr_tpu.config.core import load_yaml
+from blurr_tpu.paths import config_root
+
+
+def parse_args() -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        description="Benchmark latency / HBM / GFLOPS for a PiZero checkpoint."
+    )
+    parser.add_argument(
+        "--config",
+        type=str,
+        required=True,
+        help="Pi0 config yaml (absolute, or relative to the blurr_tpu package).",
+    )
+    parser.add_argument(
+        "--checkpoint",
+        type=str,
+        required=True,
+        help="Path to the checkpoint (.pt), or 'random' for random init.",
+    )
+    parser.add_argument(
+        "--prompt",
+        type=str,
+        default="In: What action should the robot take?\nOut:",
+    )
+    parser.add_argument(
+        "--image",
+        type=str,
+        default="",
+        help="RGB image path for visual context (synthetic if omitted/missing).",
+    )
+    parser.add_argument("--use-bf16", action="store_true")
+    parser.add_argument("--use-fp16", action="store_true")
+    parser.add_argument(
+        "--use-torch-compile",
+        action="store_true",
+        help="Parity flag; maps to jax.jit (always enabled on TPU).",
+    )
+    parser.add_argument("--no-prefix-kv-cache", action="store_true")
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--skip-flops", action="store_true")
+    parser.add_argument(
+        "--proprio-mode", type=str, default="zeros", choices=["zeros", "random"]
+    )
+    return parser.parse_args()
+
+
+def _select_dtype(args):
+    import jax.numpy as jnp
+
+    if args.use_bf16 and args.use_fp16:
+        raise ValueError("Specify at most one of --use-bf16 or --use-fp16.")
+    if args.use_bf16 or args.use_fp16:  # fp16 -> bf16 on TPU
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _load_image(path: str, image_size: int) -> np.ndarray:
+    """uint8 [1, 3, H, W]."""
+    if path and Path(path).exists():
+        from PIL import Image
+
+        img = Image.open(path).convert("RGB").resize((image_size, image_size))
+        arr = np.array(img, dtype=np.uint8)
+    else:
+        arr = np.random.RandomState(0).randint(
+            0, 256, (image_size, image_size, 3), dtype=np.uint8
+        )
+    return arr.transpose(2, 0, 1)[None]
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from blurr_tpu.models.pi0.pizero import PiZeroInference
+    from blurr_tpu.models.pi0.processing import StubTokenizer, VLAProcessor
+    from blurr_tpu.utils.flops import pi0_forward_flops
+    from blurr_tpu.utils.monitor import peak_tpu_memory_gb, timed_call
+
+    dtype = _select_dtype(args)
+    cfg_path = Path(args.config)
+    if not cfg_path.is_absolute() and not cfg_path.exists():
+        cfg_path = config_root().parent / args.config
+    cfg = load_yaml(cfg_path)
+
+    model = PiZeroInference(cfg)
+    if str(args.checkpoint).lower() in {"random", "none", ""}:
+        params = model.init_params(jax.random.PRNGKey(0), dtype=dtype)
+        params = model.tie_action_proprio_weights(params)
+    else:
+        from blurr_tpu.models.pi0.checkpoint import (
+            pizero_params_from_torch_checkpoint,
+        )
+
+        params = pizero_params_from_torch_checkpoint(args.checkpoint, dtype=dtype)
+
+    try:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(
+            cfg["pretrained_model_path"],
+            padding_side=cfg.get("tokenizer_padding_side", "right"),
+        )
+    except Exception:
+        tokenizer = StubTokenizer(image_token_id=cfg["image_token_index"])
+    processor = VLAProcessor(
+        tokenizer,
+        cfg["vision"]["config"]["num_image_tokens"],
+        cfg["max_seq_len"],
+        tokenizer_padding=cfg.get("tokenizer_padding", "max_length"),
+    )
+
+    image = _load_image(args.image, cfg["vision"]["config"]["image_size"])
+    processed = processor(text=[args.prompt], images=image)
+
+    proprio_shape = (1, cfg["cond_steps"], cfg["proprio_dim"])
+    if args.proprio_mode == "random":
+        proprios = jnp.asarray(np.random.RandomState(1).rand(*proprio_shape), dtype)
+    else:
+        proprios = jnp.zeros(proprio_shape, dtype)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(0), (1, cfg["horizon_steps"], cfg["action_dim"]), dtype
+    )
+
+    use_cache = not args.no_prefix_kv_cache
+    fn = model.infer_action if use_cache else model.infer_action_naive
+    step = jax.jit(fn)
+    call_args = (
+        params,
+        processed["input_ids"],
+        processed["attention_mask"],
+        processed["pixel_values"].astype(dtype),
+        proprios,
+        noise,
+    )
+    avg_latency, _, _ = timed_call(step, *call_args, warmup=args.warmup, iters=args.iters)
+    peak_mem = peak_tpu_memory_gb()
+
+    gflops = None
+    if not args.skip_flops:
+        total_flops = pi0_forward_flops(cfg, use_cache=use_cache, batch=1)
+        gflops = (total_flops / avg_latency) / 1e9
+
+    dtype_name = "bfloat16" if dtype == jnp.bfloat16 else "float32"
+    print("========== Benchmark Summary ==========")
+    print(f"Checkpoint: {args.checkpoint}")
+    print(f"Config: {args.config}")
+    print(f"Prompt: {args.prompt}")
+    print(f"Image: {Path(args.image).resolve() if args.image else '(synthetic)'}")
+    print(f"Device: {jax.devices()[0]}")
+    print(f"Dtype: jax.{dtype_name}")
+    print(f"bfloat16: {dtype == jnp.bfloat16}")
+    print(f"torch.compile: {True}")  # jax.jit always on
+    print(f"prefix KV cache: {use_cache}")
+    print(f"Warmup iterations: {args.warmup}")
+    print(f"Timed iterations: {args.iters}")
+    print(f"Average latency: {avg_latency * 1000:.2f} ms")
+    print(f"Peak reserved TPU memory: {peak_mem:.2f} GB")
+    if gflops is not None:
+        print(f"Approximate GFLOPS: {gflops:,.2f}")
+    else:
+        print("GFLOPS skipped (--skip-flops).")
+    print("=======================================")
+
+
+if __name__ == "__main__":
+    main()

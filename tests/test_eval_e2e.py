@@ -1,0 +1,122 @@
+"""Closed-loop e2e: EvalAgent + FakeSimplerEnv + BridgeSimplerAdapter on a
+tiny random-init model, plus the log-format contract the collectors rely on."""
+
+import logging
+import re
+
+import numpy as np
+import pytest
+
+from blurr_tpu.config.core import Config
+from tests.util import tiny_pi0_cfg
+
+
+def eval_cfg(tmp_path, n_episodes=2):
+    cfg = tiny_pi0_cfg()
+    cfg.update(
+        {
+            "log_dir": str(tmp_path),
+            "n_eval_episode": n_episodes,
+            "n_video": 0,
+            "seed": 42,
+            "act_steps": 4,
+            "use_bf16": False,
+            "use_prefix_kv_cache": True,
+            "checkpoint_path": None,
+            "env": Config.wrap(
+                {
+                    "task": "fake_widowx_carrot_on_plate",
+                    "adapter": {
+                        "_target_": "blurr_tpu.agent.env_adapter.simpler.BridgeSimplerAdapter",
+                        "dataset_statistics_path": "config/bridge_statistics.json",
+                        "pretrained_model_path": "(stub)",
+                        "tokenizer_padding": "max_length",
+                        "max_seq_len": cfg.max_seq_len,
+                        "num_image_tokens": cfg.vision.config.num_image_tokens,
+                        "image_size": [
+                            cfg.vision.config.image_size,
+                            cfg.vision.config.image_size,
+                        ],
+                    },
+                }
+            ),
+        }
+    )
+    return cfg
+
+
+def test_eval_agent_closed_loop(tmp_path, caplog):
+    from blurr_tpu.agent.eval_agent import EvalAgent
+
+    cfg = eval_cfg(tmp_path)
+    # image_token_index must match the stub tokenizer's id
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 257216 // 400  # keep embed small but > stub ids? no --
+    cfg.vocab_size = 258000  # must exceed image_token_index
+    with caplog.at_level(logging.INFO):
+        agent = EvalAgent(cfg)
+        rate = agent.run()
+    assert 0.0 <= rate <= 1.0
+    text = caplog.text
+    # collector contract (collect_bridge_eval_results.py regexes)
+    assert re.search(r"Success rate:\s*([0-9.]+)", text)
+    assert re.search(r"Number of episodes:\s*([0-9]+)", text)
+
+
+def test_collector_parses_run_log(tmp_path):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from collect_bridge_eval_results import collect
+
+    run_dir = tmp_path / "blurr_42" / "widowx_carrot_on_plate_2026-01-01_00-00-00"
+    run_dir.mkdir(parents=True)
+    (run_dir / "run.log").write_text(
+        "2026 | INFO | agent | ============ Evaluation Summary ============\n"
+        "2026 | INFO | agent | Number of episodes: 10\n"
+        "2026 | INFO | agent | Success rate: 0.7\n"
+    )
+    rows = collect(tmp_path)
+    assert rows == [
+        {
+            "model": "blurr_42",
+            "task": "widowx_carrot_on_plate",
+            "success_rate": 0.7,
+            "episodes": 10,
+            "run_dir": str(run_dir),
+        }
+    ]
+
+
+def test_bridge_adapter_normalization_roundtrip():
+    """denormalize(normalize(x)) == x within the p01/p99 bounds."""
+    from blurr_tpu.agent.env_adapter.base import BaseEnvAdapter
+
+    a = BaseEnvAdapter()
+    rng = np.random.RandomState(0)
+    lo, hi = -np.ones(6), np.ones(6) * 2
+    x = rng.uniform(-0.9, 1.9, (5, 6))
+    normed = a.normalize_bound(x, lo, hi)
+    back = a.denormalize_bound(normed, lo, hi)
+    np.testing.assert_allclose(back, x, atol=1e-6)
+
+
+def test_edr_sticky_gripper_state_machine():
+    from blurr_tpu.agent.env_adapter.simpler import EDRSimplerAdapter
+
+    adapter = EDRSimplerAdapter.__new__(EDRSimplerAdapter)
+    adapter.sticky_gripper_num_repeat = 3
+    adapter.reset = lambda: None
+    adapter.sticky_action_is_on = False
+    adapter.gripper_action_repeat = 0
+    adapter.sticky_gripper_action = 0.0
+
+    # closing command (action near 1 -> relative -1) triggers sticky
+    out1 = adapter.postprocess_gripper(1.0)
+    assert out1 == -1.0 and adapter.sticky_action_is_on
+    # subsequent opposite command still returns the sticky action
+    out2 = adapter.postprocess_gripper(0.0)
+    assert out2 == -1.0
+    out3 = adapter.postprocess_gripper(0.0)
+    assert out3 == -1.0 and not adapter.sticky_action_is_on  # repeat cap hit
