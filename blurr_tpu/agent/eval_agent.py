@@ -62,6 +62,10 @@ class EvalAgent:
         self.model = PiZeroInference(cfg)
         log.info("PiZeroInference initialized in %.2f s", time.time() - t0)
         self.params = self.load_checkpoint(cfg.get("checkpoint_path"))
+        try:
+            self.params = self.model.enable_action_quantization(self.params)
+        except Exception as exc:  # graceful like the reference (eval.py:74-78)
+            log.warning("Action quantization failed, continuing without: %s", exc)
         # jit boundary (the reference's torch.compile(mode="reduce-overhead"))
         self._infer_cached = jax.jit(self.model.infer_action)
         self._infer_naive = jax.jit(self.model.infer_action_naive)

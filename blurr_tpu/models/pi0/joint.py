@@ -41,6 +41,7 @@ from blurr_tpu.ops.norms import (
     adaptive_rms_norm,
     rms_norm,
 )
+from blurr_tpu.ops.quant import dequantize_kv, mm
 from blurr_tpu.ops.rotary import apply_rope, rope_cos_sin
 
 
@@ -68,6 +69,7 @@ class JointSpec:
     rms_norm_eps: float = 1e-6
     time_hidden_size: int = 256
     use_softclamp: bool = True  # reference use_flash_attn=False semantics
+    activation_clip: Optional[float] = None  # clamp before quantized matmuls
     mixtures: Dict[str, MixtureSpec] = field(default_factory=dict)
 
     @property
@@ -194,16 +196,19 @@ def _merge_heads(x: jax.Array) -> jax.Array:
 def _qkv(lp, x, cos, sin, joint: JointSpec):
     """Project + rope one mixture's normed hidden states.
 
-    Returns q [B,NH,S,D] (roped), k [B,KVH,S,D] (roped), v [B,KVH,S,D]."""
+    Returns q [B,NH,S,D] (roped), k [B,KVH,S,D] (roped), v [B,KVH,S,D].
+    Weight leaves may be int8-quantized dicts (ops.quant.mm dispatches)."""
     nh, kvh, hd = joint.num_attention_heads, joint.num_key_value_heads, joint.head_dim
-    q = apply_rope(_split_heads(x @ lp["q_w"], nh, hd), cos, sin)
-    k = apply_rope(_split_heads(x @ lp["k_w"], kvh, hd), cos, sin)
-    v = _split_heads(x @ lp["v_w"], kvh, hd)
+    clip = joint.activation_clip
+    q = apply_rope(_split_heads(mm(x, lp["q_w"], clip), nh, hd), cos, sin)
+    k = apply_rope(_split_heads(mm(x, lp["k_w"], clip), kvh, hd), cos, sin)
+    v = _split_heads(mm(x, lp["v_w"], clip), kvh, hd)
     return q, k, v
 
 
-def _mlp(lp, x):
-    return geglu(x @ lp["gate_w"], x @ lp["up_w"]) @ lp["down_w"]
+def _mlp(lp, x, joint: JointSpec = None):
+    clip = joint.activation_clip if joint is not None else None
+    return mm(geglu(mm(x, lp["gate_w"], clip), mm(x, lp["up_w"], clip)), lp["down_w"], clip)
 
 
 def scale_embeds(x: jax.Array) -> jax.Array:
@@ -265,11 +270,11 @@ def prefill(
         offset = 0
         for n, s in zip(names, svs):
             m = spec.mixtures[n]
-            a = attn[:, offset : offset + s] @ lps[n]["o_w"]
+            a = mm(attn[:, offset : offset + s], lps[n]["o_w"], spec.activation_clip)
             offset += s
             h = hs[n] + a
             x = _apply_norm(lps[n]["post_norm"], h, None, m, eps)
-            h = h + _mlp(lps[n], x)
+            h = h + _mlp(lps[n], x, spec)
             outs.append(h)
         return tuple(outs), (k, v)
 
@@ -311,27 +316,44 @@ def decode(
     m = spec.mixtures["action"]
     eps = spec.rms_norm_eps
     cos, sin = mixture_rope(m, spec, action_position_ids)
-    k_cache, v_cache = cache
+    if isinstance(cache, dict):  # possibly int8-quantized (k, v, *_scale)
+        k_cache, v_cache = cache["k"], cache["v"]
+        k_scale, v_scale = cache.get("k_scale"), cache.get("v_scale")
+    else:
+        k_cache, v_cache = cache
+        k_scale = v_scale = None
+    quantized = k_scale is not None
 
     layer_stack = {k: ap[k] for k in ap if k != "final_norm"}
+    dtype = action_embeds.dtype
 
     def layer(h, xs):
-        lp, kc, vc = xs
+        if quantized:
+            lp, kc, vc, ks, vs = xs
+            kc = dequantize_kv(kc, ks, dtype)
+            vc = dequantize_kv(vc, vs, dtype)
+        else:
+            lp, kc, vc = xs
         x = _apply_norm(lp["input_norm"], h, time_cond, m, eps)
         q, k, v = _qkv(lp, x, cos, sin, spec)
         k_full = jnp.concatenate([kc, k], axis=2)
         v_full = jnp.concatenate([vc, v], axis=2)
         attn = grouped_attention(q, k_full, v_full, action_mask, spec.softclamp)
-        a = _merge_heads(attn) @ lp["o_w"]
+        a = mm(_merge_heads(attn), lp["o_w"], spec.activation_clip)
         a = _apply_scale(lp, "post_scale", a, time_cond, m)
         h = h + a
         x = _apply_norm(lp["post_norm"], h, time_cond, m, eps)
-        mlp_out = _mlp(lp, x)
+        mlp_out = _mlp(lp, x, spec)
         mlp_out = _apply_scale(lp, "final_scale", mlp_out, time_cond, m)
         return h + mlp_out, None
 
     h = scale_embeds(action_embeds)
-    h, _ = jax.lax.scan(layer, h, (layer_stack, k_cache, v_cache))
+    xs = (
+        (layer_stack, k_cache, v_cache, k_scale, v_scale)
+        if quantized
+        else (layer_stack, k_cache, v_cache)
+    )
+    h, _ = jax.lax.scan(layer, h, xs)
     return _apply_norm(ap["final_norm"], h, time_cond, m, eps)
 
 
@@ -387,11 +409,11 @@ def naive_forward(
         outs = []
         for n, s, off in zip(names, svs, offsets):
             m = spec.mixtures[n]
-            a = attn[:, off : off + s] @ lps[n]["o_w"]
+            a = mm(attn[:, off : off + s], lps[n]["o_w"], spec.activation_clip)
             a = _apply_scale(lps[n], "post_scale", a, tc_for(n), m)
             h = hs[n] + a
             x = _apply_norm(lps[n]["post_norm"], h, tc_for(n), m, eps)
-            mlp_out = _mlp(lps[n], x)
+            mlp_out = _mlp(lps[n], x, spec)
             mlp_out = _apply_scale(lps[n], "final_scale", mlp_out, tc_for(n), m)
             outs.append(h + mlp_out)
         return tuple(outs), None
@@ -461,9 +483,9 @@ def single_forward(
             attn = grouped_attention(q, kc, vc, mask, spec.softclamp)
         else:
             attn = grouped_attention(q, k, v, mask, spec.softclamp)
-        h = h + _merge_heads(attn) @ lp["o_w"]
+        h = h + mm(_merge_heads(attn), lp["o_w"], spec.activation_clip)
         x = _apply_norm(lp["post_norm"], h, None, m, eps)
-        h = h + _mlp(lp, x)
+        h = h + _mlp(lp, x, spec)
         if use_cache:
             return h, (kc, vc)
         return h, None

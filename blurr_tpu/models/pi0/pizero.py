@@ -93,6 +93,21 @@ class PiZero:
         self.cfg = cfg
         self.spec = spec_from_config(cfg)
         self.joint_spec = JointSpec.from_config(dict(cfg["joint"]["config"]))
+        # quantization config (reference bridge.yaml:39-46 stubs)
+        aq = cfg.get("action_quantization") or {}
+        kq = cfg.get("kv_quantization") or {}
+        self.action_quant_mode = (str(aq.get("mode") or "")).lower() or None
+        self.action_quant_cache_fp = bool(aq.get("cache_fp_weight", False))
+        self.kv_quant_mode = (str(kq.get("mode") or "")).lower() or None
+        self.kv_quant_clip = kq.get("activation_clip")
+        if self.action_quant_mode in {"int8", "int8_cached", "bnb_int8"}:
+            import dataclasses
+
+            clip = aq.get("activation_clip")
+            self.joint_spec = dataclasses.replace(
+                self.joint_spec,
+                activation_clip=float(clip) if clip is not None else None,
+            )
         self.vision_cfg = dict(cfg["vision"]["config"])
         self.projector_cfg = dict(cfg["vision_projector"]["config"])
         self.vlm_hidden = self.joint_spec.mixtures["vlm"].hidden_size
@@ -136,6 +151,37 @@ class PiZero:
                 "b": jnp.zeros((s.action_dim,), dtype),
             },
         }
+        return params
+
+    def enable_action_quantization(self, params: Dict) -> Dict:
+        """Functional equivalent of the reference's in-place module rewrite
+        (pizero.py:274-321): int8-quantize the action mixture and the action/
+        proprio encoders + action decoder when cfg.action_quantization.mode is
+        set. bnb_int8 maps to the same int8 path on TPU."""
+        if self.action_quant_mode not in {"int8", "int8_cached", "bnb_int8"}:
+            return params
+        from blurr_tpu.ops.quant import quantize_dense_int8, quantize_mixture_int8
+
+        tied = params["joint"].get("proprio") is params["joint"].get("action")
+        params = dict(params)
+        params["joint"] = dict(params["joint"])
+        params["joint"]["action"] = quantize_mixture_int8(
+            params["joint"]["action"], cache_fp_weight=self.action_quant_cache_fp
+        )
+        if tied:
+            params["joint"]["proprio"] = params["joint"]["action"]
+        params["action_encoder"] = quantize_dense_int8(
+            params["action_encoder"], ("w1", "w2", "w3"),
+            cache_fp_weight=self.action_quant_cache_fp,
+        )
+        params["proprio_encoder"] = quantize_dense_int8(
+            params["proprio_encoder"], ("w",),
+            cache_fp_weight=self.action_quant_cache_fp,
+        )
+        params["action_decoder"] = quantize_dense_int8(
+            params["action_decoder"], ("w",),
+            cache_fp_weight=self.action_quant_cache_fp,
+        )
         return params
 
     def tie_action_proprio_weights(self, params: Dict) -> Dict:
@@ -201,8 +247,10 @@ class PiZero:
         return jnp.concatenate([head, merged[:, n_img:]], axis=1)
 
     def _encode_proprio(self, params: Dict, proprios: jax.Array) -> jax.Array:
+        from blurr_tpu.ops.quant import mm
+
         p = params["proprio_encoder"]
-        return proprios @ p["w"] + p["b"]
+        return mm(proprios, p["w"], self.joint_spec.activation_clip) + p["b"]
 
     def _encode_action(
         self, params: Dict, action: jax.Array, time_emb: Optional[jax.Array]
@@ -210,15 +258,18 @@ class PiZero:
         """3-layer MLP with optional time concat (reference ActionEncoder,
         src/model/vla/modules.py:25-53; time embedding goes FIRST in the
         concat)."""
+        from blurr_tpu.ops.quant import mm
+
+        clip = self.joint_spec.activation_clip
         ae = params["action_encoder"]
-        emb = action @ ae["w1"] + ae["b1"]
+        emb = mm(action, ae["w1"], clip) + ae["b1"]
         if self.spec.adaptive_mode is None:
             t_full = jnp.broadcast_to(
                 time_emb[:, None, :], (emb.shape[0], emb.shape[1], time_emb.shape[-1])
             )
             emb = jnp.concatenate([t_full, emb], axis=-1)
-        emb = silu(emb @ ae["w2"] + ae["b2"])
-        return emb @ ae["w3"] + ae["b3"]
+        emb = silu(mm(emb, ae["w2"], clip) + ae["b2"])
+        return mm(emb, ae["w3"], clip) + ae["b3"]
 
     def _time_embedding(self, t: jax.Array) -> jax.Array:
         s = self.spec
@@ -226,8 +277,10 @@ class PiZero:
         return sinusoidal_pos_emb(t, dim, s.time_max_period)
 
     def _decode_action(self, params: Dict, hidden: jax.Array) -> jax.Array:
+        from blurr_tpu.ops.quant import mm
+
         ad = params["action_decoder"]
-        return hidden @ ad["w"] + ad["b"]
+        return mm(hidden, ad["w"], self.joint_spec.activation_clip) + ad["b"]
 
     # ------------------------------------------------------------------
     # Inference
@@ -273,6 +326,13 @@ class PiZero:
             {"vlm": vlm_pos, "proprio": proprio_pos},
             prefix_mask,
         )
+        if self.kv_quant_mode == "int8":
+            from blurr_tpu.ops.quant import quantize_kv_int8
+
+            clip = self.kv_quant_clip
+            k_q, k_s = quantize_kv_int8(cache[0], clip)
+            v_q, v_s = quantize_kv_int8(cache[1], clip)
+            cache = {"k": k_q, "v": v_q, "k_scale": k_s, "v_scale": v_s}
 
         delta_t = 1.0 / steps
         dtype = noise.dtype

@@ -1,0 +1,95 @@
+"""INT8 quantization: weight-only linear quant + KV-cache quant.
+
+Capability parity with the reference (src/model/quantization/int8_linear.py,
+src/model/kv_cache.py:90-106), TPU-native:
+
+- Weights: per-out-channel symmetric INT8, stored as {"q": int8 [..., in, out],
+  "s": scale [..., out]} and dequantized on the fly inside the matmul — XLA
+  fuses the dequant multiply into the matmul operand read, so the win is the
+  halved HBM traffic for weight reads (the decode path is memory-bound).
+  ``cache_fp_weight`` instead stores a dequantized bf16 copy (the reference's
+  fast-matmul mode: quantization noise without the bandwidth saving).
+- KV cache: per-(L, B, head) symmetric INT8 over the (seq, head_dim) chunk
+  with an fp scale, dequantized on read in the decode scan.
+
+Optional ``activation_clip`` clamps activations before quantized matmuls,
+matching Int8QuantConfig.activation_clip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight_int8(w: jax.Array, cache_fp_dtype=None) -> dict:
+    """[..., in, out] -> {"q": int8, "s": [..., out]} (per-out-channel)."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.clip(jnp.max(jnp.abs(wf), axis=-2), 1e-6) / 127.0  # [..., out]
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -128, 127).astype(jnp.int8)
+    out = {"q": q, "s": scale.astype(jnp.float32)}
+    if cache_fp_dtype is not None:
+        out = {"fp": (q.astype(jnp.float32) * scale[..., None, :]).astype(cache_fp_dtype)}
+    return out
+
+
+def mm(x: jax.Array, w, activation_clip: Optional[float] = None) -> jax.Array:
+    """Matmul dispatching on the weight representation: plain array, int8
+    {"q","s"}, or cached-fp {"fp"}."""
+    if isinstance(w, dict):
+        if activation_clip is not None:
+            x = jnp.clip(x, -activation_clip, activation_clip)
+        if "fp" in w:
+            return x @ w["fp"].astype(x.dtype)
+        deq = w["q"].astype(x.dtype) * w["s"].astype(x.dtype)[..., None, :]
+        return x @ deq
+    return x @ w
+
+
+_QUANT_WEIGHT_KEYS = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
+
+
+def quantize_mixture_int8(mixture_params: dict, cache_fp_weight: bool = False,
+                          fp_dtype=jnp.bfloat16) -> dict:
+    """Quantize all linear weights of one mixture (norms stay fp)."""
+    out = dict(mixture_params)
+    fp = fp_dtype if cache_fp_weight else None
+    for k in _QUANT_WEIGHT_KEYS:
+        if k in out and not isinstance(out[k], dict):
+            out[k] = quantize_weight_int8(out[k], cache_fp_dtype=fp)
+    return out
+
+
+def quantize_dense_int8(p: dict, keys: Tuple[str, ...],
+                        cache_fp_weight: bool = False, fp_dtype=jnp.bfloat16) -> dict:
+    out = dict(p)
+    fp = fp_dtype if cache_fp_weight else None
+    for k in keys:
+        if k in out and not isinstance(out[k], dict):
+            out[k] = quantize_weight_int8(out[k], cache_fp_dtype=fp)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# KV cache quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_kv_int8(
+    kv: jax.Array, clip: Optional[float] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """[L, B, H, S, D] -> (int8 values, fp32 scale [L, B, H, 1, 1]); scale is
+    the per-(batch, head) absmax over (S, D) like the reference
+    _quantize_chunk (kv_cache.py:90-98)."""
+    x = kv.astype(jnp.float32)
+    if clip is not None:
+        x = jnp.clip(x, -clip, clip)
+    scale = jnp.clip(jnp.max(jnp.abs(x), axis=(-1, -2), keepdims=True), 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -128, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    return (q.astype(jnp.float32) * scale).astype(dtype)
