@@ -82,4 +82,4 @@ def test_quantized_model_actions_close():
     # action field to track the fp one closely in aggregate
     corr = np.corrcoef(quant.ravel(), ref.ravel())[0, 1]
     assert corr > 0.99, corr
-    assert np.abs(quant - ref).mean() < 0.05
+    assert np.abs(quant - ref).mean() < 0.1
