@@ -69,6 +69,7 @@ class JointSpec:
     rms_norm_eps: float = 1e-6
     time_hidden_size: int = 256
     use_softclamp: bool = True  # reference use_flash_attn=False semantics
+    attn_impl: str = "xla"  # "xla" | "pallas" (fused flash kernel on TPU)
     activation_clip: Optional[float] = None  # clamp before quantized matmuls
     mixtures: Dict[str, MixtureSpec] = field(default_factory=dict)
 
@@ -95,7 +96,10 @@ class JointSpec:
             head_dim=cfg["head_dim"],
             rms_norm_eps=float(cfg.get("rms_norm_eps", 1e-6)),
             time_hidden_size=int(cfg.get("time_hidden_size", 256) or 256),
-            use_softclamp=not bool(cfg.get("use_flash_attn", False)),
+            # The reference's use_flash_attn toggles SDPA (and silently skips
+            # the soft-clamp there); our fused Pallas kernel supports the
+            # clamp, so enabling it never changes semantics.
+            attn_impl="pallas" if cfg.get("use_flash_attn", False) else "xla",
             mixtures=mixtures,
         )
 
@@ -193,6 +197,21 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
 
 
+def _attention(spec: JointSpec, q, k, v, mask):
+    """Attention impl dispatch: fused Pallas flash kernel on TPU when
+    configured (and the query block is large enough to amortize), XLA
+    otherwise. Both apply the same soft-clamp semantics."""
+    if (
+        spec.attn_impl == "pallas"
+        and q.shape[2] >= 64
+        and jax.default_backend() == "tpu"
+    ):
+        from blurr_tpu.ops.pallas_attention import flash_attention
+
+        return flash_attention(q, k, v, mask, softclamp=spec.softclamp)
+    return grouped_attention(q, k, v, mask, spec.softclamp)
+
+
 def _qkv(lp, x, cos, sin, joint: JointSpec):
     """Project + rope one mixture's normed hidden states.
 
@@ -264,7 +283,7 @@ def prefill(
         q = jnp.concatenate(qs, axis=2)
         k = jnp.concatenate(ks, axis=2)
         v = jnp.concatenate(vs, axis=2)
-        attn = grouped_attention(q, k, v, prefix_mask, spec.softclamp)
+        attn = _attention(spec, q, k, v, prefix_mask)
         attn = _merge_heads(attn)
         outs = []
         offset = 0
@@ -338,7 +357,7 @@ def decode(
         q, k, v = _qkv(lp, x, cos, sin, spec)
         k_full = jnp.concatenate([kc, k], axis=2)
         v_full = jnp.concatenate([vc, v], axis=2)
-        attn = grouped_attention(q, k_full, v_full, action_mask, spec.softclamp)
+        attn = _attention(spec, q, k_full, v_full, action_mask)
         a = mm(_merge_heads(attn), lp["o_w"], spec.activation_clip)
         a = _apply_scale(lp, "post_scale", a, time_cond, m)
         h = h + a
@@ -398,12 +417,12 @@ def naive_forward(
             qs.append(q)
             ks.append(k)
             vs.append(v)
-        attn = grouped_attention(
+        attn = _attention(
+            spec,
             jnp.concatenate(qs, axis=2),
             jnp.concatenate(ks, axis=2),
             jnp.concatenate(vs, axis=2),
             full_mask,
-            spec.softclamp,
         )
         attn = _merge_heads(attn)
         outs = []
@@ -480,9 +499,9 @@ def single_forward(
         if use_cache:
             kc = jax.lax.dynamic_update_slice(kc, k, (0, 0, offset, 0))
             vc = jax.lax.dynamic_update_slice(vc, v, (0, 0, offset, 0))
-            attn = grouped_attention(q, kc, vc, mask, spec.softclamp)
+            attn = _attention(spec, q, kc, vc, mask)
         else:
-            attn = grouped_attention(q, k, v, mask, spec.softclamp)
+            attn = _attention(spec, q, k, v, mask)
         h = h + mm(_merge_heads(attn), lp["o_w"], spec.activation_clip)
         x = _apply_norm(lp["post_norm"], h, None, m, eps)
         h = h + _mlp(lp, x, spec)

@@ -1,0 +1,162 @@
+"""Pallas flash-attention kernel for the joint-model prefill.
+
+Block-tiled fused attention with online softmax, grouped-query support, the
+Gemma tanh soft-clamp, and boolean block masks. The reference reaches its
+fused attention through SDPA/FlashAttention CUDA kernels
+(src/model/vla/joint_model.py:260-271) and SKIPS the soft-clamp on that path;
+this kernel applies the clamp inside the fused loop, so the fast path keeps
+the exact slow-path semantics (no cache-vs-naive numeric drift).
+
+Design notes (Pi-0 shapes: B=1, 8 Q heads over 1 KV head, 277-token prefix,
+head_dim 256):
+- grid = (B, NH, Sq/BQ); each program owns one q block and streams k/v blocks
+  with a running (max, sum, acc) online softmax in fp32.
+- K/V are indexed by the q head's KV group (MQA: every program reads the same
+  K/V block, which stays resident in VMEM).
+- Ragged sizes are padded by the wrapper; padded key columns are masked via
+  the boolean mask, padded q rows produce garbage that is sliced off.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _attn_kernel(
+    q_ref,  # [1, 1, BQ, D]
+    k_ref,  # [1, 1, Skv, D]
+    v_ref,  # [1, 1, Skv, D]
+    mask_ref,  # [1, BQ, Skv] bool
+    o_ref,  # [1, 1, BQ, D]
+    *,
+    scale: float,
+    softclamp: Optional[float],
+    block_k: int,
+    kv_len: int,
+):
+    q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
+    bq = q.shape[0]
+    d = q.shape[1]
+    num_kb = kv_len // block_k
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BQ, BK]
+        s = s * scale
+        if softclamp is not None:
+            s = jnp.tanh(s / softclamp) * softclamp
+        mask = mask_ref[0, :, pl.ds(kb * block_k, block_k)]
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        # guard fully-masked rows: exp(NEG_INF - NEG_INF) would be exp(0)=1,
+        # matching the reference's finfo-min uniform-softmax behavior only if
+        # we keep the raw difference; clamp the shift to avoid inf-inf NaNs.
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("softclamp", "scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jax.Array,  # [B, NH, Sq, D]
+    k: jax.Array,  # [B, KVH, Skv, D]
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,  # bool [B, Sq, Skv]
+    softclamp: Optional[float] = 50.0,
+    scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    b, nh, sq, d = q.shape
+    kvh = k.shape[1]
+    skv = k.shape[2]
+    g = nh // kvh
+    if scale is None:
+        scale = d**-0.5
+
+    sq_p = _round_up(sq, block_q)
+    skv_p = _round_up(skv, block_k)
+    d_p = _round_up(d, 128)
+
+    if mask is None:
+        mask = jnp.ones((b, sq, skv), bool)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, d_p - d)))
+    mp = jnp.pad(mask, ((0, 0), (0, sq_p - sq), (0, skv_p - skv)))
+
+    grid = (b, nh, sq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel,
+            scale=scale,
+            softclamp=softclamp,
+            block_k=block_k,
+            kv_len=skv_p,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d_p),
+                lambda bi, h, i: (bi, h, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, skv_p, d_p),
+                lambda bi, h, i: (bi, h // g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, skv_p, d_p),
+                lambda bi, h, i: (bi, h // g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_q, skv_p),
+                lambda bi, h, i: (bi, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d_p),
+            lambda bi, h, i: (bi, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nh, sq_p, d_p), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, mp)
+    return out[:, :, :sq, :d]
