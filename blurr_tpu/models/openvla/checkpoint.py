@@ -1,0 +1,265 @@
+"""Checkpoint bridge: HF OpenVLA (prismatic) safetensors -> JAX pytrees.
+
+Key layout follows the prismatic remote code the reference loads through
+AutoModelForVision2Seq (scripts/eval_hf_vla_simpler.py:729-737):
+  language_model.model.layers.{i}.*   (Llama-2)
+  vision_backbone.featurizer.*        (timm DINOv2 ViT-L/14 reg4)
+  vision_backbone.fused_featurizer.*  (timm SigLIP ViT-So400m/14)
+  projector.fc{1,2,3}.*
+OFT aux heads ship as separate ``action_head--*.pt`` /
+``proprio_projector--*.pt`` files with ``module.model.`` prefixes
+(reference eval_hf_vla_simpler.py:76-132).
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+log = logging.getLogger(__name__)
+
+
+def _t(x) -> np.ndarray:
+    return x.detach().to("cpu").float().numpy()
+
+
+def load_safetensors_dir(path: str) -> Dict:
+    from safetensors import safe_open
+
+    tensors = {}
+    for f in sorted(glob.glob(os.path.join(path, "*.safetensors"))):
+        with safe_open(f, framework="pt", device="cpu") as fh:
+            for key in fh.keys():
+                tensors[key] = fh.get_tensor(key)
+    if not tensors:
+        raise FileNotFoundError(f"no safetensors under {path}")
+    return tensors
+
+
+def _stack(d: Dict[int, np.ndarray]) -> np.ndarray:
+    idxs = sorted(d)
+    assert idxs == list(range(len(idxs))), idxs
+    return np.stack([d[i] for i in idxs])
+
+
+def llama_params_from_hf(state: Dict, prefix: str = "language_model.") -> Dict:
+    lre = re.compile(re.escape(prefix) + r"model\.layers\.(\d+)\.(.+)")
+    per: Dict[str, Dict[int, np.ndarray]] = {}
+    for k, v in state.items():
+        if m := lre.match(k):
+            per.setdefault(m.group(2), {})[int(m.group(1))] = _t(v)
+
+    def lin(name):
+        return _stack({i: w.T for i, w in per[name + ".weight"].items()})
+
+    return {
+        "embed_tokens": _t(state[prefix + "model.embed_tokens.weight"]),
+        "layers": {
+            "q_w": lin("self_attn.q_proj"),
+            "k_w": lin("self_attn.k_proj"),
+            "v_w": lin("self_attn.v_proj"),
+            "o_w": lin("self_attn.o_proj"),
+            "gate_w": lin("mlp.gate_proj"),
+            "up_w": lin("mlp.up_proj"),
+            "down_w": lin("mlp.down_proj"),
+            "input_norm": _stack(per["input_layernorm.weight"]),
+            "post_norm": _stack(per["post_attention_layernorm.weight"]),
+        },
+        "final_norm": _t(state[prefix + "model.norm.weight"]),
+        "lm_head": _t(state[prefix + "lm_head.weight"]).T,
+    }
+
+
+def timm_vit_params_from_hf(
+    state: Dict, prefix: str, num_blocks: int
+) -> Dict:
+    """timm ViT layout: blocks.{i}.{norm1,attn.qkv,attn.proj,ls1,norm2,
+    mlp.fc1,mlp.fc2,ls2}, patch_embed.proj, pos_embed, cls_token, reg_token.
+    ``num_blocks`` limits stacking to the blocks actually executed
+    (prismatic feature_layer=-2)."""
+    bre = re.compile(re.escape(prefix) + r"blocks\.(\d+)\.(.+)")
+    per: Dict[str, Dict[int, np.ndarray]] = {}
+    for k, v in state.items():
+        if m := bre.match(k):
+            i = int(m.group(1))
+            if i < num_blocks:
+                per.setdefault(m.group(2), {})[i] = _t(v)
+
+    def lin(name):
+        return _stack({i: w.T for i, w in per[name + ".weight"].items()})
+
+    def vec(name):
+        return _stack(per[name])
+
+    conv_w = _t(state[prefix + "patch_embed.proj.weight"])  # [D, C, p, p]
+    params = {
+        "patch_w": conv_w.transpose(2, 3, 1, 0).reshape(-1, conv_w.shape[0]),
+        "patch_b": _t(state[prefix + "patch_embed.proj.bias"]),
+        "pos_embed": _t(state[prefix + "pos_embed"])[0],
+        "layers": {
+            "ln1_w": vec("norm1.weight"),
+            "ln1_b": vec("norm1.bias"),
+            "ln2_w": vec("norm2.weight"),
+            "ln2_b": vec("norm2.bias"),
+            "qkv_w": lin("attn.qkv"),
+            "qkv_b": vec("attn.qkv.bias"),
+            "out_w": lin("attn.proj"),
+            "out_b": vec("attn.proj.bias"),
+            "fc1_w": lin("mlp.fc1"),
+            "fc1_b": vec("mlp.fc1.bias"),
+            "fc2_w": lin("mlp.fc2"),
+            "fc2_b": vec("mlp.fc2.bias"),
+        },
+    }
+    if prefix + "cls_token" in state:
+        params["cls_token"] = _t(state[prefix + "cls_token"])
+    if prefix + "reg_token" in state:
+        params["reg_tokens"] = _t(state[prefix + "reg_token"])
+    if "ls1.gamma" in per:
+        params["layers"]["ls1"] = vec("ls1.gamma")
+        params["layers"]["ls2"] = vec("ls2.gamma")
+    return params
+
+
+def openvla_params_from_hf_dir(path: str, spec, dtype=jnp.bfloat16) -> Dict:
+    """Full OpenVLA snapshot dir -> parameter pytree."""
+    state = load_safetensors_dir(path)
+
+    def proj_lin(name):
+        return {
+            "w": _t(state[f"projector.{name}.weight"]).T,
+            "b": _t(state[f"projector.{name}.bias"]),
+        }
+
+    params = {
+        "llama": llama_params_from_hf(state),
+        "dinov2": timm_vit_params_from_hf(
+            state, "vision_backbone.featurizer.", spec.dinov2.effective_num_layers
+        ),
+        "siglip": timm_vit_params_from_hf(
+            state,
+            "vision_backbone.fused_featurizer.",
+            spec.siglip.effective_num_layers,
+        ),
+        "projector": {
+            "fc1_w": proj_lin("fc1")["w"],
+            "fc1_b": proj_lin("fc1")["b"],
+            "fc2_w": proj_lin("fc2")["w"],
+            "fc2_b": proj_lin("fc2")["b"],
+            "fc3_w": proj_lin("fc3")["w"],
+            "fc3_b": proj_lin("fc3")["b"],
+        },
+    }
+    import jax
+
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+
+
+def load_norm_stats(path: str) -> Optional[Dict]:
+    """dataset_statistics.json / config.json norm_stats from a snapshot dir
+    (reference _inject_dataset_statistics_into_norm_stats semantics,
+    eval_hf_vla_simpler.py:201-267)."""
+    import json
+
+    for name in ("dataset_statistics.json",):
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            with open(p) as f:
+                stats = json.load(f)
+            return stats
+    p = os.path.join(path, "config.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            cfg = json.load(f)
+        return cfg.get("norm_stats")
+    return None
+
+
+def infer_unnorm_key(norm_stats: Dict, requested: Optional[str] = None) -> str:
+    """Reference logic (benchmark_hf_vla.py:217-231): honor an explicit key;
+    prefer 'bridge_orig'; else the sole key; else error."""
+    if requested:
+        if requested in norm_stats:
+            return requested
+        raise KeyError(f"unnorm_key {requested!r} not in norm_stats")
+    if "bridge_orig" in norm_stats:
+        return "bridge_orig"
+    if len(norm_stats) == 1:
+        return next(iter(norm_stats))
+    raise KeyError(
+        f"ambiguous unnorm_key; available: {sorted(norm_stats)}"
+    )
+
+
+def load_oft_aux_params(path: str, dtype=jnp.bfloat16) -> Tuple[Optional[Dict], Optional[Dict]]:
+    """action_head--*.pt / proprio_projector--*.pt -> JAX pytrees (shape-
+    driven reconstruction like the reference)."""
+    import torch
+
+    import jax
+
+    def cast(tree):
+        return jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
+
+    head = proj = None
+    heads = sorted(glob.glob(os.path.join(path, "action_head--*_checkpoint.pt")))
+    if heads:
+        state = torch.load(heads[-1], map_location="cpu")
+        state = {
+            k.removeprefix("module.model."): _t(v)
+            for k, v in state.items()
+            if k.startswith("module.model.")
+        }
+        n_blocks = len(
+            {k.split(".")[1] for k in state if k.startswith("mlp_resnet_blocks.")}
+        )
+        head = cast(
+            {
+                "ln1_w": state["layer_norm1.weight"],
+                "ln1_b": state["layer_norm1.bias"],
+                "fc1_w": state["fc1.weight"].T,
+                "fc1_b": state["fc1.bias"],
+                "blocks": {
+                    "ln_w": np.stack(
+                        [state[f"mlp_resnet_blocks.{i}.ffn.0.weight"] for i in range(n_blocks)]
+                    ),
+                    "ln_b": np.stack(
+                        [state[f"mlp_resnet_blocks.{i}.ffn.0.bias"] for i in range(n_blocks)]
+                    ),
+                    "w": np.stack(
+                        [state[f"mlp_resnet_blocks.{i}.ffn.1.weight"].T for i in range(n_blocks)]
+                    ),
+                    "b": np.stack(
+                        [state[f"mlp_resnet_blocks.{i}.ffn.1.bias"] for i in range(n_blocks)]
+                    ),
+                },
+                "ln2_w": state["layer_norm2.weight"],
+                "ln2_b": state["layer_norm2.bias"],
+                "fc2_w": state["fc2.weight"].T,
+                "fc2_b": state["fc2.bias"],
+            }
+        )
+    projs = sorted(glob.glob(os.path.join(path, "proprio_projector--*_checkpoint.pt")))
+    if projs:
+        state = torch.load(projs[-1], map_location="cpu")
+        state = {
+            k.removeprefix("module.model."): _t(v)
+            for k, v in state.items()
+            if k.startswith("module.model.")
+        }
+        proj = cast(
+            {
+                "fc1_w": state["fc1.weight"].T,
+                "fc1_b": state["fc1.bias"],
+                "fc2_w": state["fc2.weight"].T,
+                "fc2_b": state["fc2.bias"],
+            }
+        )
+    return head, proj

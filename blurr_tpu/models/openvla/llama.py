@@ -1,0 +1,193 @@
+"""Llama decoder (OpenVLA's LLM backbone), TPU-native.
+
+Llama-2-7B format: 32 layers / 4096 hidden / 32 heads (MHA; GQA supported) /
+SwiGLU 11008 / Llama RMSNorm (weight applied AFTER the downcast, unlike
+Gemma's (1+w)-before-downcast) / fp32 RoPE theta 10000.
+
+Decode design: prefill writes a preallocated [L, B, KVH, max_len, D] cache at
+offset 0; the greedy action-token generation is a ``lax.scan`` over single
+token steps inside one jit — the whole predict_action is a single device
+program (the reference goes through HF generate with per-token dispatch).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from blurr_tpu.ops.attention import grouped_attention
+from blurr_tpu.ops.rotary import apply_rope, rope_cos_sin
+
+
+@dataclass(frozen=True)
+class LlamaSpec:
+    vocab_size: int = 32064
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    rope_theta: float = 10000.0
+    eps: float = 1e-5
+    pad_token_id: int = 32000
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def llama_rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """Llama semantics: normalize in fp32, downcast, THEN scale by w."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(dtype) * weight
+
+
+def init_llama_params(rng: jax.Array, spec: LlamaSpec, dtype=jnp.float32) -> Dict:
+    nl, h, inter = spec.num_layers, spec.hidden_size, spec.intermediate_size
+    nh, kvh, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    keys = iter(jax.random.split(rng, 12))
+
+    def stack(key, fan_in, shape):
+        return jax.random.normal(key, (nl, *shape), dtype) * (fan_in**-0.5)
+
+    return {
+        "embed_tokens": jax.random.normal(next(keys), (spec.vocab_size, h), dtype)
+        * (h**-0.5),
+        "layers": {
+            "q_w": stack(next(keys), h, (h, nh * hd)),
+            "k_w": stack(next(keys), h, (h, kvh * hd)),
+            "v_w": stack(next(keys), h, (h, kvh * hd)),
+            "o_w": stack(next(keys), nh * hd, (nh * hd, h)),
+            "gate_w": stack(next(keys), h, (h, inter)),
+            "up_w": stack(next(keys), h, (h, inter)),
+            "down_w": stack(next(keys), inter, (inter, h)),
+            "input_norm": jnp.ones((nl, h), dtype),
+            "post_norm": jnp.ones((nl, h), dtype),
+        },
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": jax.random.normal(next(keys), (h, spec.vocab_size), dtype)
+        * (h**-0.5),
+    }
+
+
+def _split_heads(x, n, hd):
+    b, s, _ = x.shape
+    return x.reshape(b, s, n, hd).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, n, s, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, n * hd)
+
+
+def alloc_cache(spec: LlamaSpec, batch: int, max_len: int, dtype):
+    shape = (spec.num_layers, batch, spec.num_kv_heads, max_len, spec.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def forward(
+    params: Dict,
+    spec: LlamaSpec,
+    embeds: jax.Array,  # [B, S, H]
+    position_ids: jax.Array,  # [B, S]
+    mask: jax.Array,  # bool [B, S, max_len]  (covers the cache buffer)
+    cache: Tuple[jax.Array, jax.Array],
+    cache_offset: jax.Array,  # scalar int32: write position
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """One forward over S tokens with cache write at ``cache_offset``.
+    Returns (hidden [B, S, H], updated cache). Used for both the prompt
+    prefill (S = prompt_len) and scan decode steps (S = 1)."""
+    nh, kvh, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    eps = spec.eps
+    cos, sin = rope_cos_sin(position_ids, hd, spec.rope_theta)
+    k_buf, v_buf = cache
+
+    def layer(h, xs):
+        lp, kc, vc = xs
+        x = llama_rms_norm(h, lp["input_norm"], eps)
+        q = apply_rope(_split_heads(x @ lp["q_w"], nh, hd), cos, sin)
+        k = apply_rope(_split_heads(x @ lp["k_w"], kvh, hd), cos, sin)
+        v = _split_heads(x @ lp["v_w"], kvh, hd)
+        kc = jax.lax.dynamic_update_slice(kc, k, (0, 0, cache_offset, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v, (0, 0, cache_offset, 0))
+        attn = grouped_attention(q, kc, vc, mask, softclamp=None)
+        h = h + _merge_heads(attn) @ lp["o_w"]
+        x = llama_rms_norm(h, lp["post_norm"], eps)
+        h = h + (jax.nn.silu(x @ lp["gate_w"]) * (x @ lp["up_w"])) @ lp["down_w"]
+        return h, (kc, vc)
+
+    h, (k_new, v_new) = jax.lax.scan(layer, embeds, (params["layers"], k_buf, v_buf))
+    return h, (k_new, v_new)
+
+
+def final_hidden(params: Dict, spec: LlamaSpec, h: jax.Array) -> jax.Array:
+    return llama_rms_norm(h, params["final_norm"], spec.eps)
+
+
+def logits(params: Dict, spec: LlamaSpec, h: jax.Array) -> jax.Array:
+    return final_hidden(params, spec, h) @ params["lm_head"]
+
+
+def causal_prefill_mask(
+    attn_valid: jax.Array, max_len: int
+) -> jax.Array:
+    """Causal mask over a preallocated buffer: [B, S] validity -> bool
+    [B, S, max_len] where position i attends valid positions j <= i."""
+    b, s = attn_valid.shape
+    rows = jnp.arange(s)[None, :, None]
+    cols = jnp.arange(max_len)[None, None, :]
+    causal = cols <= rows
+    valid = jnp.pad(
+        attn_valid.astype(bool), ((0, 0), (0, max_len - s))
+    )[:, None, :]
+    return causal & valid
+
+
+def greedy_generate(
+    params: Dict,
+    spec: LlamaSpec,
+    prompt_embeds: jax.Array,  # [B, S, H]
+    attn_valid: jax.Array,  # [B, S] validity (right padding assumed absent)
+    num_new_tokens: int,
+    max_len: Optional[int] = None,
+) -> jax.Array:
+    """Greedy decode of ``num_new_tokens`` tokens in ONE jittable program:
+    prefill + lax.scan over single-token steps. Returns [B, num_new_tokens]
+    token ids."""
+    b, s, _ = prompt_embeds.shape
+    max_len = max_len or (s + num_new_tokens)
+    cache = alloc_cache(spec, b, max_len, prompt_embeds.dtype)
+
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    mask = causal_prefill_mask(attn_valid, max_len)
+    h, cache = forward(params, spec, prompt_embeds, pos, mask, cache, jnp.int32(0))
+    last_logits = logits(params, spec, h[:, -1:])
+    first_tok = jnp.argmax(last_logits[:, -1], axis=-1)  # [B]
+
+    prompt_len = jnp.sum(attn_valid.astype(jnp.int32), axis=1)  # [B]; == s if unpadded
+
+    def step(carry, i):
+        tok, cache = carry
+        emb = params["embed_tokens"][tok][:, None, :].astype(prompt_embeds.dtype)
+        offset = s + i  # static prompt length s
+        pos = jnp.broadcast_to(
+            jnp.asarray(offset, jnp.int32)[None, None], (b, 1)
+        )
+        cols = jnp.arange(max_len)[None, None, :]
+        m = jnp.broadcast_to(cols <= offset, (b, 1, max_len))
+        h, cache = forward(
+            params, spec, emb, pos, m, cache, jnp.asarray(offset, jnp.int32)
+        )
+        nxt = jnp.argmax(logits(params, spec, h[:, -1]), axis=-1)
+        return (nxt, cache), tok
+
+    (last, _), toks = jax.lax.scan(
+        step, (first_tok, cache), jnp.arange(num_new_tokens - 1)
+    )
+    toks = jnp.moveaxis(toks, 0, 1)  # [B, n-1] generated before `last`
+    return jnp.concatenate([toks, last[:, None]], axis=1)

@@ -1,0 +1,359 @@
+"""OpenVLA family, TPU-native.
+
+The reference drives OpenVLA through HF ``trust_remote_code`` and only wraps
+dtype/compile/attention around ``model.predict_action``
+(scripts/benchmark_hf_vla.py:141-197, eval_hf_vla_simpler.py:936). Here the
+forward is native JAX (SURVEY §7.1): fused DINOv2 + SigLIP towers ->
+3-layer MLP projector -> Llama-7B -> greedy decode of ``action_dim`` action
+tokens in ONE jitted program, exposing predict_action-compatible semantics:
+
+- prompt format "In: What action should the robot take to {instruction}?\nOut:"
+- input sequence = [BOS] + 256 projected patch tokens + prompt tokens
+  (+ trailing empty token 29871 like the remote code)
+- action de-tokenization over the LAST 256 llama vocab ids:
+  discretized = vocab_size(32000) - token_id, clipped to [0, 254],
+  mapped through 255 uniform bin centers in [-1, 1]
+- unnormalization from dataset statistics q01/q99 with the per-dim mask
+
+The OFT variant replaces AR decode with a parallel pass over action
+placeholder tokens and a continuous MLP-ResNet action head (the reference
+reconstructs that head shape-driven from checkpoints,
+eval_hf_vla_simpler.py:40-132 — the math here matches `_OFTActionHead`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from blurr_tpu.models.openvla import llama as llama_lib
+from blurr_tpu.models.openvla.llama import LlamaSpec
+from blurr_tpu.models.openvla.vit import ViTSpec, init_vit_params, vit_forward
+from blurr_tpu.ops.norms import layer_norm
+
+EMPTY_TOKEN = 29871  # llama "▁" — remote code appends it before decoding
+
+DINOV2_L = ViTSpec(
+    hidden_size=1024, intermediate_size=4096, num_layers=24, num_heads=16,
+    cls_token=True, reg_tokens=4, layerscale=True,
+)
+SIGLIP_SO400M = ViTSpec(
+    hidden_size=1152, intermediate_size=4304, num_layers=27, num_heads=16,
+)
+
+
+@dataclass(frozen=True)
+class OpenVLASpec:
+    llama: LlamaSpec = field(default_factory=LlamaSpec)
+    dinov2: ViTSpec = DINOV2_L
+    siglip: ViTSpec = SIGLIP_SO400M
+    action_dim: int = 7
+    n_action_bins: int = 256
+    action_token_vocab: int = 32000  # bins live in the top ids of this range
+    use_fused_vision: bool = True  # DINOv2 + SigLIP; False = SigLIP only
+
+    @property
+    def vision_dim(self) -> int:
+        return (self.dinov2.hidden_size if self.use_fused_vision else 0) + \
+            self.siglip.hidden_size
+
+    @staticmethod
+    def tiny() -> "OpenVLASpec":
+        """Layer-reduced spec for tests/smoke benches."""
+        return OpenVLASpec(
+            llama=LlamaSpec(
+                vocab_size=32064, hidden_size=64, intermediate_size=128,
+                num_layers=2, num_heads=4, num_kv_heads=2,
+            ),
+            dinov2=ViTSpec(
+                hidden_size=32, intermediate_size=64, num_layers=2, num_heads=2,
+                image_size=28, cls_token=True, reg_tokens=4, layerscale=True,
+                feature_layer=-1,
+            ),
+            siglip=ViTSpec(
+                hidden_size=48, intermediate_size=96, num_layers=2, num_heads=2,
+                image_size=28, feature_layer=-1,
+            ),
+        )
+
+
+class OpenVLA:
+    def __init__(self, spec: OpenVLASpec, norm_stats: Optional[Dict] = None):
+        self.spec = spec
+        self.norm_stats = norm_stats or {}
+        bins = np.linspace(-1, 1, spec.n_action_bins)
+        self.bin_centers = (bins[:-1] + bins[1:]) / 2.0
+
+    # ------------------------------------------------------------------
+
+    def init_params(self, rng: jax.Array, dtype=jnp.float32) -> Dict:
+        s = self.spec
+        keys = iter(jax.random.split(rng, 8))
+        ldim = s.llama.hidden_size
+
+        def dense(key, fan_in, shape):
+            return jax.random.normal(key, shape, dtype) * (fan_in**-0.5)
+
+        params = {
+            "llama": llama_lib.init_llama_params(next(keys), s.llama, dtype),
+            "siglip": init_vit_params(next(keys), s.siglip, dtype),
+            "projector": {
+                "fc1_w": dense(next(keys), s.vision_dim, (s.vision_dim, ldim)),
+                "fc1_b": jnp.zeros((ldim,), dtype),
+                "fc2_w": dense(next(keys), ldim, (ldim, ldim)),
+                "fc2_b": jnp.zeros((ldim,), dtype),
+                "fc3_w": dense(next(keys), ldim, (ldim, ldim)),
+                "fc3_b": jnp.zeros((ldim,), dtype),
+            },
+        }
+        if s.use_fused_vision:
+            params["dinov2"] = init_vit_params(next(keys), s.dinov2, dtype)
+        return params
+
+    # ------------------------------------------------------------------
+
+    def _vision_features(self, params: Dict, pixel_values: jax.Array) -> jax.Array:
+        """[B, 6 or 3, H, W] -> projected patch embeds [B, 256, llama_dim].
+        Fused backbones receive a 6-channel stack (DINOv2 + SigLIP image
+        normalizations differ; the processor stacks both)."""
+        s = self.spec
+        if s.use_fused_vision:
+            if pixel_values.shape[1] == 6:
+                px_dino, px_sig = pixel_values[:, :3], pixel_values[:, 3:]
+            else:
+                px_dino = px_sig = pixel_values
+            feats = jnp.concatenate(
+                [
+                    vit_forward(params["dinov2"], px_dino, s.dinov2),
+                    vit_forward(params["siglip"], px_sig, s.siglip),
+                ],
+                axis=-1,
+            )
+        else:
+            feats = vit_forward(params["siglip"], pixel_values, s.siglip)
+        p = params["projector"]
+        x = jax.nn.gelu(feats @ p["fc1_w"] + p["fc1_b"], approximate=False)
+        x = jax.nn.gelu(x @ p["fc2_w"] + p["fc2_b"], approximate=False)
+        return x @ p["fc3_w"] + p["fc3_b"]
+
+    def _build_prompt_embeds(self, params, input_ids, pixel_values):
+        """[BOS] + patches + prompt tokens -> embeds [B, 1+P+S-1, H]."""
+        lp = params["llama"]
+        tok_embeds = lp["embed_tokens"][input_ids]  # [B, S, H]
+        patches = self._vision_features(params, pixel_values).astype(tok_embeds.dtype)
+        return jnp.concatenate(
+            [tok_embeds[:, :1], patches, tok_embeds[:, 1:]], axis=1
+        )
+
+    # ------------------------------------------------------------------
+
+    def predict_action_tokens(
+        self, params: Dict, input_ids: jax.Array, pixel_values: jax.Array
+    ) -> jax.Array:
+        """Greedy AR decode of action_dim tokens. Jittable."""
+        s = self.spec
+        embeds = self._build_prompt_embeds(params, input_ids, pixel_values)
+        b, total, _ = embeds.shape
+        valid = jnp.ones((b, total), jnp.int32)
+        return llama_lib.greedy_generate(
+            params["llama"], s.llama, embeds, valid, s.action_dim
+        )
+
+    def detokenize_actions(self, token_ids: np.ndarray) -> np.ndarray:
+        """token ids [B, action_dim] -> normalized actions in [-1, 1]."""
+        discretized = self.spec.action_token_vocab - np.asarray(token_ids)
+        discretized = np.clip(discretized - 1, 0, self.bin_centers.shape[0] - 1)
+        return self.bin_centers[discretized]
+
+    def unnormalize(self, normalized: np.ndarray, unnorm_key: str) -> np.ndarray:
+        stats = self.norm_stats[unnorm_key]["action"]
+        high = np.asarray(stats["q99"])
+        low = np.asarray(stats["q01"])
+        mask = np.asarray(stats.get("mask", np.ones_like(low, dtype=bool)))
+        return np.where(
+            mask, 0.5 * (normalized + 1) * (high - low) + low, normalized
+        )
+
+    def predict_action(
+        self,
+        params: Dict,
+        input_ids: jax.Array,
+        pixel_values: jax.Array,
+        unnorm_key: Optional[str] = None,
+        _jitted_tokens=None,
+    ) -> np.ndarray:
+        """HF-remote-code-compatible surface: returns unnormalized [action_dim]
+        numpy actions (batch 1) or [B, action_dim]."""
+        input_ids = jnp.asarray(input_ids)
+        if int(input_ids[0, -1]) != EMPTY_TOKEN:
+            pad = jnp.full((input_ids.shape[0], 1), EMPTY_TOKEN, input_ids.dtype)
+            input_ids = jnp.concatenate([input_ids, pad], axis=1)
+        fn = _jitted_tokens or self.predict_action_tokens
+        toks = np.asarray(fn(params, input_ids, jnp.asarray(pixel_values)))
+        actions = self.detokenize_actions(toks)
+        if unnorm_key is not None:
+            actions = self.unnormalize(actions, unnorm_key)
+        return actions[0] if actions.shape[0] == 1 else actions
+
+    def get_action_dim(self, unnorm_key: str) -> int:
+        return len(self.norm_stats[unnorm_key]["action"]["q01"])
+
+
+# ---------------------------------------------------------------------------
+# OFT: continuous action head (parallel decoding variant)
+# ---------------------------------------------------------------------------
+
+
+def init_oft_action_head(
+    rng: jax.Array, in_dim: int, hidden_dim: int, out_dim: int, n_blocks: int,
+    dtype=jnp.float32,
+) -> Dict:
+    keys = iter(jax.random.split(rng, 3 + n_blocks))
+
+    def dense(key, fan_in, shape):
+        return jax.random.normal(key, shape, dtype) * (fan_in**-0.5)
+
+    return {
+        "ln1_w": jnp.ones((in_dim,), dtype),
+        "ln1_b": jnp.zeros((in_dim,), dtype),
+        "fc1_w": dense(next(keys), in_dim, (in_dim, hidden_dim)),
+        "fc1_b": jnp.zeros((hidden_dim,), dtype),
+        "blocks": {
+            "ln_w": jnp.ones((n_blocks, hidden_dim), dtype),
+            "ln_b": jnp.zeros((n_blocks, hidden_dim), dtype),
+            "w": dense(next(keys), hidden_dim, (n_blocks, hidden_dim, hidden_dim)),
+            "b": jnp.zeros((n_blocks, hidden_dim), dtype),
+        },
+        "ln2_w": jnp.ones((hidden_dim,), dtype),
+        "ln2_b": jnp.zeros((hidden_dim,), dtype),
+        "fc2_w": dense(next(keys), hidden_dim, (hidden_dim, out_dim)),
+        "fc2_b": jnp.zeros((out_dim,), dtype),
+    }
+
+
+def oft_action_head_forward(p: Dict, x: jax.Array) -> jax.Array:
+    """MLP-ResNet regression head (math of reference _OFTActionHead,
+    eval_hf_vla_simpler.py:40-63: LN -> fc1 -> [x + Linear(LN(x))]* -> LN ->
+    fc2)."""
+    x = layer_norm(x, p["ln1_w"], p["ln1_b"], 1e-5)
+    x = x @ p["fc1_w"] + p["fc1_b"]
+
+    def block(x, bp):
+        y = layer_norm(x, bp["ln_w"], bp["ln_b"], 1e-5)
+        return x + (y @ bp["w"] + bp["b"]), None
+
+    x, _ = jax.lax.scan(block, x, p["blocks"])
+    x = layer_norm(x, p["ln2_w"], p["ln2_b"], 1e-5)
+    return x @ p["fc2_w"] + p["fc2_b"]
+
+
+def init_oft_proprio_projector(
+    rng: jax.Array, in_dim: int, hidden_dim: int, out_dim: int, dtype=jnp.float32
+) -> Dict:
+    k1, k2 = jax.random.split(rng)
+
+    def dense(key, fan_in, shape):
+        return jax.random.normal(key, shape, dtype) * (fan_in**-0.5)
+
+    return {
+        "fc1_w": dense(k1, in_dim, (in_dim, hidden_dim)),
+        "fc1_b": jnp.zeros((hidden_dim,), dtype),
+        "fc2_w": dense(k2, hidden_dim, (hidden_dim, out_dim)),
+        "fc2_b": jnp.zeros((out_dim,), dtype),
+    }
+
+
+def oft_proprio_forward(p: Dict, x: jax.Array) -> jax.Array:
+    """fc2(relu(fc1(x))) (reference _OFTProprioProjector:65-73)."""
+    return jax.nn.relu(x @ p["fc1_w"] + p["fc1_b"]) @ p["fc2_w"] + p["fc2_b"]
+
+
+class OpenVLAOFT(OpenVLA):
+    """Parallel-decoding OFT variant: instead of 7 greedy AR steps, one
+    forward over ``chunk_len * action_dim`` placeholder tokens whose final
+    hidden states feed the continuous action head."""
+
+    def __init__(
+        self,
+        spec: OpenVLASpec,
+        norm_stats: Optional[Dict] = None,
+        chunk_len: int = 8,
+        use_proprio: bool = False,
+        proprio_dim: int = 8,
+    ):
+        super().__init__(spec, norm_stats)
+        self.chunk_len = chunk_len
+        self.use_proprio = use_proprio
+        self.proprio_dim = proprio_dim
+
+    def init_params(self, rng, dtype=jnp.float32):
+        params = super().init_params(rng, dtype)
+        k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
+        h = self.spec.llama.hidden_size
+        n_tok = self.chunk_len * self.spec.action_dim
+        params["action_head"] = init_oft_action_head(
+            k1, in_dim=n_tok * h, hidden_dim=h, out_dim=n_tok, n_blocks=2,
+            dtype=dtype,
+        )
+        if self.use_proprio:
+            params["proprio_projector"] = init_oft_proprio_projector(
+                k2, self.proprio_dim, h, h, dtype
+            )
+        return params
+
+    def predict_action_continuous(
+        self,
+        params: Dict,
+        input_ids: jax.Array,
+        pixel_values: jax.Array,
+        proprio: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """[B, chunk_len, action_dim] normalized actions; jittable."""
+        s = self.spec
+        embeds = self._build_prompt_embeds(params, input_ids, pixel_values)
+        if self.use_proprio and proprio is not None:
+            pe = oft_proprio_forward(params["proprio_projector"], proprio)
+            embeds = jnp.concatenate([embeds, pe[:, None, :]], axis=1)
+        n_tok = self.chunk_len * s.action_dim
+        b = embeds.shape[0]
+        placeholders = jnp.broadcast_to(
+            params["llama"]["embed_tokens"][EMPTY_TOKEN][None, None, :],
+            (b, n_tok, s.llama.hidden_size),
+        ).astype(embeds.dtype)
+        embeds = jnp.concatenate([embeds, placeholders], axis=1)
+        total = embeds.shape[1]
+        cache = llama_lib.alloc_cache(s.llama, b, total, embeds.dtype)
+        pos = jnp.broadcast_to(
+            jnp.arange(total, dtype=jnp.int32)[None], (b, total)
+        )
+        mask = llama_lib.causal_prefill_mask(jnp.ones((b, total), jnp.int32), total)
+        h, _ = llama_lib.forward(
+            params["llama"], s.llama, embeds, pos, mask, cache, jnp.int32(0)
+        )
+        h = llama_lib.final_hidden(params["llama"], s.llama, h)
+        act_hidden = h[:, -n_tok:, :].reshape(b, -1)
+        out = oft_action_head_forward(params["action_head"], act_hidden)
+        return out.reshape(b, self.chunk_len, s.action_dim)
+
+    def predict_action(
+        self,
+        params: Dict,
+        input_ids: jax.Array,
+        pixel_values: jax.Array,
+        unnorm_key: Optional[str] = None,
+        proprio: Optional[jax.Array] = None,
+        _jitted=None,
+    ) -> np.ndarray:
+        fn = _jitted or self.predict_action_continuous
+        out = np.asarray(
+            fn(params, jnp.asarray(input_ids), jnp.asarray(pixel_values),
+               jnp.asarray(proprio) if proprio is not None else None)
+        )
+        if unnorm_key is not None:
+            out = self.unnormalize(out, unnorm_key)
+        return out[0] if out.shape[0] == 1 else out

@@ -117,9 +117,9 @@ def _norm_params(nl: Optional[int], h: int, spec: MixtureSpec, tc: int, key, dty
         cond_shape = (tc, h) if nl is None else (nl, tc, h)
         k1, k2 = jax.random.split(key)
         return {
-            "to_gamma_w": (jax.random.normal(k1, cond_shape) * tc**-0.5).astype(dtype),
+            "to_gamma_w": jax.random.normal(k1, cond_shape, dtype) * (tc**-0.5),
             "to_gamma_b": jnp.zeros(shape, dtype),
-            "to_beta_w": (jax.random.normal(k2, cond_shape) * tc**-0.5).astype(dtype),
+            "to_beta_w": jax.random.normal(k2, cond_shape, dtype) * (tc**-0.5),
         }
     return {"scale": jnp.zeros(shape, dtype)}  # Gemma stores w, applies (1+w)
 
@@ -135,7 +135,7 @@ def init_mixture_params(
     keys = iter(jax.random.split(rng, 16))
 
     def stack(key, fan_in, shape):
-        return (jax.random.normal(key, (nl, *shape)) * fan_in**-0.5).astype(dtype)
+        return jax.random.normal(key, (nl, *shape), dtype) * (fan_in**-0.5)
 
     params = {
         "q_w": stack(next(keys), h, (h, nh * hd)),

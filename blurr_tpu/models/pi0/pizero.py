@@ -123,7 +123,7 @@ class PiZero:
         keys = iter(jax.random.split(rng, 12))
 
         def dense(key, fan_in, shape):
-            return (jax.random.normal(key, shape) * fan_in**-0.5).astype(dtype)
+            return jax.random.normal(key, shape, dtype) * (fan_in**-0.5)
 
         aw = self.action_hidden
         # Non-adaptive mode: time embedding has the action width and is

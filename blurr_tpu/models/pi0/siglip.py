@@ -34,7 +34,7 @@ def init_siglip_params(rng: jax.Array, cfg: Dict, dtype=jnp.float32) -> Dict:
     keys = iter(jax.random.split(rng, 16))
 
     def dense(key, fan_in, shape):
-        return (jax.random.normal(key, shape) * (fan_in**-0.5)).astype(dtype)
+        return jax.random.normal(key, shape, dtype) * (fan_in**-0.5)
 
     def stack(key, fan_in, shape):
         return dense(key, fan_in, (nl, *shape))
@@ -121,7 +121,7 @@ def init_projector_params(rng: jax.Array, cfg: Dict, dtype=jnp.float32) -> Dict:
     (reference siglip.py:9-31)."""
     vc = cfg["vision_config"]
     din, dout = vc["hidden_size"], vc["projection_dim"]
-    w = (jax.random.normal(rng, (din, dout)) * (din**-0.5)).astype(dtype)
+    w = jax.random.normal(rng, (din, dout), dtype) * (din**-0.5)
     return {"w": w, "b": jnp.zeros((dout,), dtype)}
 
 

@@ -96,3 +96,50 @@ def pi0_forward_flops(cfg: dict, use_cache: bool = True, batch: int = 1) -> int:
     )
     enc += batch * _mm(s_p, cfg["proprio_dim"], prop_h)
     return vision + batch * joint + enc
+
+
+def vit_flops(spec, batch: int = 1) -> int:
+    """FLOPs of one ViT forward (blurr_tpu.models.openvla.vit.ViTSpec)."""
+    d, inter = spec.hidden_size, spec.intermediate_size
+    n = spec.num_patches + spec.num_prefix_tokens
+    nl = spec.effective_num_layers
+    p, c = spec.patch_size, spec.num_channels
+    total = _mm(spec.num_patches, p * p * c, d)
+    per_layer = (
+        _mm(n, d, 3 * d) + _mm(n, d, d) + 2 * 2 * n * n * d
+        + _mm(n, d, inter) + _mm(n, inter, d)
+    )
+    return batch * (total + nl * per_layer)
+
+
+def llama_layer_flops(spec, seq: int, kv_len: int) -> int:
+    h, inter = spec.hidden_size, spec.intermediate_size
+    nh, kvh, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    return (
+        _mm(seq, h, nh * hd) + 2 * _mm(seq, h, kvh * hd) + _mm(seq, nh * hd, h)
+        + 2 * 2 * seq * kv_len * nh * hd
+        + 2 * _mm(seq, h, inter) + _mm(seq, inter, h)
+    )
+
+
+def openvla_forward_flops(model_spec, prompt_len: int, batch: int = 1) -> int:
+    """One predict_action: fused vision + projector + llama prefill + greedy
+    decode of action_dim tokens."""
+    s = model_spec
+    vision = vit_flops(s.siglip, batch)
+    if s.use_fused_vision:
+        vision += vit_flops(s.dinov2, batch)
+    n_patches = s.siglip.num_patches
+    ldim = s.llama.hidden_size
+    proj = batch * (
+        _mm(n_patches, s.vision_dim, ldim) + 2 * _mm(n_patches, ldim, ldim)
+    )
+    prefill_len = 1 + n_patches + prompt_len
+    nl = s.llama.num_layers
+    prefill = nl * llama_layer_flops(s.llama, prefill_len, prefill_len)
+    decode = sum(
+        nl * llama_layer_flops(s.llama, 1, prefill_len + i + 1)
+        for i in range(s.action_dim)
+    )
+    lm_head = (1 + s.action_dim) * _mm(1, ldim, s.llama.vocab_size)
+    return vision + proj + batch * (prefill + decode + lm_head)

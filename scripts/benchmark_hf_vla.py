@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Benchmark predict_action latency for OpenVLA-family models, TPU-native.
+
+CLI/output parity with reference scripts/benchmark_hf_vla.py, but the model
+is the native JAX OpenVLA stack (fused DINOv2+SigLIP -> Llama-7B greedy
+decode in one jitted program) instead of HF remote code. ``--model-id`` may
+be an HF snapshot directory (weights loaded via the checkpoint bridge) or
+'random' / 'random-7b' for random-init latency work.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(
+        description="Benchmark predict_action latency for OpenVLA-family VLAs."
+    )
+    p.add_argument(
+        "--model-id",
+        type=str,
+        default="random",
+        help="HF snapshot dir, or 'random' (tiny) / 'random-7b' (full dims).",
+    )
+    p.add_argument(
+        "--prompt",
+        type=str,
+        default="In: What action should the robot take to pick up the carrot?\nOut:",
+    )
+    p.add_argument("--image", type=str, default="")
+    p.add_argument("--unnorm-key", type=str, default=None)
+    p.add_argument("--use-bf16", action="store_true")
+    p.add_argument("--use-fp16", action="store_true")
+    p.add_argument("--use-torch-compile", action="store_true",
+                   help="Parity flag; jax.jit is always on.")
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--skip-flops", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from blurr_tpu.models.openvla.checkpoint import (
+        infer_unnorm_key,
+        load_norm_stats,
+        openvla_params_from_hf_dir,
+    )
+    from blurr_tpu.models.openvla.model import OpenVLA, OpenVLASpec
+    from blurr_tpu.models.openvla.processing import (
+        OpenVLAProcessor,
+        load_hf_tokenizer,
+    )
+    from blurr_tpu.utils.flops import openvla_forward_flops
+    from blurr_tpu.utils.monitor import peak_tpu_memory_gb, timed_call
+
+    dtype = jnp.bfloat16 if (args.use_bf16 or args.use_fp16) else jnp.float32
+
+    model_path = Path(args.model_id).expanduser()
+    norm_stats = None
+    if model_path.is_dir():
+        spec = OpenVLASpec()
+        norm_stats = load_norm_stats(str(model_path))
+        model = OpenVLA(spec, norm_stats)
+        params = openvla_params_from_hf_dir(str(model_path), spec, dtype)
+        tokenizer = load_hf_tokenizer(str(model_path))
+    elif args.model_id in ("random-7b", "openvla-7b-random"):
+        spec = OpenVLASpec()
+        model = OpenVLA(spec)
+        params = model.init_params(jax.random.PRNGKey(0), dtype)
+        tokenizer = None
+    else:
+        spec = OpenVLASpec.tiny()
+        model = OpenVLA(spec)
+        params = model.init_params(jax.random.PRNGKey(0), dtype)
+        tokenizer = None
+
+    unnorm_key = None
+    if norm_stats:
+        unnorm_key = infer_unnorm_key(norm_stats, args.unnorm_key)
+
+    processor = OpenVLAProcessor(
+        tokenizer, image_size=spec.siglip.image_size, fused=spec.use_fused_vision
+    )
+    if args.image and Path(args.image).exists():
+        from PIL import Image
+
+        image = np.array(Image.open(args.image).convert("RGB"))
+    else:
+        image = np.random.RandomState(0).randint(0, 256, (256, 256, 3), np.uint8)
+    inputs = processor(args.prompt, image)
+    input_ids = jnp.asarray(inputs["input_ids"])
+    from blurr_tpu.models.openvla.model import EMPTY_TOKEN
+
+    if int(input_ids[0, -1]) != EMPTY_TOKEN:
+        input_ids = jnp.concatenate(
+            [input_ids, jnp.full((1, 1), EMPTY_TOKEN, input_ids.dtype)], axis=1
+        )
+    pixel_values = jnp.asarray(inputs["pixel_values"], dtype)
+
+    step = jax.jit(model.predict_action_tokens)
+    avg_latency, _, _ = timed_call(
+        step, params, input_ids, pixel_values, warmup=args.warmup, iters=args.iters
+    )
+    peak_mem = peak_tpu_memory_gb()
+
+    gflops = None
+    if not args.skip_flops:
+        total = openvla_forward_flops(spec, prompt_len=int(input_ids.shape[1]) - 1)
+        gflops = total / avg_latency / 1e9
+
+    dtype_name = "bfloat16" if dtype == jnp.bfloat16 else "float32"
+    print("========== Benchmark Summary ==========")
+    print(f"Model id: {args.model_id}")
+    print(f"Prompt: {args.prompt}")
+    print(f"Image: {Path(args.image).resolve() if args.image else '(synthetic)'}")
+    print(f"Device: {jax.devices()[0]}")
+    print(f"Dtype: jax.{dtype_name}")
+    print(f"torch.compile: {True}")
+    print(f"Unnorm key: {unnorm_key}")
+    print(f"Warmup iterations: {args.warmup}")
+    print(f"Timed iterations: {args.iters}")
+    print(f"Average latency: {avg_latency * 1000:.2f} ms")
+    print(f"Peak reserved TPU memory: {peak_mem:.2f} GB")
+    if gflops is not None:
+        print(f"Approximate GFLOPS: {gflops:,.2f}")
+    else:
+        print("GFLOPS skipped (--skip-flops).")
+    print("=======================================")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""OpenVLA native JAX stack: greedy decode, detokenization, OFT head."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blurr_tpu.models.openvla import llama as llama_lib
+from blurr_tpu.models.openvla.llama import LlamaSpec
+from blurr_tpu.models.openvla.model import (
+    EMPTY_TOKEN,
+    OpenVLA,
+    OpenVLAOFT,
+    OpenVLASpec,
+    oft_action_head_forward,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    spec = OpenVLASpec.tiny()
+    model = OpenVLA(
+        spec,
+        norm_stats={
+            "bridge_orig": {
+                "action": {
+                    "q01": [-0.1] * 7,
+                    "q99": [0.1] * 7,
+                    "mask": [True] * 6 + [False],
+                }
+            }
+        },
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_greedy_generate_matches_stepwise(tiny_model):
+    """Fused scan decode must equal a python loop of full re-forwards."""
+    model, params = tiny_model
+    spec = model.spec.llama
+    rng = np.random.RandomState(0)
+    s = 6
+    embeds = jnp.asarray(rng.randn(1, s, spec.hidden_size).astype(np.float32)) * 0.3
+    valid = jnp.ones((1, s), jnp.int32)
+    toks = np.asarray(
+        llama_lib.greedy_generate(params["llama"], spec, embeds, valid, 4)
+    )
+
+    # reference: recompute full forward each step without cache
+    cur = embeds
+    out = []
+    for _ in range(4):
+        total = cur.shape[1]
+        cache = llama_lib.alloc_cache(spec, 1, total, cur.dtype)
+        pos = jnp.arange(total, dtype=jnp.int32)[None]
+        mask = llama_lib.causal_prefill_mask(jnp.ones((1, total), jnp.int32), total)
+        h, _ = llama_lib.forward(
+            params["llama"], spec, cur, pos, mask, cache, jnp.int32(0)
+        )
+        tok = int(jnp.argmax(llama_lib.logits(params["llama"], spec, h[:, -1]), -1)[0])
+        out.append(tok)
+        emb = params["llama"]["embed_tokens"][tok][None, None, :]
+        cur = jnp.concatenate([cur, emb], axis=1)
+    assert toks[0].tolist() == out
+
+
+def test_predict_action_surface(tiny_model):
+    model, params = tiny_model
+    rng = np.random.RandomState(1)
+    ids = np.array([[1, 100, 200, 300]], np.int32)  # no trailing empty token
+    img = rng.rand(1, 6, 28, 28).astype(np.float32)
+    actions = model.predict_action(params, ids, img, unnorm_key="bridge_orig")
+    assert actions.shape == (7,)
+    # masked dims unnormalized into [q01, q99]; final dim left normalized
+    assert (actions[:6] >= -0.1 - 1e-6).all() and (actions[:6] <= 0.1 + 1e-6).all()
+    assert -1.0 <= actions[6] <= 1.0
+
+
+def test_detokenize_mapping(tiny_model):
+    model, _ = tiny_model
+    # token id == action_token_vocab - 1 -> discretized 1-1=0 -> first center
+    toks = np.array([[model.spec.action_token_vocab - 1]])
+    np.testing.assert_allclose(
+        model.detokenize_actions(toks)[0, 0], model.bin_centers[0]
+    )
+    # token id == vocab - 255 -> discretized 254 -> last center
+    toks = np.array([[model.spec.action_token_vocab - 255]])
+    np.testing.assert_allclose(
+        model.detokenize_actions(toks)[0, 0], model.bin_centers[254]
+    )
+    # out-of-range ids clip
+    toks = np.array([[5]])
+    assert np.isfinite(model.detokenize_actions(toks)).all()
+
+
+def test_oft_head_matches_torch_reference_math():
+    """JAX OFT head vs a literal numpy translation of _OFTActionHead."""
+    import blurr_tpu.models.openvla.model as m
+
+    rng = np.random.RandomState(2)
+    in_dim, hidden, out_dim, n_blocks = 12, 8, 4, 2
+    p = m.init_oft_action_head(jax.random.PRNGKey(3), in_dim, hidden, out_dim, n_blocks)
+    # randomize the norms/biases so the test is not trivial
+    p = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32) * 0.5), p
+    )
+    x = rng.randn(3, in_dim).astype(np.float32)
+
+    def ln(x, w, b):
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-5) * w + b
+
+    y = ln(x, np.asarray(p["ln1_w"]), np.asarray(p["ln1_b"]))
+    y = y @ np.asarray(p["fc1_w"]) + np.asarray(p["fc1_b"])
+    for i in range(n_blocks):
+        z = ln(y, np.asarray(p["blocks"]["ln_w"][i]), np.asarray(p["blocks"]["ln_b"][i]))
+        y = y + z @ np.asarray(p["blocks"]["w"][i]) + np.asarray(p["blocks"]["b"][i])
+    y = ln(y, np.asarray(p["ln2_w"]), np.asarray(p["ln2_b"]))
+    ref = y @ np.asarray(p["fc2_w"]) + np.asarray(p["fc2_b"])
+
+    out = np.asarray(oft_action_head_forward(p, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_oft_parallel_decode():
+    spec = OpenVLASpec.tiny()
+    model = OpenVLAOFT(spec, chunk_len=3, use_proprio=True, proprio_dim=8)
+    params = model.init_params(jax.random.PRNGKey(4))
+    rng = np.random.RandomState(5)
+    ids = np.array([[1, 50, 60, EMPTY_TOKEN]], np.int32)
+    img = rng.rand(1, 6, 28, 28).astype(np.float32)
+    proprio = rng.randn(1, 8).astype(np.float32)
+    out = model.predict_action(params, ids, img, proprio=proprio)
+    assert out.shape == (3, 7)
+    assert np.isfinite(out).all()
+
+
+def test_llama_rms_norm_semantics():
+    """Llama applies w AFTER the downcast (vs Gemma (1+w) before)."""
+    x = jnp.asarray(np.random.RandomState(6).randn(2, 8).astype(np.float32))
+    w = jnp.asarray(np.random.RandomState(7).randn(8).astype(np.float32))
+    out = np.asarray(llama_lib.llama_rms_norm(x, w, 1e-5))
+    xn = np.asarray(x, np.float64)
+    ref = xn / np.sqrt((xn**2).mean(-1, keepdims=True) + 1e-5) * np.asarray(w)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
