@@ -1,0 +1,226 @@
+#!/usr/bin/env python3
+"""Evaluate a prismatic-style VLA (MiniVLA) on SimplerEnv Bridge tasks.
+
+Parity surface: reference scripts/eval_prismatic_vla_simpler.py (which wraps
+an external openvla-mini checkout and its ``load_vla`` .pt checkpoints). The
+TPU build uses the native prismatic stack: single SigLIP tower -> projector
+-> compact LLM backbone with the same greedy action-token decode. Passing a
+prismatic ``.pt`` checkpoint loads it through the torch bridge when the key
+layout matches; 'random' runs the random-init smoke path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+from typing import Dict
+
+import numpy as np
+from PIL import Image
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+from blurr_tpu.agent.hf_vla_utils import (
+    bridge_action_to_simpler,
+    octo_style_preprocess,
+)
+from blurr_tpu.paths import repo_root
+
+log = logging.getLogger("eval_prismatic_vla_simpler")
+
+
+def minivla_spec():
+    """MiniVLA-style prismatic spec: SigLIP-only vision + ~0.5B-class LM."""
+    from blurr_tpu.models.openvla.llama import LlamaSpec
+    from blurr_tpu.models.openvla.model import SIGLIP_SO400M, OpenVLASpec
+
+    return OpenVLASpec(
+        llama=LlamaSpec(
+            vocab_size=32064,
+            hidden_size=896,
+            intermediate_size=4864,
+            num_layers=24,
+            num_heads=14,
+            num_kv_heads=2,
+        ),
+        siglip=SIGLIP_SO400M,
+        use_fused_vision=False,
+    )
+
+
+def parse_args():
+    p = argparse.ArgumentParser(
+        description="Evaluate a prismatic VLA (.pt) on SimplerEnv Bridge tasks."
+    )
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="Prismatic .pt checkpoint, or 'random'.")
+    p.add_argument("--task", type=str, nargs="+", required=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--n-eval-episode", type=int, default=100)
+    p.add_argument("--max-steps", type=int, default=150)
+    p.add_argument("--initial-states", type=str, default="eval",
+                   choices=["eval", "train", "episode_id"])
+    p.add_argument("--log-dir", type=str, default="")
+    p.add_argument("--unnorm-key", type=str, default="bridge_orig")
+    p.add_argument("--use-bf16", action="store_true", default=True)
+    p.add_argument(
+        "--image-preproc", type=str, default="octo128", choices=["octo128", "raw"]
+    )
+    return p.parse_args()
+
+
+def main() -> None:
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from blurr_tpu.agent.fake_env import make_env
+    from blurr_tpu.models.openvla.model import EMPTY_TOKEN, OpenVLA
+    from blurr_tpu.models.openvla.processing import OpenVLAProcessor
+
+    log_dir = (
+        Path(args.log_dir).expanduser()
+        if args.log_dir
+        else repo_root()
+        / "runs"
+        / "eval_bridge"
+        / f"prismatic_{args.seed}"
+        / time.strftime("%Y-%m-%d_%H-%M-%S")
+    )
+    log_dir.mkdir(parents=True, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+        handlers=[
+            logging.FileHandler(log_dir / "run.log"),
+            logging.StreamHandler(sys.stdout),
+        ],
+        force=True,
+    )
+
+    dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32
+    spec = minivla_spec()
+    # bundled Bridge statistics give the default unnorm ranges
+    stats_path = (
+        Path(__file__).resolve().parents[1]
+        / "blurr_tpu" / "config" / "bridge_statistics.json"
+    )
+    bridge_stats = json.loads(stats_path.read_text())
+    norm_stats = {
+        "bridge_orig": {
+            "action": {
+                "q01": bridge_stats["action"]["p01"],
+                "q99": bridge_stats["action"]["p99"],
+                "mask": [True] * 6 + [False],
+            }
+        }
+    }
+    model = OpenVLA(spec, norm_stats)
+    if str(args.checkpoint).lower() in {"random", "none", ""}:
+        params = model.init_params(jax.random.PRNGKey(args.seed), dtype)
+    else:
+        import torch
+
+        from blurr_tpu.models.openvla.checkpoint import llama_params_from_hf
+
+        state = torch.load(args.checkpoint, map_location="cpu")
+        state = state.get("model", state)
+        try:
+            params = model.init_params(jax.random.PRNGKey(args.seed), dtype)
+            params["llama"] = jax.tree.map(
+                lambda a: jnp.asarray(a, dtype),
+                llama_params_from_hf(state, prefix="llm_backbone.llm."),
+            )
+            log.info("Loaded LLM backbone from %s", args.checkpoint)
+        except Exception as exc:
+            log.warning(
+                "Prismatic checkpoint layout not recognized (%s); random init.", exc
+            )
+            params = model.init_params(jax.random.PRNGKey(args.seed), dtype)
+
+    processor = OpenVLAProcessor(None, image_size=spec.siglip.image_size, fused=False)
+    jitted = jax.jit(model.predict_action_tokens)
+    action_stats = norm_stats["bridge_orig"]["action"]
+
+    per_task: Dict[str, float] = {}
+    for task in args.task:
+        env = make_env(task)
+        successes = []
+        for episode_id in range(args.n_eval_episode):
+            if args.initial_states == "episode_id":
+                obs, _ = env.reset(options={"obj_init_options": {"episode_id": episode_id}})
+            else:
+                base = 1000 if args.initial_states == "eval" else 0
+                try:
+                    obs, _ = env.reset(seed=base + episode_id)
+                except TypeError:
+                    obs, _ = env.reset(
+                        options={"obj_init_options": {"episode_id": episode_id}}
+                    )
+            instruction = env.get_language_instruction()
+            terminated = truncated = False
+            steps = 0
+            while steps < args.max_steps and not (terminated or truncated):
+                from blurr_tpu.agent.env_adapter.simpler import get_image_from_obs
+
+                image = Image.fromarray(
+                    np.asarray(get_image_from_obs(env, obs), np.uint8)
+                ).convert("RGB")
+                if args.image_preproc == "octo128":
+                    image = octo_style_preprocess(
+                        image, resize_size=spec.siglip.image_size
+                    )
+                prompt = (
+                    f"In: What action should the robot take to {instruction.lower()}?\nOut:"
+                )
+                batch = processor(prompt, np.asarray(image))
+                action = model.predict_action(
+                    params,
+                    batch["input_ids"],
+                    batch["pixel_values"].astype(np.float32),
+                    unnorm_key=args.unnorm_key,
+                    _jitted_tokens=jitted,
+                )
+                env_action = bridge_action_to_simpler(action, action_stats=action_stats)
+                if not np.isfinite(env_action).all():
+                    env_action = np.nan_to_num(env_action)
+                obs, reward, terminated, truncated, info = env.step(env_action)
+                steps += 1
+                new_instruction = env.get_language_instruction()
+                if new_instruction != instruction:
+                    instruction = new_instruction
+            successes.append(bool(terminated))
+            log.info(
+                "[%s] Episode %d finished: success=%s steps=%d",
+                task, episode_id, terminated, steps,
+            )
+        rate = float(np.mean(successes)) if successes else 0.0
+        per_task[task] = rate
+        log.info("[%s] Success rate: %.4f over %d episodes", task, rate, len(successes))
+
+    avg = float(np.mean(list(per_task.values()))) if per_task else 0.0
+    summary = {
+        "checkpoint": args.checkpoint,
+        "dtype": str(dtype),
+        "seed": int(args.seed),
+        "initial_states": args.initial_states,
+        "max_steps": int(args.max_steps),
+        "episodes_per_task": int(args.n_eval_episode),
+        "per_task_success": per_task,
+        "avg_success": avg,
+    }
+    with open(log_dir / "summary.json", "w") as f:
+        json.dump(summary, f, indent=2, sort_keys=True)
+    log.info("Avg success: %.4f", avg)
+    log.info("Wrote: %s", log_dir / "summary.json")
+    print(f"\nDone. Logs written to: {log_dir}\n")
+
+
+if __name__ == "__main__":
+    main()
