@@ -138,8 +138,10 @@ def openvla_params_from_hf_dir(path: str, spec, dtype=jnp.bfloat16) -> Dict:
             "b": _t(state[f"projector.{name}.bias"]),
         }
 
+    from blurr_tpu.ops.lora import maybe_merge_lora_adapter
+
     params = {
-        "llama": llama_params_from_hf(state),
+        "llama": maybe_merge_lora_adapter(llama_params_from_hf(state), path),
         "dinov2": timm_vit_params_from_hf(
             state, "vision_backbone.featurizer.", spec.dinov2.effective_num_layers
         ),
