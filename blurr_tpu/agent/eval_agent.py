@@ -64,8 +64,9 @@ class EvalAgent:
         self.params = self.load_checkpoint(cfg.get("checkpoint_path"))
         try:
             self.params = self.model.enable_action_quantization(self.params)
+            self.params = self.model.enable_vlm_quantization(self.params)
         except Exception as exc:  # graceful like the reference (eval.py:74-78)
-            log.warning("Action quantization failed, continuing without: %s", exc)
+            log.warning("Quantization failed, continuing without: %s", exc)
         # jit boundary (the reference's torch.compile(mode="reduce-overhead"))
         self._infer_cached = jax.jit(self.model.infer_action)
         self._infer_naive = jax.jit(self.model.infer_action_naive)

@@ -78,6 +78,7 @@ def load_model(cfg, checkpoint_path: str, dtype):
 
         params = pizero_params_from_torch_checkpoint(checkpoint_path, dtype=dtype)
     params = model.enable_action_quantization(params)
+    params = model.enable_vlm_quantization(params)
     return model, params
 
 

@@ -100,6 +100,8 @@ class PiZero:
         self.action_quant_cache_fp = bool(aq.get("cache_fp_weight", False))
         self.kv_quant_mode = (str(kq.get("mode") or "")).lower() or None
         self.kv_quant_clip = kq.get("activation_clip")
+        vq = cfg.get("vlm_quantization") or {}
+        self.vlm_quant_mode = (str(vq.get("mode") or "")).lower() or None
         if self.action_quant_mode in {"int8", "int8_cached", "bnb_int8"}:
             import dataclasses
 
@@ -158,13 +160,24 @@ class PiZero:
         (pizero.py:274-321): int8-quantize the action mixture and the action/
         proprio encoders + action decoder when cfg.action_quantization.mode is
         set. bnb_int8 maps to the same int8 path on TPU."""
-        if self.action_quant_mode not in {"int8", "int8_cached", "bnb_int8"}:
+        if self.action_quant_mode not in {"int8", "int8_cached", "bnb_int8", "w8a8"}:
             return params
-        from blurr_tpu.ops.quant import quantize_dense_int8, quantize_mixture_int8
+        from blurr_tpu.ops.quant import (
+            quantize_dense_int8,
+            quantize_mixture_int8,
+            quantize_mixture_w8a8,
+        )
 
         tied = params["joint"].get("proprio") is params["joint"].get("action")
         params = dict(params)
         params["joint"] = dict(params["joint"])
+        if self.action_quant_mode == "w8a8":
+            params["joint"]["action"] = quantize_mixture_w8a8(
+                params["joint"]["action"]
+            )
+            if tied:
+                params["joint"]["proprio"] = params["joint"]["action"]
+            return params
         params["joint"]["action"] = quantize_mixture_int8(
             params["joint"]["action"], cache_fp_weight=self.action_quant_cache_fp
         )
@@ -182,6 +195,20 @@ class PiZero:
             params["action_decoder"], ("w",),
             cache_fp_weight=self.action_quant_cache_fp,
         )
+        return params
+
+    def enable_vlm_quantization(self, params: Dict) -> Dict:
+        """Performance extension beyond the reference's quantization menu:
+        W8A8 (dynamic per-token int8 activations x int8 weights on the MXU)
+        for the prefill-heavy VLM mixture. Opt-in via cfg.vlm_quantization.
+        """
+        if self.vlm_quant_mode != "w8a8":
+            return params
+        from blurr_tpu.ops.quant import quantize_mixture_w8a8
+
+        params = dict(params)
+        params["joint"] = dict(params["joint"])
+        params["joint"]["vlm"] = quantize_mixture_w8a8(params["joint"]["vlm"])
         return params
 
     def tie_action_proprio_weights(self, params: Dict) -> Dict:

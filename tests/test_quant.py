@@ -83,3 +83,33 @@ def test_quantized_model_actions_close():
     corr = np.corrcoef(quant.ravel(), ref.ravel())[0, 1]
     assert corr > 0.99, corr
     assert np.abs(quant - ref).mean() < 0.1
+
+
+def test_w8a8_mm_close_to_dense():
+    from blurr_tpu.ops.quant import quantize_weight_w8a8
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(32, 16).astype(np.float32))
+    dense = np.asarray(x @ w)
+    quant = np.asarray(mm(x, quantize_weight_w8a8(w)))
+    rel = np.abs(quant - dense).max() / np.abs(dense).max()
+    assert rel < 0.05  # two int8 quantizations
+
+
+def test_w8a8_model_actions_track_fp():
+    cfg = tiny_pi0_cfg()
+    cfg["vlm_quantization"] = {"mode": "w8a8"}
+    cfg["action_quantization"] = {"mode": "w8a8"}
+    model = PiZero(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = model.tie_action_proprio_weights(params)
+    inputs = tiny_inputs(cfg)
+
+    ref = np.asarray(PiZero(tiny_pi0_cfg()).infer_action(params, **inputs))
+    qp = model.enable_action_quantization(params)
+    qp = model.enable_vlm_quantization(qp)
+    out = np.asarray(model.infer_action(qp, **inputs))
+    assert np.isfinite(out).all()
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.98, corr
