@@ -102,8 +102,18 @@ class SimplerAdapter(BaseEnvAdapter):
         pass
 
     def _resize(self, image: np.ndarray) -> np.ndarray:
+        # preference order: cv2 (best-tuned SIMD) > native C++ Lanczos-4
+        # (dependency-free, matches cv2 within ~1 intensity level) > jax.image
         if cv2 is not None:
             return cv2.resize(image, self.image_size, interpolation=cv2.INTER_LANCZOS4)
+        from blurr_tpu import native
+
+        if native.available():
+            out = native.lanczos4_resize(
+                image, (self.image_size[1], self.image_size[0])
+            )
+            if out is not None:
+                return out
         import jax.numpy as jnp
         import jax
 
