@@ -1,0 +1,158 @@
+"""Torch->JAX checkpoint bridge: key mapping, transposition semantics, and a
+full bridged forward on a synthetic reference-format .pt checkpoint."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from blurr_tpu.models.pi0.checkpoint import pizero_params_from_torch_checkpoint
+from blurr_tpu.models.pi0.pizero import PiZero
+from tests.util import tiny_inputs, tiny_pi0_cfg
+
+
+def synth_torch_state(cfg, seed=0):
+    """Build a state dict with the reference PiZero key names/shapes
+    (reference pizero.py module structure) for the tiny config."""
+    rng = np.random.RandomState(seed)
+    t = lambda *shape: torch.tensor(rng.randn(*shape).astype(np.float32) * 0.05)
+    jc = cfg.joint.config
+    L, NH, KVH, D = (
+        jc.num_hidden_layers,
+        jc.num_attention_heads,
+        jc.num_key_value_heads,
+        jc.head_dim,
+    )
+    vc = cfg.vision.config
+    state = {
+        "embed_tokens.weight": t(cfg.vocab_size, cfg.mixture.vlm.hidden_size),
+        "multi_modal_projector.linear.weight": t(
+            cfg.vision_projector.config.vision_config.projection_dim,
+            vc.hidden_size,
+        ),
+        "multi_modal_projector.linear.bias": t(
+            cfg.vision_projector.config.vision_config.projection_dim
+        ),
+        "proprio_encoder.weight": t(cfg.mixture.proprio.hidden_size, cfg.proprio_dim),
+        "proprio_encoder.bias": t(cfg.mixture.proprio.hidden_size),
+        "action_decoder.weight": t(cfg.action_dim, cfg.mixture.action.hidden_size),
+        "action_decoder.bias": t(cfg.action_dim),
+    }
+    aw = cfg.mixture.action.hidden_size
+    for i, (name, shape) in enumerate(
+        [("linear_1", (aw, cfg.action_dim)), ("linear_2", (aw, 2 * aw)),
+         ("linear_3", (aw, aw))]
+    ):
+        state[f"action_encoder.{name}.weight"] = t(*shape)
+        state[f"action_encoder.{name}.bias"] = t(shape[0])
+
+    # vision tower (reference SiglipVisionModel layout)
+    vp = "vision_tower.vision_model."
+    d, inter, p = vc.hidden_size, vc.intermediate_size, vc.patch_size
+    state[vp + "embeddings.patch_embedding.weight"] = t(d, 3, p, p)
+    state[vp + "embeddings.patch_embedding.bias"] = t(d)
+    n_pos = (vc.image_size // p) ** 2
+    state[vp + "embeddings.position_embedding.weight"] = t(n_pos, d)
+    for i in range(vc.num_hidden_layers):
+        lp = vp + f"encoder.layers.{i}."
+        for nm, shape in [
+            ("layer_norm1.weight", (d,)), ("layer_norm1.bias", (d,)),
+            ("layer_norm2.weight", (d,)), ("layer_norm2.bias", (d,)),
+            ("self_attn.q_proj.weight", (d, d)), ("self_attn.q_proj.bias", (d,)),
+            ("self_attn.k_proj.weight", (d, d)), ("self_attn.k_proj.bias", (d,)),
+            ("self_attn.v_proj.weight", (d, d)), ("self_attn.v_proj.bias", (d,)),
+            ("self_attn.out_proj.weight", (d, d)), ("self_attn.out_proj.bias", (d,)),
+            ("mlp.fc1.weight", (inter, d)), ("mlp.fc1.bias", (inter,)),
+            ("mlp.fc2.weight", (d, inter)), ("mlp.fc2.bias", (d,)),
+        ]:
+            state[lp + nm] = t(*shape)
+    state[vp + "post_layernorm.weight"] = t(d)
+    state[vp + "post_layernorm.bias"] = t(d)
+
+    # joint mixtures (Gemma decoder-layer layout)
+    for mix in ("vlm", "proprio", "action"):
+        h = cfg.mixture[mix].hidden_size
+        inter = cfg.mixture[mix].intermediate_size
+        mp = f"joint_model.mixtures.{mix}."
+        for i in range(L):
+            lp = mp + f"layers.{i}."
+            state[lp + "self_attn.q_proj.weight"] = t(NH * D, h)
+            state[lp + "self_attn.k_proj.weight"] = t(KVH * D, h)
+            state[lp + "self_attn.v_proj.weight"] = t(KVH * D, h)
+            state[lp + "self_attn.o_proj.weight"] = t(h, NH * D)
+            state[lp + "mlp.gate_proj.weight"] = t(inter, h)
+            state[lp + "mlp.up_proj.weight"] = t(inter, h)
+            state[lp + "mlp.down_proj.weight"] = t(h, inter)
+            state[lp + "input_layernorm.weight"] = t(h)
+            state[lp + "post_attention_layernorm.weight"] = t(h)
+        if cfg.mixture[mix].use_final_norm:
+            state[mp + "norm.weight"] = t(h)
+    return state
+
+
+@pytest.fixture(scope="module")
+def bridged(tmp_path_factory):
+    cfg = tiny_pi0_cfg()
+    state = synth_torch_state(cfg)
+    path = tmp_path_factory.mktemp("ckpt") / "model.pt"
+    # include the _orig_mod. prefix the reference strips (eval.py:312-314)
+    torch.save({"model": {f"_orig_mod.{k}": v for k, v in state.items()}}, path)
+    params = pizero_params_from_torch_checkpoint(str(path), dtype=jnp.float32)
+    return cfg, state, params
+
+
+def test_linear_transposition_semantics(bridged):
+    """torch F.linear(x, W) must equal x @ params_w for bridged weights."""
+    cfg, state, params = bridged
+    x = torch.randn(3, cfg.proprio_dim)
+    ref = torch.nn.functional.linear(
+        x, state["proprio_encoder.weight"], state["proprio_encoder.bias"]
+    ).numpy()
+    ours = np.asarray(
+        jnp.asarray(x.numpy()) @ params["proprio_encoder"]["w"]
+        + params["proprio_encoder"]["b"]
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_conv_patch_embed_semantics(bridged):
+    """Conv2d(patch, stride=patch) == patchify + matmul with bridged weight."""
+    cfg, state, params = bridged
+    vc = cfg.vision.config
+    img = torch.randn(1, 3, vc.image_size, vc.image_size)
+    conv = torch.nn.functional.conv2d(
+        img,
+        state["vision_tower.vision_model.embeddings.patch_embedding.weight"],
+        state["vision_tower.vision_model.embeddings.patch_embedding.bias"],
+        stride=vc.patch_size,
+    )
+    ref = conv.flatten(2).transpose(1, 2).numpy()  # [B, N, D]
+
+    from blurr_tpu.models.pi0.siglip import patchify
+
+    patches = patchify(jnp.asarray(img.numpy()), vc.patch_size)
+    ours = np.asarray(
+        patches @ params["siglip"]["patch_w"] + params["siglip"]["patch_b"]
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_stacked_layer_order(bridged):
+    cfg, state, params = bridged
+    for i in range(cfg.joint.config.num_hidden_layers):
+        np.testing.assert_allclose(
+            np.asarray(params["joint"]["vlm"]["q_w"][i]),
+            state[f"joint_model.mixtures.vlm.layers.{i}.self_attn.q_proj.weight"]
+            .numpy()
+            .T,
+        )
+
+
+def test_bridged_forward_runs(bridged):
+    cfg, _, params = bridged
+    model = PiZero(cfg)
+    inputs = tiny_inputs(cfg)
+    actions = np.asarray(model.infer_action(params, **inputs))
+    assert actions.shape == (2, 4, 7)
+    assert np.isfinite(actions).all()

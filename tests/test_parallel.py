@@ -1,0 +1,71 @@
+"""Mesh parallelism: TP-sharded inference equivalence + sharded train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blurr_tpu.models.pi0.pizero import PiZero
+from blurr_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+from blurr_tpu.parallel.train import dryrun_multichip, make_train_step
+from tests.util import tiny_inputs, tiny_pi0_cfg
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_pi0_cfg()
+    model = PiZero(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = model.tie_action_proprio_weights(params)
+    return model, params
+
+
+def test_tp_sharded_inference_matches_single_device(model_and_params):
+    model, params = model_and_params
+    inputs = tiny_inputs(model.cfg)
+    ref = np.asarray(model.infer_action(params, **inputs))
+
+    mesh = make_mesh(data=1, model=2)
+    sharded = shard_params(params, mesh)
+    with mesh:
+        out = np.asarray(jax.jit(model.infer_action)(sharded, **inputs))
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-5)
+
+
+def test_dp_tp_sharded_inference(model_and_params):
+    model, params = model_and_params
+    inputs = tiny_inputs(model.cfg)  # batch 2
+    ref = np.asarray(model.infer_action(params, **inputs))
+    mesh = make_mesh(data=2, model=2)
+    sharded = shard_params(params, mesh)
+    bsh = batch_sharding(mesh)
+    sharded_inputs = {k: jax.device_put(v, bsh) for k, v in inputs.items()}
+    with mesh:
+        out = np.asarray(jax.jit(model.infer_action)(sharded, **sharded_inputs))
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-5)
+
+
+def test_train_step_decreases_loss(model_and_params):
+    model, params = model_and_params
+    rng = np.random.RandomState(0)
+    inputs = tiny_inputs(model.cfg)
+    batch = {
+        "input_ids": inputs["input_ids"],
+        "attention_mask": inputs["attention_mask"],
+        "pixel_values": inputs["pixel_values"],
+        "proprios": inputs["proprios"],
+        "actions": jnp.asarray(rng.randn(2, 4, 7).astype(np.float32)),
+        "t": jnp.asarray([0.2, 0.7], jnp.float32),
+        "x0": inputs["noise"],
+    }
+    step = make_train_step(model, learning_rate=1e-2)
+    p1, l1 = step(params, batch)
+    p2, l2 = step(p1, batch)
+    _, l3 = step(p2, batch)
+    assert float(l3) < float(l1)
+
+
+def test_dryrun_multichip_8():
+    loss = dryrun_multichip(8)
+    assert np.isfinite(loss)
