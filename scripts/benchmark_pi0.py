@@ -65,6 +65,16 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument(
         "--proprio-mode", type=str, default="zeros", choices=["zeros", "random"]
     )
+    parser.add_argument(
+        "--batch-size", type=int, default=1,
+        help="Throughput mode: replicate the control step over a batch "
+        "(TPU extension; the reference benches batch 1 only).",
+    )
+    parser.add_argument(
+        "--dp", type=int, default=1,
+        help="Data-parallel shards over a ('data','model') mesh (needs "
+        "batch-size divisible by dp and dp devices).",
+    )
     return parser.parse_args()
 
 
@@ -118,6 +128,8 @@ def main():
         )
 
         params = pizero_params_from_torch_checkpoint(args.checkpoint, dtype=dtype)
+    params = model.enable_action_quantization(params)
+    params = model.enable_vlm_quantization(params)
 
     try:
         from transformers import AutoTokenizer
@@ -150,11 +162,34 @@ def main():
     use_cache = not args.no_prefix_kv_cache
     fn = model.infer_action if use_cache else model.infer_action_naive
     step = jax.jit(fn)
+
+    bsz = max(1, args.batch_size)
+
+    def tile(x):
+        return jnp.broadcast_to(x, (bsz, *x.shape[1:])) if bsz > 1 else x
+
+    input_ids = tile(processed["input_ids"])
+    attention_mask = tile(processed["attention_mask"])
+    pixel_values = tile(processed["pixel_values"].astype(dtype))
+    proprios = tile(proprios)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(0), (bsz, cfg["horizon_steps"], cfg["action_dim"]), dtype
+    )
+    if args.dp > 1:
+        from blurr_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+
+        mesh = make_mesh(data=args.dp, model=1)
+        params = shard_params(params, mesh)
+        bsh = batch_sharding(mesh)
+        input_ids, attention_mask, pixel_values, proprios, noise = (
+            jax.device_put(x, bsh)
+            for x in (input_ids, attention_mask, pixel_values, proprios, noise)
+        )
     call_args = (
         params,
-        processed["input_ids"],
-        processed["attention_mask"],
-        processed["pixel_values"].astype(dtype),
+        input_ids,
+        attention_mask,
+        pixel_values,
         proprios,
         noise,
     )
@@ -163,7 +198,7 @@ def main():
 
     gflops = None
     if not args.skip_flops:
-        total_flops = pi0_forward_flops(cfg, use_cache=use_cache, batch=1)
+        total_flops = pi0_forward_flops(cfg, use_cache=use_cache, batch=bsz)
         gflops = (total_flops / avg_latency) / 1e9
 
     dtype_name = "bfloat16" if dtype == jnp.bfloat16 else "float32"
@@ -180,6 +215,9 @@ def main():
     print(f"Warmup iterations: {args.warmup}")
     print(f"Timed iterations: {args.iters}")
     print(f"Average latency: {avg_latency * 1000:.2f} ms")
+    if bsz > 1:
+        print(f"Batch size: {bsz} (dp={args.dp})")
+        print(f"Throughput: {bsz / avg_latency:.1f} action-chunks/s")
     print(f"Peak reserved TPU memory: {peak_mem:.2f} GB")
     if gflops is not None:
         print(f"Approximate GFLOPS: {gflops:,.2f}")
