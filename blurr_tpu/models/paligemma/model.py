@@ -154,3 +154,70 @@ class PaliGemmaForConditionalGeneration:
             tok, cache, cache_len = step(params, tok, cache, cache_len)
             out.append(np.asarray(tok))
         return np.stack(out, axis=1)  # [B, T]
+
+
+class GemmaForCausalLM:
+    """Text-only Gemma causal LM (parity surface: reference
+    src/model/paligemma/gemma.py:252-291) — the PaliGemma stack without the
+    vision tower; lm_head tied to the embedding."""
+
+    def __init__(self, config):
+        # accepts a GemmaConfig or PaliGemmaConfig
+        text = getattr(config, "text_config", config)
+        from blurr_tpu.models.paligemma.config import PaliGemmaConfig
+
+        text_dict = {k: v for k, v in text.to_dict().items() if k != "pad_token_id"}
+        wrapper = PaliGemmaConfig(
+            text_config=text_dict,
+            vision_config={"hidden_size": 8, "intermediate_size": 8,
+                           "num_hidden_layers": 1, "num_attention_heads": 1,
+                           "image_size": 14, "patch_size": 14},
+            image_token_index=-1,  # never matches -> pure text path
+            pad_token_id=text.pad_token_id,
+            hidden_size=text.hidden_size,
+            projection_dim=text.hidden_size,
+        )
+        self._inner = PaliGemmaForConditionalGeneration(wrapper)
+        self.config = text
+
+    def init_params(self, rng, dtype=jnp.float32):
+        params = self._inner.init_params(rng, dtype)
+        return {k: v for k, v in params.items() if k not in ("siglip", "projector")}
+
+    def prefill(self, params, input_ids, max_cache_len):
+        """Pure-text prefill: embeds straight from the table."""
+        bsz, q_len = input_ids.shape
+        embeds = params["embed_tokens"][input_ids]
+        pos = jnp.broadcast_to(
+            jnp.arange(1, q_len + 1, dtype=jnp.int32)[None], (bsz, q_len)
+        )
+        cache = joint_lib.alloc_single_cache(
+            self._inner.joint_spec, bsz, max_cache_len, embeds.dtype
+        )
+        cols = jnp.arange(max_cache_len)[None, None, :]
+        mask = jnp.broadcast_to(cols < q_len, (bsz, q_len, max_cache_len))
+        hidden, cache = joint_lib.single_forward(
+            params["joint"], self._inner.joint_spec, "vlm", embeds, pos, mask,
+            cache=cache, cache_len=jnp.int32(0),
+        )
+        logits = hidden @ params["embed_tokens"].T
+        return logits, cache, jnp.int32(q_len)
+
+    def decode_step(self, params, token, cache, cache_len):
+        return self._inner.decode_step(params, token, cache, cache_len)
+
+    def generate(self, params, input_ids, max_new_tokens=20, eos_token_id=None):
+        input_ids = jnp.asarray(input_ids)
+        max_len = input_ids.shape[1] + max_new_tokens
+        logits, cache, cache_len = jax.jit(self.prefill, static_argnums=(2,))(
+            params, input_ids, max_len
+        )
+        step = jax.jit(self.decode_step)
+        tok = jnp.argmax(logits[:, -1], axis=-1)
+        out = [np.asarray(tok)]
+        for _ in range(max_new_tokens - 1):
+            if eos_token_id is not None and int(out[-1][0]) == eos_token_id:
+                break
+            tok, cache, cache_len = step(params, tok, cache, cache_len)
+            out.append(np.asarray(tok))
+        return np.stack(out, axis=1)
