@@ -15,6 +15,7 @@ vs_baseline > 1.0 means faster than the reference's published H100 17.1 ms
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -41,9 +42,32 @@ def main():
 
     model = PiZero(cfg)
     t0 = time.time()
-    params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if os.environ.get("BLURR_BENCH_REAL_INIT"):
+        params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    else:
+        # Deterministic iota-pattern weights: timing-identical to random init
+        # on the MXU, but avoids ~150s of per-program remote RNG compiles on
+        # the axon tunnel (keeps the whole bench well under driver timeouts).
+        shapes = jax.eval_shape(
+            lambda: model.init_params(jax.random.PRNGKey(0), jnp.bfloat16)
+        )
+
+        @jax.jit  # ONE device program for the whole tree (one remote compile)
+        def make_all():
+            pattern = (jnp.arange(128, dtype=jnp.float32) - 63.5) * (0.02 / 64)
+
+            def mk(leaf):
+                n = 1
+                for d in leaf.shape:
+                    n *= d
+                rows = -(-n // 128)
+                tiled = jnp.broadcast_to(pattern, (rows, 128)).reshape(-1)
+                return tiled[:n].reshape(leaf.shape).astype(leaf.dtype)
+
+            return jax.tree.map(mk, shapes)
+
+        params = make_all()
     params = model.tie_action_proprio_weights(params)
-    params = jax.block_until_ready(params)
     init_s = time.time() - t0
 
     rng = np.random.RandomState(0)

@@ -17,7 +17,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from blurr_tpu.ops.attention import mha
+from blurr_tpu.ops.attention import mha_flat
 from blurr_tpu.ops.norms import layer_norm
 
 
@@ -126,19 +126,15 @@ def vit_forward(
 
     layers = params["layers"]  # already truncated to effective_num_layers
 
-    def split(x):
+    def split(x):  # flat-attn layout [B, S, H, hd]
         bb, s, _ = x.shape
-        return x.reshape(bb, s, nh, hd).transpose(0, 2, 1, 3)
-
-    def merge(x):
-        bb, n, s, h_ = x.shape
-        return x.transpose(0, 2, 1, 3).reshape(bb, s, n * h_)
+        return x.reshape(bb, s, nh, hd)
 
     def block(h, lp):
         x = layer_norm(h, lp["ln1_w"], lp["ln1_b"], spec.eps)
         qkv = x @ lp["qkv_w"] + lp["qkv_b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        a = merge(mha(split(q), split(k), split(v)))
+        a = mha_flat(split(q), split(k), split(v))
         a = a @ lp["out_w"] + lp["out_b"]
         if spec.layerscale:
             a = a * lp["ls1"]

@@ -18,7 +18,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from blurr_tpu.ops.attention import mha
+from blurr_tpu.ops.attention import mha_flat
 from blurr_tpu.ops.norms import layer_norm
 
 
@@ -90,13 +90,9 @@ def siglip_forward(params: Dict, pixel_values: jax.Array, cfg: Dict) -> jax.Arra
     h = patches @ params["patch_w"] + params["patch_b"]
     h = h + params["pos_embed"][None]
 
-    def split_heads(x):  # [B, S, D] -> [B, H, S, hd]
+    def split_heads(x):  # [B, S, D] -> [B, S, H, hd] (flat-attn layout)
         b, s, _ = x.shape
-        return x.reshape(b, s, num_heads, head_dim).transpose(0, 2, 1, 3)
-
-    def merge_heads(x):  # [B, H, S, hd] -> [B, S, D]
-        b, nh, s, hd = x.shape
-        return x.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+        return x.reshape(b, s, num_heads, head_dim)
 
     def layer(h, lp):
         resid = h
@@ -104,7 +100,7 @@ def siglip_forward(params: Dict, pixel_values: jax.Array, cfg: Dict) -> jax.Arra
         q = split_heads(x @ lp["q_w"] + lp["q_b"])
         k = split_heads(x @ lp["k_w"] + lp["k_b"])
         v = split_heads(x @ lp["v_w"] + lp["v_b"])
-        attn = merge_heads(mha(q, k, v))
+        attn = mha_flat(q, k, v)
         h = resid + (attn @ lp["out_w"] + lp["out_b"])
         resid = h
         x = layer_norm(h, lp["ln2_w"], lp["ln2_b"], eps)
