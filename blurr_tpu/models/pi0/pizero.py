@@ -155,6 +155,31 @@ class PiZero:
         }
         return params
 
+    def load_pretrained_weights(self, params: Dict, pretrained_model_path: str,
+                                dtype=None) -> Dict:
+        """Merge PaliGemma pretrained weights (embed tokens, vision tower,
+        projector, vlm mixture) into a parameter tree — the reference's
+        load_pretrained_weights (pizero.py:168-230) as a functional update."""
+        from blurr_tpu.models.pi0.checkpoint import (
+            paligemma_params_from_safetensors,
+        )
+
+        if dtype is None:
+            dtype = jax.tree.leaves(params)[0].dtype
+        pre = paligemma_params_from_safetensors(pretrained_model_path, dtype)
+        params = dict(params)
+        params["embed_tokens"] = pre["embed_tokens"]
+        params["siglip"] = pre["siglip"]
+        params["projector"] = pre["projector"]
+        params["joint"] = dict(params["joint"])
+        vlm = dict(params["joint"]["vlm"])
+        for k, v in pre["joint"]["vlm"].items():
+            if k == "final_norm" and "final_norm" not in vlm:
+                continue  # vlm final norm only used in text mode
+            vlm[k] = v
+        params["joint"]["vlm"] = vlm
+        return params
+
     def enable_action_quantization(self, params: Dict) -> Dict:
         """Functional equivalent of the reference's in-place module rewrite
         (pizero.py:274-321): int8-quantize the action mixture and the action/

@@ -17,3 +17,20 @@ def sinusoidal_pos_emb(
     freqs = jnp.exp(jnp.arange(half_dim, dtype=t.dtype) * -scale)
     args = t[:, None] * freqs[None, :]
     return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class GaussianFourierFeatureTransform:
+    """Random Fourier features (parity surface: reference
+    src/model/vla/modules.py:56-75; unused in the eval path but part of the
+    module inventory). Functional: holds the fixed projection matrix."""
+
+    def __init__(self, input_dim: int, embed_dim: int = 256, scale: float = 10.0,
+                 rng=None):
+        import jax
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.b = jax.random.normal(rng, (input_dim, embed_dim)) * scale
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        x_proj = (2 * jnp.pi * v) @ self.b.astype(v.dtype)
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)

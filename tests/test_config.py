@@ -1,0 +1,87 @@
+"""Config system: interpolation, defaults inheritance, registry, presets."""
+
+import os
+
+import pytest
+
+from blurr_tpu.config.core import Config, deep_merge, load_yaml, resolve_interpolations
+from blurr_tpu.paths import config_root
+
+
+def test_bridge_config_loads_with_dims():
+    cfg = load_yaml(config_root() / "eval" / "bridge.yaml")
+    assert cfg.max_seq_len == 276
+    assert cfg.mixture.vlm.hidden_size == 2048
+    assert cfg.joint.config.num_hidden_layers == 18
+    # interpolations resolved
+    assert cfg.max_image_text_tokens == 276
+    assert cfg.joint.config.mixture.vlm.hidden_size == 2048
+    assert cfg.mixture.proprio.rope_theta == 10000.0
+
+
+def test_defaults_inheritance_pool64():
+    cfg = load_yaml(config_root() / "eval" / "bridge_pool64_steps2.yaml")
+    # overridden
+    assert cfg.num_inference_steps == 2
+    assert cfg.vision.config.image_size == 112
+    assert cfg.vision.config.num_image_tokens == 64
+    assert cfg.action_quantization.mode == "int8"
+    # inherited
+    assert cfg.mixture.vlm.hidden_size == 2048
+    assert cfg.joint.config.head_dim == 256
+    # two-level inheritance
+    cfg1 = load_yaml(config_root() / "eval" / "bridge_pool64_steps1.yaml")
+    assert cfg1.num_inference_steps == 1
+    assert cfg1.vision.config.image_size == 112
+
+
+def test_env_interpolation(monkeypatch):
+    monkeypatch.setenv("BLURR_TEST_VAR", "hello")
+    cfg = Config.wrap({"a": "${oc.env:BLURR_TEST_VAR}", "b": "${oc.env:MISSING_X,dflt}"})
+    out = resolve_interpolations(cfg, cfg)
+    assert out.a == "hello"
+    assert out.b == "dflt"
+
+
+def test_deep_merge_nested():
+    base = Config.wrap({"a": {"x": 1, "y": 2}, "b": 3})
+    over = Config.wrap({"a": {"y": 20, "z": 30}})
+    out = deep_merge(base, over)
+    assert out.a.x == 1 and out.a.y == 20 and out.a.z == 30 and out.b == 3
+
+
+def test_registry_instantiate():
+    from blurr_tpu.config.core import instantiate
+    import blurr_tpu.agent.env_adapter.simpler  # noqa: F401
+
+    adapter = instantiate(
+        {
+            "_target_": "src.agent.env_adapter.simpler.BridgeSimplerAdapter",
+            "dataset_statistics_path": "config/bridge_statistics.json",
+            "pretrained_model_path": "(stub)",
+            "tokenizer_padding": "max_length",
+            "max_seq_len": 12,
+            "num_image_tokens": 4,
+            "image_size": [28, 28],
+        }
+    )
+    # reference _target_ strings resolve through the trailing class name
+    assert adapter.__class__.__name__ == "BridgeSimplerAdapter"
+
+
+def test_preset_semantics():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from eval_pi0_simpler import _apply_preset
+
+    cfg = load_yaml(config_root() / "eval" / "bridge.yaml")
+    _apply_preset(cfg, "baseline")
+    assert not cfg.use_prefix_kv_cache and not cfg.use_bf16
+    assert cfg.num_inference_steps == 10
+    _apply_preset(cfg, "blurr")
+    assert cfg.use_prefix_kv_cache and cfg.use_bf16
+    assert cfg.num_inference_steps == 1
+    with pytest.raises(ValueError):
+        _apply_preset(cfg, "nope")

@@ -69,3 +69,22 @@ def test_train_step_decreases_loss(model_and_params):
 def test_dryrun_multichip_8():
     loss = dryrun_multichip(8)
     assert np.isfinite(loss)
+
+
+def test_trainable_masks(model_and_params):
+    from blurr_tpu.models.pi0.trainable import (
+        action_expert_mask,
+        all_trainable_mask,
+        frozen_mask,
+        vlm_mask,
+    )
+
+    model, params = model_and_params
+    m = action_expert_mask(params)
+    assert m["joint"]["action"]["q_w"] is True or m["joint"]["action"]["q_w"]
+    assert not m["joint"]["vlm"]["q_w"]
+    assert m["action_decoder"]["w"]
+    v = vlm_mask(params)
+    assert v["joint"]["vlm"]["q_w"] and not v["joint"]["action"]["q_w"]
+    assert all(jax.tree.leaves(all_trainable_mask(params)))
+    assert not any(jax.tree.leaves(frozen_mask(params)))
