@@ -7,8 +7,9 @@ tokens + 276-token prefix), random-init BF16 weights, prefix-KV-cache path
 with a single flow step (the reference's 'blurr' preset semantics,
 scripts/eval_pi0_simpler.py:35-39).
 
-Prints ONE JSON line:
-  {"metric": "pi0_blurr_action_step_ms_p50", "value": <ms>, "unit": "ms",
+Prints ONE JSON line (value = steady-state per-step device latency from the
+fetch-fenced two-point scheme in utils.monitor.timed_call):
+  {"metric": "pi0_blurr_action_step_ms", "value": <ms>, "unit": "ms",
    "vs_baseline": <17.1 / ms>}
 vs_baseline > 1.0 means faster than the reference's published H100 17.1 ms
 (README.md:231).
@@ -99,7 +100,7 @@ def main():
     p50_ms = p50 * 1000
 
     result = {
-        "metric": "pi0_blurr_action_step_ms_p50",
+        "metric": "pi0_blurr_action_step_ms",
         "value": round(p50_ms, 3),
         "unit": "ms",
         "vs_baseline": round(REFERENCE_BLURR_MS / p50_ms, 3),

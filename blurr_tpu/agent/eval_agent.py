@@ -129,7 +129,11 @@ class EvalAgent:
             inputs["proprios"].astype(self.dtype),
             noise,
         )
-        return np.asarray(actions[0], np.float32)
+        out = np.asarray(actions[0], np.float32)
+        if not np.isfinite(out).all():
+            log.warning("Non-finite actions (nan/inf) replaced with zeros.")
+            out = np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+        return out
 
     def run(self):
         log.info(

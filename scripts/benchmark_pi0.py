@@ -71,6 +71,11 @@ def parse_args() -> argparse.Namespace:
         "(TPU extension; the reference benches batch 1 only).",
     )
     parser.add_argument(
+        "--profile-dir", type=str, default="",
+        help="Write a jax.profiler XLA trace of the timed loop here "
+        "(no-op on backends without tracing).",
+    )
+    parser.add_argument(
         "--dp", type=int, default=1,
         help="Data-parallel shards over a ('data','model') mesh (needs "
         "batch-size divisible by dp and dp devices).",
@@ -193,7 +198,12 @@ def main():
         proprios,
         noise,
     )
-    avg_latency, _, _ = timed_call(step, *call_args, warmup=args.warmup, iters=args.iters)
+    from blurr_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(args.profile_dir):
+        avg_latency, _, _ = timed_call(
+            step, *call_args, warmup=args.warmup, iters=args.iters
+        )
     peak_mem = peak_tpu_memory_gb()
 
     gflops = None
