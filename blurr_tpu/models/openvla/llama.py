@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from blurr_tpu.ops.attention import grouped_attention
+from blurr_tpu.ops.quant import mm, quantize_mixture_w8a8, quantize_weight_w8a8
 from blurr_tpu.ops.rotary import apply_rope, rope_cos_sin
 
 
@@ -110,15 +111,15 @@ def forward(
     def layer(h, xs):
         lp, kc, vc = xs
         x = llama_rms_norm(h, lp["input_norm"], eps)
-        q = apply_rope(_split_heads(x @ lp["q_w"], nh, hd), cos, sin)
-        k = apply_rope(_split_heads(x @ lp["k_w"], kvh, hd), cos, sin)
-        v = _split_heads(x @ lp["v_w"], kvh, hd)
+        q = apply_rope(_split_heads(mm(x, lp["q_w"]), nh, hd), cos, sin)
+        k = apply_rope(_split_heads(mm(x, lp["k_w"]), kvh, hd), cos, sin)
+        v = _split_heads(mm(x, lp["v_w"]), kvh, hd)
         kc = jax.lax.dynamic_update_slice(kc, k, (0, 0, cache_offset, 0))
         vc = jax.lax.dynamic_update_slice(vc, v, (0, 0, cache_offset, 0))
         attn = grouped_attention(q, kc, vc, mask, softclamp=None)
-        h = h + _merge_heads(attn) @ lp["o_w"]
+        h = h + mm(_merge_heads(attn), lp["o_w"])
         x = llama_rms_norm(h, lp["post_norm"], eps)
-        h = h + (jax.nn.silu(x @ lp["gate_w"]) * (x @ lp["up_w"])) @ lp["down_w"]
+        h = h + mm(jax.nn.silu(mm(x, lp["gate_w"])) * mm(x, lp["up_w"]), lp["down_w"])
         return h, (kc, vc)
 
     h, (k_new, v_new) = jax.lax.scan(layer, embeds, (params["layers"], k_buf, v_buf))
@@ -130,7 +131,41 @@ def final_hidden(params: Dict, spec: LlamaSpec, h: jax.Array) -> jax.Array:
 
 
 def logits(params: Dict, spec: LlamaSpec, h: jax.Array) -> jax.Array:
-    return final_hidden(params, spec, h) @ params["lm_head"]
+    return mm(final_hidden(params, spec, h), params["lm_head"])
+
+
+def init_llama_params_w8a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) -> Dict:
+    """Random init DIRECTLY in w8a8 form (for latency benches: quantizing a
+    full bf16 7B tree after init would transiently exceed 16GB HBM)."""
+    params = init_llama_params(rng, spec, dtype)
+    keys = iter(jax.random.split(jax.random.fold_in(rng, 99), 16))
+
+    def q_like(name, w):
+        fan_in = w.shape[-2]
+        return {
+            "q8a": jax.random.randint(next(keys), w.shape, -127, 128, jnp.int8),
+            "s": jnp.full(w.shape[:-2] + w.shape[-1:], fan_in**-0.5 / 127.0, jnp.float32),
+        }
+
+    layers = dict(params["layers"])
+    for k in ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w"):
+        old = layers[k]
+        layers[k] = q_like(k, old)
+        del old
+    params["layers"] = layers
+    params["lm_head"] = q_like("lm_head", params["lm_head"])
+    return params
+
+
+def quantize_llama_w8a8(params: Dict, quantize_lm_head: bool = True) -> Dict:
+    """W8A8-quantize the decoder weights (and optionally lm_head): halves the
+    weight reads that dominate the memory-bound action-token decode, and runs
+    the matmuls on the 2x-rate int8 MXU. Embeddings stay fp (gather)."""
+    out = dict(params)
+    out["layers"] = quantize_mixture_w8a8(params["layers"])
+    if quantize_lm_head and not isinstance(params["lm_head"], dict):
+        out["lm_head"] = quantize_weight_w8a8(params["lm_head"])
+    return out
 
 
 def causal_prefill_mask(

@@ -16,6 +16,7 @@ transposes into this framework's parameter pytree:
 from __future__ import annotations
 
 import logging
+import os
 import re
 from typing import Dict
 
@@ -222,3 +223,34 @@ def jnp_cast(tree, dtype):
     import jax
 
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
+
+
+# ---------------------------------------------------------------------------
+# Native save/restore (capability extension: the reference is load-only,
+# SURVEY.md §5 checkpoint/resume)
+# ---------------------------------------------------------------------------
+
+
+def save_params(params, path: str) -> None:
+    """Save a parameter pytree with orbax (async-safe, multi-host aware)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+    ckptr.wait_until_finished()
+
+
+def restore_params(path: str, like=None):
+    """Restore a pytree saved by save_params; ``like`` (a pytree of arrays or
+    ShapeDtypeStructs) guides dtypes/sharding when given."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        import jax
+
+        template = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), like
+        )
+        return ckptr.restore(os.path.abspath(path), target=template)
+    return ckptr.restore(os.path.abspath(path))

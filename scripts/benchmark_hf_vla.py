@@ -39,6 +39,11 @@ def parse_args():
     p.add_argument("--image", type=str, default="")
     p.add_argument("--unnorm-key", type=str, default=None)
     p.add_argument("--use-bf16", action="store_true")
+    p.add_argument(
+        "--quantization", type=str, default="none", choices=["none", "w8a8"],
+        help="w8a8: dynamic int8 activations x int8 weights for the LLM "
+        "(halves decode weight reads; TPU extension).",
+    )
     p.add_argument("--use-fp16", action="store_true")
     p.add_argument("--use-torch-compile", action="store_true",
                    help="Parity flag; jax.jit is always on.")
@@ -75,12 +80,28 @@ def main():
         norm_stats = load_norm_stats(str(model_path))
         model = OpenVLA(spec, norm_stats)
         params = openvla_params_from_hf_dir(str(model_path), spec, dtype)
+        if args.quantization == "w8a8":
+            from blurr_tpu.models.openvla.llama import quantize_llama_w8a8
+
+            params["llama"] = quantize_llama_w8a8(params["llama"])
         tokenizer = load_hf_tokenizer(str(model_path))
     elif args.model_id in ("random-7b", "openvla-7b-random"):
         spec = OpenVLASpec()
         model = OpenVLA(spec)
         params = model.init_params(jax.random.PRNGKey(0), dtype)
         tokenizer = None
+        if args.quantization == "w8a8":
+            # rebuild the LLM directly in quantized form (post-hoc
+            # quantization of a 7B bf16 tree would transiently OOM 16GB)
+            from blurr_tpu.models.openvla.llama import init_llama_params_w8a8
+
+            params["llama"] = None
+            import gc
+
+            gc.collect()
+            params["llama"] = init_llama_params_w8a8(
+                jax.random.PRNGKey(0), spec.llama, dtype
+            )
     else:
         spec = OpenVLASpec.tiny()
         model = OpenVLA(spec)
@@ -128,6 +149,7 @@ def main():
     print(f"Image: {Path(args.image).resolve() if args.image else '(synthetic)'}")
     print(f"Device: {jax.devices()[0]}")
     print(f"Dtype: jax.{dtype_name}")
+    print(f"Quantization: {args.quantization}")
     print(f"torch.compile: {True}")
     print(f"Unnorm key: {unnorm_key}")
     print(f"Warmup iterations: {args.warmup}")

@@ -156,3 +156,18 @@ def test_bridged_forward_runs(bridged):
     actions = np.asarray(model.infer_action(params, **inputs))
     assert actions.shape == (2, 4, 7)
     assert np.isfinite(actions).all()
+
+
+def test_orbax_save_restore_roundtrip(tmp_path):
+    import jax
+
+    from blurr_tpu.models.pi0.checkpoint import restore_params, save_params
+
+    cfg = tiny_pi0_cfg()
+    model = PiZero(cfg)
+    params = model.init_params(jax.random.PRNGKey(3))
+    path = tmp_path / "ckpt"
+    save_params(params, str(path))
+    restored = restore_params(str(path), like=params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
