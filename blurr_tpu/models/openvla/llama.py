@@ -135,26 +135,41 @@ def logits(params: Dict, spec: LlamaSpec, h: jax.Array) -> jax.Array:
 
 
 def init_llama_params_w8a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) -> Dict:
-    """Random init DIRECTLY in w8a8 form (for latency benches: quantizing a
-    full bf16 7B tree after init would transiently exceed 16GB HBM)."""
-    params = init_llama_params(rng, spec, dtype)
-    keys = iter(jax.random.split(jax.random.fold_in(rng, 99), 16))
+    """Random init DIRECTLY in w8a8 form: the int8 weights are generated
+    without ever materializing the bf16 tree (quantizing a full bf16 7B tree
+    after init would transiently exceed 16GB HBM)."""
+    nl, h, inter = spec.num_layers, spec.hidden_size, spec.intermediate_size
+    nh, kvh, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    keys = iter(jax.random.split(rng, 16))
 
-    def q_like(name, w):
-        fan_in = w.shape[-2]
+    def q(shape, fan_in):
         return {
-            "q8a": jax.random.randint(next(keys), w.shape, -127, 128, jnp.int8),
-            "s": jnp.full(w.shape[:-2] + w.shape[-1:], fan_in**-0.5 / 127.0, jnp.float32),
+            "q8a": jax.random.randint(next(keys), (nl, *shape), -127, 128, jnp.int8),
+            "s": jnp.full((nl, shape[-1]), fan_in**-0.5 / 127.0, jnp.float32),
         }
 
-    layers = dict(params["layers"])
-    for k in ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w"):
-        old = layers[k]
-        layers[k] = q_like(k, old)
-        del old
-    params["layers"] = layers
-    params["lm_head"] = q_like("lm_head", params["lm_head"])
-    return params
+    return {
+        "embed_tokens": jax.random.normal(next(keys), (spec.vocab_size, h), dtype)
+        * (h**-0.5),
+        "layers": {
+            "q_w": q((h, nh * hd), h),
+            "k_w": q((h, kvh * hd), h),
+            "v_w": q((h, kvh * hd), h),
+            "o_w": q((nh * hd, h), nh * hd),
+            "gate_w": q((h, inter), h),
+            "up_w": q((h, inter), h),
+            "down_w": q((inter, h), inter),
+            "input_norm": jnp.ones((nl, h), dtype),
+            "post_norm": jnp.ones((nl, h), dtype),
+        },
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": {
+            "q8a": jax.random.randint(
+                next(keys), (h, spec.vocab_size), -127, 128, jnp.int8
+            ),
+            "s": jnp.full((spec.vocab_size,), h**-0.5 / 127.0, jnp.float32),
+        },
+    }
 
 
 def quantize_llama_w8a8(params: Dict, quantize_lm_head: bool = True) -> Dict:

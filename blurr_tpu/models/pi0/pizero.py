@@ -414,6 +414,32 @@ class PiZero:
             )
         return action
 
+    def infer_action_from_frame(
+        self,
+        params: Dict,
+        input_ids: jax.Array,
+        attention_mask: jax.Array,
+        frame: jax.Array,  # raw camera frame [B, H, W, 3] uint8
+        proprios: jax.Array,
+        noise: jax.Array,
+        num_inference_steps: Optional[int] = None,
+    ) -> jax.Array:
+        """Fully fused control step: camera-frame resize + rescale/normalize
+        run IN-GRAPH (jax.image lanczos3) ahead of the encoder, per the
+        TPU north star — no host-side cv2 in the loop. The host path
+        (cv2 LANCZOS4) remains the bit-parity default in the adapters."""
+        size = self.vision_cfg["image_size"]
+        x = frame.astype(jnp.float32)
+        x = jax.image.resize(
+            x, (frame.shape[0], size, size, 3), method="lanczos3"
+        )
+        x = (x / 255.0 - 0.5) / 0.5
+        pixel_values = jnp.transpose(x, (0, 3, 1, 2)).astype(proprios.dtype)
+        return self.infer_action(
+            params, input_ids, attention_mask, pixel_values, proprios, noise,
+            num_inference_steps,
+        )
+
     def infer_action_naive(
         self,
         params: Dict,

@@ -153,3 +153,48 @@ def test_text_generation_shapes(model_and_params):
     )
     assert tok2.shape == (2,)
     assert int(cache_len) == cfg.max_seq_len + 1
+
+
+def test_infer_action_from_frame_fused_preprocessing(model_and_params):
+    """In-graph resize+normalize path: valid output, and close to the host
+    preprocessing path on a smooth image."""
+    model, params = model_and_params
+    inputs = tiny_inputs(model.cfg)
+    size = model.vision_cfg["image_size"]
+    # smooth gradient frame at camera resolution
+    h, w = 60, 80
+    yy, xx = np.meshgrid(np.linspace(0, 255, h), np.linspace(0, 255, w), indexing="ij")
+    frame = np.stack([yy, xx, (yy + xx) / 2], -1).astype(np.uint8)[None]
+    frame = np.broadcast_to(frame, (2, h, w, 3))
+
+    fused = model.infer_action_from_frame(
+        params,
+        inputs["input_ids"],
+        inputs["attention_mask"],
+        jnp.asarray(frame),
+        inputs["proprios"],
+        inputs["noise"],
+    )
+    assert fused.shape == (2, 4, 7)
+    assert np.isfinite(np.asarray(fused)).all()
+
+    # host path: PIL resize + normalize
+    from PIL import Image
+
+    resized = np.stack(
+        [
+            np.array(Image.fromarray(frame[i]).resize((size, size), Image.LANCZOS))
+            for i in range(2)
+        ]
+    )
+    px = ((resized.astype(np.float32) / 255.0) - 0.5) / 0.5
+    host = model.infer_action(
+        params,
+        inputs["input_ids"],
+        inputs["attention_mask"],
+        jnp.asarray(px.transpose(0, 3, 1, 2)),
+        inputs["proprios"],
+        inputs["noise"],
+    )
+    # different lanczos taps -> small drift allowed
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(host), atol=0.08)
