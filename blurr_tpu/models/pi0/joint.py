@@ -532,3 +532,43 @@ def alloc_single_cache(
         spec.head_dim,
     )
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+from blurr_tpu.config.core import register
+
+
+@register("JointModel")
+class JointModel:
+    """Thin OO wrapper for config-registry parity (bridge.yaml's
+    joint._target_). The engine itself is the functional API above; this
+    class binds a JointSpec and exposes the reference's method names."""
+
+    def __init__(self, config):
+        self.config = dict(config)
+        self.spec = JointSpec.from_config(self.config)
+        self.num_hidden_layers = self.spec.num_hidden_layers
+        self.mixture_names = list(self.spec.mixtures.keys())
+        self.cache_names = [
+            n for n, m in self.spec.mixtures.items() if m.cache
+        ]
+
+    def init(self, rng, dtype=jnp.float32):
+        return init_joint_params(rng, self.spec, dtype)
+
+    def build_mixture_caches(self):
+        """The functional engine returns caches from prefill; kept for
+        surface parity (reference joint_model.py:333-336)."""
+        return {name: None for name in self.cache_names}
+
+    def prefill(self, params, embeds, position_ids, prefix_mask):
+        return prefill(params, self.spec, embeds, position_ids, prefix_mask)
+
+    def decode(self, params, action_embeds, action_position_ids, cache,
+               action_mask, time_cond=None):
+        return decode(params, self.spec, action_embeds, action_position_ids,
+                      cache, action_mask, time_cond)
+
+    def naive_forward(self, params, embeds, position_ids, full_mask,
+                      time_cond=None):
+        return naive_forward(params, self.spec, embeds, position_ids,
+                             full_mask, time_cond)

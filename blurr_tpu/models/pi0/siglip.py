@@ -125,6 +125,10 @@ def projector_forward(params: Dict, image_features: jax.Array) -> jax.Array:
     return image_features @ params["w"] + params["b"]
 
 
+from blurr_tpu.config.core import register
+
+
+@register("SiglipVisionModel")
 class SiglipVisionModel:
     """Thin OO wrapper for registry instantiation parity."""
 
@@ -138,6 +142,7 @@ class SiglipVisionModel:
         return siglip_forward(params, pixel_values, self.config)
 
 
+@register("PaliGemmaMultiModalProjector")
 class PaliGemmaMultiModalProjector:
     def __init__(self, config):
         self.config = dict(config)
