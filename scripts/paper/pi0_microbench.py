@@ -216,30 +216,40 @@ def cmd_compare_presets(args: argparse.Namespace) -> None:
         dtype = B.select_dtype(preset["use_bf16"], preset["use_fp16"])
         cfg = B.load_cfg(args.config)
         cfg["num_inference_steps"] = preset["num_inference_steps"]
-        model, params = B.load_model(cfg, args.checkpoint, dtype)
-        inputs = B.prepare_inputs(cfg, args.prompt, args.image, dtype, args.proprio_mode)
-        result = B.bench(
-            model, params, inputs,
-            use_prefix_kv_cache=preset["use_prefix_kv_cache"],
-            warmup=args.warmup, iters=args.iters, skip_flops=args.skip_flops,
-        )
-        results["rows"].append(
-            {
-                "preset": preset_name,
-                "dtype": _dtype_name(dtype),
-                "torch_compile": bool(preset["use_torch_compile"]),
-                "use_prefix_kv_cache": bool(preset["use_prefix_kv_cache"]),
-                "num_inference_steps": int(cfg["num_inference_steps"]),
-                "latency_ms": round(result.latency_ms, 4),
-                "peak_reserved_gb": round(result.peak_reserved_gb, 4),
-                "gflops": None if result.gflops is None else round(result.gflops, 4),
-                "note": result.flops_note or "",
-            }
-        )
-        del model, params, inputs
+        row = {
+            "preset": preset_name,
+            "dtype": _dtype_name(dtype),
+            "torch_compile": bool(preset["use_torch_compile"]),
+            "use_prefix_kv_cache": bool(preset["use_prefix_kv_cache"]),
+            "num_inference_steps": int(cfg["num_inference_steps"]),
+            "latency_ms": None,
+            "peak_reserved_gb": None,
+            "gflops": None,
+            "note": "",
+        }
+        try:  # graceful OOM skip (the reference's <40GB fp32 skip pattern)
+            model, params = B.load_model(cfg, args.checkpoint, dtype)
+            inputs = B.prepare_inputs(
+                cfg, args.prompt, args.image, dtype, args.proprio_mode
+            )
+            result = B.bench(
+                model, params, inputs,
+                use_prefix_kv_cache=preset["use_prefix_kv_cache"],
+                warmup=args.warmup, iters=args.iters, skip_flops=args.skip_flops,
+            )
+            row.update(
+                latency_ms=round(result.latency_ms, 4),
+                peak_reserved_gb=round(result.peak_reserved_gb, 4),
+                gflops=None if result.gflops is None else round(result.gflops, 4),
+                note=result.flops_note or "",
+            )
+            del model, params, inputs
+        except Exception as exc:
+            row["note"] = f"skipped: {type(exc).__name__}: {str(exc)[:160]}"
+        results["rows"].append(row)
     if len(results["rows"]) == 2:
         a, b = results["rows"]
-        if a["latency_ms"] and b["latency_ms"]:
+        if a.get("latency_ms") and b.get("latency_ms"):
             results["speedup"] = round(a["latency_ms"] / b["latency_ms"], 4)
     _write_json(out_json, results)
     print(f"Wrote: {out_json}")
