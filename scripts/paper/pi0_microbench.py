@@ -111,29 +111,36 @@ def cmd_first_vs_steady(args: argparse.Namespace) -> None:
         dtype = B.select_dtype(preset["use_bf16"], preset["use_fp16"])
         cfg = B.load_cfg(args.config)
         cfg["num_inference_steps"] = preset["num_inference_steps"]
-        model, params = B.load_model(cfg, args.checkpoint, dtype)
-        inputs = B.prepare_inputs(cfg, args.prompt, args.image, dtype, args.proprio_mode)
-        first_s = B.first_call_seconds(
-            model, params, inputs, use_prefix_kv_cache=preset["use_prefix_kv_cache"]
-        )
-        result = B.bench(
-            model, params, inputs,
-            use_prefix_kv_cache=preset["use_prefix_kv_cache"],
-            warmup=args.warmup, iters=args.iters, skip_flops=True,
-        )
-        rows.append(
-            {
-                "gpu": B.device_name(),
-                "preset": preset_name,
-                "dtype": _dtype_name(dtype),
-                "torch_compile": bool(preset["use_torch_compile"]),
-                "use_prefix_kv_cache": bool(preset["use_prefix_kv_cache"]),
-                "num_inference_steps": int(cfg["num_inference_steps"]),
-                "first_call_ms": round(first_s * 1000.0, 3),
-                "steady_latency_ms": round(result.latency_ms, 3),
-            }
-        )
-        del model, params, inputs
+        row = {
+            "gpu": B.device_name(),
+            "preset": preset_name,
+            "dtype": _dtype_name(dtype),
+            "torch_compile": bool(preset["use_torch_compile"]),
+            "use_prefix_kv_cache": bool(preset["use_prefix_kv_cache"]),
+            "num_inference_steps": int(cfg["num_inference_steps"]),
+            "first_call_ms": None,
+            "steady_latency_ms": None,
+        }
+        try:  # graceful OOM skip (fp32 3B exceeds 16GB HBM)
+            model, params = B.load_model(cfg, args.checkpoint, dtype)
+            inputs = B.prepare_inputs(
+                cfg, args.prompt, args.image, dtype, args.proprio_mode
+            )
+            first_s = B.first_call_seconds(
+                model, params, inputs,
+                use_prefix_kv_cache=preset["use_prefix_kv_cache"],
+            )
+            result = B.bench(
+                model, params, inputs,
+                use_prefix_kv_cache=preset["use_prefix_kv_cache"],
+                warmup=args.warmup, iters=args.iters, skip_flops=True,
+            )
+            row["first_call_ms"] = round(first_s * 1000.0, 3)
+            row["steady_latency_ms"] = round(result.latency_ms, 3)
+            del model, params, inputs
+        except Exception as exc:
+            row["note"] = f"skipped: {type(exc).__name__}: {str(exc)[:120]}"
+        rows.append(row)
     _write_csv(out_csv, rows)
     print(f"Wrote: {out_csv}")
 
