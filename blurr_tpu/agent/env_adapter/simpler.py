@@ -129,7 +129,24 @@ class SimplerAdapter(BaseEnvAdapter):
         image = get_image_from_obs(env, obs)
         image = self._resize(image)
         images = np.asarray(image, np.uint8).transpose(2, 0, 1)[None]  # [1,3,H,W]
-        model_inputs = self.processor(text=[instruction], images=images)
+        # instruction is episode-constant: tokenize once, reuse the ids
+        # (the reference re-tokenizes every control step; host-side win)
+        cached = getattr(self, "_tok_cache", None)
+        if cached is not None and cached[0] == instruction:
+            from blurr_tpu.models.pi0.processing import process_images
+
+            model_inputs = {
+                "pixel_values": process_images(images),
+                "input_ids": cached[1],
+                "attention_mask": cached[2],
+            }
+        else:
+            model_inputs = self.processor(text=[instruction], images=images)
+            self._tok_cache = (
+                instruction,
+                model_inputs["input_ids"],
+                model_inputs["attention_mask"],
+            )
 
         raw_proprio = self.preprocess_proprio(obs)
         if self.proprio_normalization_type == "bound":
