@@ -44,3 +44,22 @@ def test_flash_fully_masked_rows_finite():
     # contract is finiteness (the reference's finfo-min trick gives uniform
     # attention, ours gives uniform over the padded block — both finite).
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pallas_int8_matmul_matches_dequant():
+    import jax.numpy as jnp
+
+    from blurr_tpu.ops.pallas_int8_matmul import int8_matmul, int8_mm_nd
+    from blurr_tpu.ops.quant import quantize_weight_int8
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(37, 96).astype(np.float32))
+    w = jnp.asarray(rng.randn(96, 130).astype(np.float32))
+    q = quantize_weight_int8(w)
+    ref = np.asarray(x @ (q["q"].astype(jnp.float32) * q["s"][None, :]))
+    out = np.asarray(int8_matmul(x, q["q"], q["s"], interpret=True))
+    # bf16 operand rounding on the MXU: ~0.3% of the output scale
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=0.15)
+
+    out_nd = np.asarray(int8_mm_nd(x.reshape(1, 37, 96), q, interpret=True))
+    np.testing.assert_allclose(out_nd[0], out, rtol=1e-5, atol=1e-5)
