@@ -52,11 +52,17 @@ def _spec_for_path(path: str, leaf) -> P:
     rules = _mixture_rules()
     parts = path.split("/")
     name = parts[-1]
-    if "joint" in parts and name in rules:
+    if ("joint" in parts or "llama" in parts) and name in rules:
+        # Gemma mixtures are MQA (KV replicated); Llama-2 is MHA, where the
+        # 32 KV heads shard cleanly alongside Q
+        if "llama" in parts and name in ("k_w", "v_w"):
+            return P(None, None, "model")
         return rules[name]
+    if "llama" in parts and name == "lm_head":
+        return P(None, "model")  # split vocab logits
     if name == "embed_tokens":
         return P("model", None)  # shard vocab
-    if "siglip" in parts:
+    if "siglip" in parts and "layers" in parts:
         if name in ("q_w", "k_w", "v_w"):
             return P(None, None, "model")
         if name == "out_w":

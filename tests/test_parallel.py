@@ -88,3 +88,21 @@ def test_trainable_masks(model_and_params):
     assert v["joint"]["vlm"]["q_w"] and not v["joint"]["action"]["q_w"]
     assert all(jax.tree.leaves(all_trainable_mask(params)))
     assert not any(jax.tree.leaves(frozen_mask(params)))
+
+
+def test_openvla_tp_sharded_inference_matches():
+    from blurr_tpu.models.openvla.model import EMPTY_TOKEN, OpenVLA, OpenVLASpec
+
+    spec = OpenVLASpec.tiny()
+    model = OpenVLA(spec)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(np.array([[1, 100, 200, EMPTY_TOKEN]], np.int32))
+    img = jnp.asarray(rng.rand(1, 6, 28, 28).astype(np.float32))
+    ref = np.asarray(model.predict_action_tokens(params, ids, img))
+
+    mesh = make_mesh(data=1, model=2)
+    sharded = shard_params(params, mesh)
+    with mesh:
+        out = np.asarray(jax.jit(model.predict_action_tokens)(sharded, ids, img))
+    np.testing.assert_array_equal(out, ref)
