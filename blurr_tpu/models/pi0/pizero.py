@@ -102,6 +102,7 @@ class PiZero:
         self.kv_quant_clip = kq.get("activation_clip")
         vq = cfg.get("vlm_quantization") or {}
         self.vlm_quant_mode = (str(vq.get("mode") or "")).lower() or None
+        self.vlm_quant_vision = bool(vq.get("include_vision", False))
         if self.action_quant_mode in {"int8", "int8_cached", "bnb_int8"}:
             import dataclasses
 
@@ -229,11 +230,13 @@ class PiZero:
         """
         if self.vlm_quant_mode != "w8a8":
             return params
-        from blurr_tpu.ops.quant import quantize_mixture_w8a8
+        from blurr_tpu.ops.quant import quantize_mixture_w8a8, quantize_vit_w8a8
 
         params = dict(params)
         params["joint"] = dict(params["joint"])
         params["joint"]["vlm"] = quantize_mixture_w8a8(params["joint"]["vlm"])
+        if self.vlm_quant_vision:
+            params["siglip"] = quantize_vit_w8a8(params["siglip"])
         return params
 
     def tie_action_proprio_weights(self, params: Dict) -> Dict:

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from blurr_tpu.ops.attention import mha_flat
 from blurr_tpu.ops.norms import layer_norm
+from blurr_tpu.ops.quant import mm
 
 
 def init_siglip_params(rng: jax.Array, cfg: Dict, dtype=jnp.float32) -> Dict:
@@ -97,15 +98,15 @@ def siglip_forward(params: Dict, pixel_values: jax.Array, cfg: Dict) -> jax.Arra
     def layer(h, lp):
         resid = h
         x = layer_norm(h, lp["ln1_w"], lp["ln1_b"], eps)
-        q = split_heads(x @ lp["q_w"] + lp["q_b"])
-        k = split_heads(x @ lp["k_w"] + lp["k_b"])
-        v = split_heads(x @ lp["v_w"] + lp["v_b"])
+        q = split_heads(mm(x, lp["q_w"]) + lp["q_b"])
+        k = split_heads(mm(x, lp["k_w"]) + lp["k_b"])
+        v = split_heads(mm(x, lp["v_w"]) + lp["v_b"])
         attn = mha_flat(q, k, v)
-        h = resid + (attn @ lp["out_w"] + lp["out_b"])
+        h = resid + (mm(attn, lp["out_w"]) + lp["out_b"])
         resid = h
         x = layer_norm(h, lp["ln2_w"], lp["ln2_b"], eps)
-        x = jax.nn.gelu(x @ lp["fc1_w"] + lp["fc1_b"], approximate=True)
-        h = resid + (x @ lp["fc2_w"] + lp["fc2_b"])
+        x = jax.nn.gelu(mm(x, lp["fc1_w"]) + lp["fc1_b"], approximate=True)
+        h = resid + (mm(x, lp["fc2_w"]) + lp["fc2_b"])
         return h, None
 
     h, _ = jax.lax.scan(layer, h, params["layers"])

@@ -143,3 +143,17 @@ def quantize_mixture_w8a8(mixture_params: dict) -> dict:
         if k in out and not isinstance(out[k], dict):
             out[k] = quantize_weight_w8a8(out[k])
     return out
+
+
+_VIT_WEIGHT_KEYS = ("q_w", "k_w", "v_w", "out_w", "fc1_w", "fc2_w", "qkv_w")
+
+
+def quantize_vit_w8a8(vit_params: dict) -> dict:
+    """Quantize a ViT tower's layer weights (patch embed / norms stay fp)."""
+    out = dict(vit_params)
+    layers = dict(out["layers"])
+    for k in _VIT_WEIGHT_KEYS:
+        if k in layers and not isinstance(layers[k], dict):
+            layers[k] = quantize_weight_w8a8(layers[k])
+    out["layers"] = layers
+    return out
