@@ -1,0 +1,168 @@
+"""OpenVLA checkpoint bridge on synthetic HF-format files: prismatic
+safetensors layout, OFT aux .pt reconstruction, norm-stats loading."""
+
+import json
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from blurr_tpu.models.openvla.checkpoint import (
+    infer_unnorm_key,
+    load_norm_stats,
+    load_oft_aux_params,
+    openvla_params_from_hf_dir,
+)
+from blurr_tpu.models.openvla.model import OpenVLA, OpenVLASpec, oft_action_head_forward
+
+
+def synth_hf_snapshot(tmp_path, spec):
+    """Write safetensors with the prismatic key layout for the tiny spec."""
+    from safetensors.torch import save_file
+
+    rng = np.random.RandomState(0)
+    t = lambda *shape: torch.tensor(rng.randn(*shape).astype(np.float32) * 0.05)
+    state = {}
+    ls = spec.llama
+    state["language_model.model.embed_tokens.weight"] = t(ls.vocab_size, ls.hidden_size)
+    state["language_model.model.norm.weight"] = t(ls.hidden_size)
+    state["language_model.lm_head.weight"] = t(ls.vocab_size, ls.hidden_size)
+    for i in range(ls.num_layers):
+        lp = f"language_model.model.layers.{i}."
+        state[lp + "self_attn.q_proj.weight"] = t(ls.num_heads * ls.head_dim, ls.hidden_size)
+        state[lp + "self_attn.k_proj.weight"] = t(ls.num_kv_heads * ls.head_dim, ls.hidden_size)
+        state[lp + "self_attn.v_proj.weight"] = t(ls.num_kv_heads * ls.head_dim, ls.hidden_size)
+        state[lp + "self_attn.o_proj.weight"] = t(ls.hidden_size, ls.num_heads * ls.head_dim)
+        state[lp + "mlp.gate_proj.weight"] = t(ls.intermediate_size, ls.hidden_size)
+        state[lp + "mlp.up_proj.weight"] = t(ls.intermediate_size, ls.hidden_size)
+        state[lp + "mlp.down_proj.weight"] = t(ls.hidden_size, ls.intermediate_size)
+        state[lp + "input_layernorm.weight"] = t(ls.hidden_size)
+        state[lp + "post_attention_layernorm.weight"] = t(ls.hidden_size)
+
+    def vit_state(prefix, vs, cls_reg):
+        d, inter = vs.hidden_size, vs.intermediate_size
+        state[prefix + "patch_embed.proj.weight"] = t(d, 3, vs.patch_size, vs.patch_size)
+        state[prefix + "patch_embed.proj.bias"] = t(d)
+        n_pos = vs.num_patches + (1 if cls_reg else 0)
+        state[prefix + "pos_embed"] = t(1, n_pos, d)
+        if cls_reg:
+            state[prefix + "cls_token"] = t(1, 1, d)
+            state[prefix + "reg_token"] = t(1, vs.reg_tokens, d)
+        for i in range(vs.num_layers):  # bridge stacks only effective layers
+            bp = prefix + f"blocks.{i}."
+            state[bp + "norm1.weight"] = t(d)
+            state[bp + "norm1.bias"] = t(d)
+            state[bp + "norm2.weight"] = t(d)
+            state[bp + "norm2.bias"] = t(d)
+            state[bp + "attn.qkv.weight"] = t(3 * d, d)
+            state[bp + "attn.qkv.bias"] = t(3 * d)
+            state[bp + "attn.proj.weight"] = t(d, d)
+            state[bp + "attn.proj.bias"] = t(d)
+            state[bp + "mlp.fc1.weight"] = t(inter, d)
+            state[bp + "mlp.fc1.bias"] = t(inter)
+            state[bp + "mlp.fc2.weight"] = t(d, inter)
+            state[bp + "mlp.fc2.bias"] = t(d)
+            if cls_reg:  # dinov2 layerscale
+                state[bp + "ls1.gamma"] = t(d)
+                state[bp + "ls2.gamma"] = t(d)
+
+    vit_state("vision_backbone.featurizer.", spec.dinov2, True)
+    vit_state("vision_backbone.fused_featurizer.", spec.siglip, False)
+    for name, din in (("fc1", spec.vision_dim), ("fc2", spec.llama.hidden_size),
+                      ("fc3", spec.llama.hidden_size)):
+        state[f"projector.{name}.weight"] = t(spec.llama.hidden_size, din)
+        state[f"projector.{name}.bias"] = t(spec.llama.hidden_size)
+    save_file(state, str(tmp_path / "model.safetensors"))
+
+    stats = {"bridge_orig": {"action": {"q01": [-1.0] * 7, "q99": [1.0] * 7,
+                                        "mask": [True] * 6 + [False]}}}
+    (tmp_path / "dataset_statistics.json").write_text(json.dumps(stats))
+    return state
+
+
+def test_openvla_bridge_loads_and_runs(tmp_path):
+    spec = OpenVLASpec.tiny()
+    synth_hf_snapshot(tmp_path, spec)
+    params = openvla_params_from_hf_dir(str(tmp_path), spec, jnp.float32)
+    # only effective (penultimate-feature) blocks stacked
+    assert params["dinov2"]["layers"]["qkv_w"].shape[0] == spec.dinov2.effective_num_layers
+    assert params["siglip"]["layers"]["qkv_w"].shape[0] == spec.siglip.effective_num_layers
+    assert params["llama"]["layers"]["q_w"].shape[0] == spec.llama.num_layers
+
+    stats = load_norm_stats(str(tmp_path))
+    assert infer_unnorm_key(stats) == "bridge_orig"
+
+    model = OpenVLA(spec, stats)
+    rng = np.random.RandomState(1)
+    ids = np.array([[1, 100, 200]], np.int32)
+    img = rng.rand(1, 6, 28, 28).astype(np.float32)
+    actions = model.predict_action(params, ids, img, unnorm_key="bridge_orig")
+    assert actions.shape == (7,)
+    assert np.isfinite(actions).all()
+
+
+def test_oft_aux_reconstruction(tmp_path):
+    """Shape-driven OFT head loading from action_head--*.pt (reference
+    eval_hf_vla_simpler.py:76-132 semantics) + math equivalence."""
+    rng = np.random.RandomState(2)
+    in_dim, hidden, out_dim, n_blocks = 12, 8, 4, 2
+    t = lambda *s: torch.tensor(rng.randn(*s).astype(np.float32))
+    state = {
+        "module.model.layer_norm1.weight": t(in_dim),
+        "module.model.layer_norm1.bias": t(in_dim),
+        "module.model.fc1.weight": t(hidden, in_dim),
+        "module.model.fc1.bias": t(hidden),
+        "module.model.layer_norm2.weight": t(hidden),
+        "module.model.layer_norm2.bias": t(hidden),
+        "module.model.fc2.weight": t(out_dim, hidden),
+        "module.model.fc2.bias": t(out_dim),
+        "extraneous.key": t(3),
+    }
+    for i in range(n_blocks):
+        state[f"module.model.mlp_resnet_blocks.{i}.ffn.0.weight"] = t(hidden)
+        state[f"module.model.mlp_resnet_blocks.{i}.ffn.0.bias"] = t(hidden)
+        state[f"module.model.mlp_resnet_blocks.{i}.ffn.1.weight"] = t(hidden, hidden)
+        state[f"module.model.mlp_resnet_blocks.{i}.ffn.1.bias"] = t(hidden)
+    torch.save(state, tmp_path / "action_head--10000_checkpoint.pt")
+    torch.save(
+        {
+            "module.model.fc1.weight": t(hidden, 8),
+            "module.model.fc1.bias": t(hidden),
+            "module.model.fc2.weight": t(out_dim, hidden),
+            "module.model.fc2.bias": t(out_dim),
+        },
+        tmp_path / "proprio_projector--10000_checkpoint.pt",
+    )
+    head, proj = load_oft_aux_params(str(tmp_path), jnp.float32)
+    assert head is not None and proj is not None
+    assert head["blocks"]["w"].shape == (n_blocks, hidden, hidden)
+
+    # forward equals a literal torch evaluation of the same weights
+    x = rng.randn(3, in_dim).astype(np.float32)
+    tx = torch.tensor(x)
+    y = torch.nn.functional.layer_norm(
+        tx, (in_dim,), state["module.model.layer_norm1.weight"],
+        state["module.model.layer_norm1.bias"], 1e-5,
+    )
+    y = torch.nn.functional.linear(y, state["module.model.fc1.weight"],
+                                   state["module.model.fc1.bias"])
+    for i in range(n_blocks):
+        z = torch.nn.functional.layer_norm(
+            y, (hidden,), state[f"module.model.mlp_resnet_blocks.{i}.ffn.0.weight"],
+            state[f"module.model.mlp_resnet_blocks.{i}.ffn.0.bias"], 1e-5,
+        )
+        y = y + torch.nn.functional.linear(
+            z, state[f"module.model.mlp_resnet_blocks.{i}.ffn.1.weight"],
+            state[f"module.model.mlp_resnet_blocks.{i}.ffn.1.bias"],
+        )
+    y = torch.nn.functional.layer_norm(
+        y, (hidden,), state["module.model.layer_norm2.weight"],
+        state["module.model.layer_norm2.bias"], 1e-5,
+    )
+    ref = torch.nn.functional.linear(
+        y, state["module.model.fc2.weight"], state["module.model.fc2.bias"]
+    ).numpy()
+    ours = np.asarray(oft_action_head_forward(head, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
