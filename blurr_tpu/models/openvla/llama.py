@@ -219,8 +219,6 @@ def greedy_generate(
     last_logits = logits(params, spec, h[:, -1:])
     first_tok = jnp.argmax(last_logits[:, -1], axis=-1)  # [B]
 
-    prompt_len = jnp.sum(attn_valid.astype(jnp.int32), axis=1)  # [B]; == s if unpadded
-
     def step(carry, i):
         tok, cache = carry
         emb = params["embed_tokens"][tok][:, None, :].astype(prompt_embeds.dtype)

@@ -271,11 +271,9 @@ def prefill(
     def full_layer(carry, lps):
         hs = dict(zip(names, carry))
         qs, ks, vs = [], [], []
-        normed = {}
         for n in names:
             m = spec.mixtures[n]
             x = _apply_norm(lps[n]["input_norm"], hs[n], None, m, eps)
-            normed[n] = x
             q, k, v = _qkv(lps[n], x, *ropes[n], spec)
             qs.append(q)
             ks.append(k)
