@@ -128,8 +128,10 @@ def timm_vit_params_from_hf(
     return params
 
 
-def openvla_params_from_hf_dir(path: str, spec, dtype=jnp.bfloat16) -> Dict:
-    """Full OpenVLA snapshot dir -> parameter pytree."""
+def openvla_params_from_hf_dir(path: str, spec, dtype=jnp.bfloat16,
+                               merge_lora: bool = True) -> Dict:
+    """Full OpenVLA snapshot dir -> parameter pytree; auto-merges a
+    lora_adapter/ dir unless ``merge_lora`` is False."""
     state = load_safetensors_dir(path)
 
     def proj_lin(name):
@@ -140,8 +142,11 @@ def openvla_params_from_hf_dir(path: str, spec, dtype=jnp.bfloat16) -> Dict:
 
     from blurr_tpu.ops.lora import maybe_merge_lora_adapter
 
+    llama = llama_params_from_hf(state)
+    if merge_lora:
+        llama = maybe_merge_lora_adapter(llama, path)
     params = {
-        "llama": maybe_merge_lora_adapter(llama_params_from_hf(state), path),
+        "llama": llama,
         "dinov2": timm_vit_params_from_hf(
             state, "vision_backbone.featurizer.", spec.dinov2.effective_num_layers
         ),

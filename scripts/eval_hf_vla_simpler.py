@@ -128,7 +128,9 @@ def _build_model(args, dtype):
             model = OpenVLAOFT(spec, norm_stats, use_proprio=oft_proj is not None)
         else:
             model = OpenVLA(spec, norm_stats)
-        params = openvla_params_from_hf_dir(str(model_path), spec, dtype)
+        params = openvla_params_from_hf_dir(
+            str(model_path), spec, dtype, merge_lora=args.use_lora != "off"
+        )
         if oft_head is not None:
             params["action_head"] = oft_head
         if oft_proj is not None:
