@@ -254,12 +254,18 @@ def prefill(
     embeds: Dict[str, jax.Array],  # {"vlm": [B,Sv,Hv], "proprio": [B,Sp,Hp]}
     position_ids: Dict[str, jax.Array],
     prefix_mask: jax.Array,  # bool [B, Sv+Sp, Sv+Sp]
+    time_cond: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the instruction prefix (image+text+proprio) once per control step.
 
     Returns the prefix KV cache ``(k, v)`` with shape
     [L, B, KV_heads, Sv+Sp, head_dim]; K is stored post-RoPE, matching the
     reference cache contents (joint_model.py:198-222).
+
+    ``time_cond`` feeds adaptive (adaLN) mixtures; caching an adaptive
+    mixture's K/V is only valid for a fixed conditioning, so the caller
+    passes the t=0 flow-time embedding (the reference's cached path would
+    crash here — adaptive mode only ran through its naive/training paths).
     """
     names = list(embeds.keys())
     eps = spec.rms_norm_eps
@@ -268,12 +274,15 @@ def prefill(
     hs = {n: scale_embeds(embeds[n]) for n in names}
     ropes = {n: mixture_rope(spec.mixtures[n], spec, position_ids[n]) for n in names}
 
+    def tc_for(n):
+        return time_cond if spec.mixtures[n].adaptive_mode else None
+
     def full_layer(carry, lps):
         hs = dict(zip(names, carry))
         qs, ks, vs = [], [], []
         for n in names:
             m = spec.mixtures[n]
-            x = _apply_norm(lps[n]["input_norm"], hs[n], None, m, eps)
+            x = _apply_norm(lps[n]["input_norm"], hs[n], tc_for(n), m, eps)
             q, k, v = _qkv(lps[n], x, *ropes[n], spec)
             qs.append(q)
             ks.append(k)
@@ -288,10 +297,13 @@ def prefill(
         for n, s in zip(names, svs):
             m = spec.mixtures[n]
             a = mm(attn[:, offset : offset + s], lps[n]["o_w"], spec.activation_clip)
+            a = _apply_scale(lps[n], "post_scale", a, tc_for(n), m)
             offset += s
             h = hs[n] + a
-            x = _apply_norm(lps[n]["post_norm"], h, None, m, eps)
-            h = h + _mlp(lps[n], x, spec)
+            x = _apply_norm(lps[n]["post_norm"], h, tc_for(n), m, eps)
+            mlp_out = _mlp(lps[n], x, spec)
+            mlp_out = _apply_scale(lps[n], "final_scale", mlp_out, tc_for(n), m)
+            h = h + mlp_out
             outs.append(h)
         return tuple(outs), (k, v)
 

@@ -374,12 +374,20 @@ class PiZero:
         inputs_embeds = self._embed_merge(params, input_ids, pixel_values)
         proprio_embeds = self._encode_proprio(params, proprios)
 
+        # adaptive mixtures need a conditioning at prefill; the cached path
+        # fixes it at the flow start (t=0) — see joint.prefill docstring
+        prefill_tc = None
+        if s.adaptive_mode:
+            prefill_tc = self._time_embedding(jnp.zeros((bsz,), noise.dtype)).astype(
+                noise.dtype
+            )
         cache = joint_lib.prefill(
             {"vlm": params["joint"]["vlm"], "proprio": params["joint"]["proprio"]},
             self.joint_spec,
             {"vlm": inputs_embeds, "proprio": proprio_embeds},
             {"vlm": vlm_pos, "proprio": proprio_pos},
             prefix_mask,
+            time_cond=prefill_tc,
         )
         if self.kv_quant_mode == "int8":
             from blurr_tpu.ops.quant import quantize_kv_int8

@@ -198,3 +198,36 @@ def test_infer_action_from_frame_fused_preprocessing(model_and_params):
     )
     # different lanczos taps -> small drift allowed
     np.testing.assert_allclose(np.asarray(fused), np.asarray(host), atol=0.08)
+
+
+@pytest.mark.parametrize("mode", ["adaLN", "adaLN-Zero"])
+def test_adaptive_action_expert_modes(mode):
+    """adaLN(-Zero) action expert: time conditioning enters via adaptive
+    norms/layerscales instead of the action-encoder concat
+    (reference pizero.py:80-98, modules.py:78-119)."""
+    cfg = tiny_pi0_cfg()
+    cfg.action_expert_adaptive_mode = mode
+    for mix in ("proprio", "action"):
+        cfg.mixture[mix].adaptive_mode = mode
+    cfg.joint.config.mixture = cfg.mixture
+    cfg.joint.config.action_expert_adaptive_mode = mode
+    model = PiZero(cfg)
+    assert model.spec.adaptive_mode == mode
+    params = model.init_params(jax.random.PRNGKey(2))
+    params = model.tie_action_proprio_weights(params)
+    # adaptive param structure present
+    an = params["joint"]["action"]["input_norm"]
+    assert "to_gamma_w" in an and "to_beta_w" in an
+    if mode == "adaLN-Zero":
+        assert "post_scale" in params["joint"]["action"]
+    # time-cond path: action encoder has NO time concat (w2 is square)
+    assert params["action_encoder"]["w2"].shape[0] == params["action_encoder"]["w2"].shape[1]
+
+    inputs = tiny_inputs(cfg)
+    out = np.asarray(model.infer_action(params, **inputs))
+    assert out.shape == (2, 4, 7)
+    assert np.isfinite(out).all()
+    # flow time must influence the output through the adaptive conditioning
+    a1 = np.asarray(model.infer_action(params, num_inference_steps=1, **inputs))
+    a4 = np.asarray(model.infer_action(params, num_inference_steps=4, **inputs))
+    assert not np.allclose(a1, a4)
