@@ -44,19 +44,32 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
     """Compile + execute ONE sharded training step on tiny shapes over an
     ``n_devices`` mesh (driver contract: validates the multi-chip path
     without real chips, using virtual CPU devices)."""
+    import os
+
     import numpy as np
 
-    if len(jax.devices()) < n_devices:
-        # The axon plugin pins JAX_PLATFORMS=axon; switch to the virtual CPU
-        # platform if the backend allows (fresh process).
+    # The axon plugin overrides JAX_PLATFORMS programmatically at import, so
+    # the driver's env (JAX_PLATFORMS=cpu + xla_force_host_platform_device_
+    # count) is NOT enough — force the virtual CPU platform and the device
+    # count BEFORE the backend initializes (config.update is a no-op after).
+    # Real multi-chip hardware can opt out via BLURR_DRYRUN_PLATFORM=tpu.
+    platform = os.environ.get("BLURR_DRYRUN_PLATFORM", "cpu")
+    if platform == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_devices}"
+            ).strip()
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
     devices = jax.devices()
     assert len(devices) >= n_devices, (
-        f"need {n_devices} devices, have {len(devices)} "
-        "(set --xla_force_host_platform_device_count)"
+        f"need {n_devices} devices, have {len(devices)} on platform "
+        f"{devices[0].platform!r}. If the backend initialized before this "
+        "call (e.g. jax.devices() was touched), run dryrun_multichip in a "
+        "fresh process."
     )
     if model_par is None:
         model_par = 2 if n_devices % 2 == 0 else 1
