@@ -121,7 +121,9 @@ def cmd_first_vs_steady(args: argparse.Namespace) -> None:
             "first_call_ms": None,
             "steady_latency_ms": None,
         }
-        try:  # graceful OOM skip (fp32 3B exceeds 16GB HBM)
+        def run_one():
+            # function scope so a failure frees the params before the next
+            # preset allocates (a leaked fp32 tree OOMs the following run)
             model, params = B.load_model(cfg, args.checkpoint, dtype)
             inputs = B.prepare_inputs(
                 cfg, args.prompt, args.image, dtype, args.proprio_mode
@@ -135,11 +137,17 @@ def cmd_first_vs_steady(args: argparse.Namespace) -> None:
                 use_prefix_kv_cache=preset["use_prefix_kv_cache"],
                 warmup=args.warmup, iters=args.iters, skip_flops=True,
             )
+            return first_s, result
+
+        try:  # graceful OOM skip (fp32 3B exceeds 16GB HBM)
+            first_s, result = run_one()
             row["first_call_ms"] = round(first_s * 1000.0, 3)
             row["steady_latency_ms"] = round(result.latency_ms, 3)
-            del model, params, inputs
         except Exception as exc:
             row["note"] = f"skipped: {type(exc).__name__}: {str(exc)[:120]}"
+        import gc
+
+        gc.collect()
         rows.append(row)
     _write_csv(out_csv, rows)
     print(f"Wrote: {out_csv}")
@@ -234,25 +242,30 @@ def cmd_compare_presets(args: argparse.Namespace) -> None:
             "gflops": None,
             "note": "",
         }
-        try:  # graceful OOM skip (the reference's <40GB fp32 skip pattern)
+        def run_one():
             model, params = B.load_model(cfg, args.checkpoint, dtype)
             inputs = B.prepare_inputs(
                 cfg, args.prompt, args.image, dtype, args.proprio_mode
             )
-            result = B.bench(
+            return B.bench(
                 model, params, inputs,
                 use_prefix_kv_cache=preset["use_prefix_kv_cache"],
                 warmup=args.warmup, iters=args.iters, skip_flops=args.skip_flops,
             )
+
+        try:  # graceful OOM skip (the reference's <40GB fp32 skip pattern)
+            result = run_one()
             row.update(
                 latency_ms=round(result.latency_ms, 4),
                 peak_reserved_gb=round(result.peak_reserved_gb, 4),
                 gflops=None if result.gflops is None else round(result.gflops, 4),
                 note=result.flops_note or "",
             )
-            del model, params, inputs
         except Exception as exc:
             row["note"] = f"skipped: {type(exc).__name__}: {str(exc)[:160]}"
+        import gc
+
+        gc.collect()
         results["rows"].append(row)
     if len(results["rows"]) == 2:
         a, b = results["rows"]
