@@ -70,13 +70,11 @@ class PaliGemmaForConditionalGeneration:
                 },
                 dtype,
             ),
-            "joint": {"vlm": None},  # filled below
-        } | {
             "joint": {
                 "vlm": joint_lib.init_mixture_params(
                     k4, self.joint_spec.mixtures["vlm"], self.joint_spec, dtype
                 )
-            }
+            },
         }
 
     # ------------------------------------------------------------------
