@@ -153,6 +153,46 @@ class PaliGemmaForConditionalGeneration:
             out.append(np.asarray(tok))
         return np.stack(out, axis=1)  # [B, T]
 
+    def generate_fused(
+        self, params: Dict, input_ids, pixel_values, max_new_tokens: int = 20,
+        eos_token_id: Optional[int] = None,
+    ) -> np.ndarray:
+        """Greedy generation as ONE jitted program: prefill + lax.scan over
+        decode steps (the per-token host dispatch of ``generate`` costs a
+        device round-trip per token — significant over remote TPU links).
+        EOS handling: once emitted, subsequent positions repeat EOS."""
+        input_ids = jnp.asarray(input_ids)
+        pixel_values = jnp.asarray(pixel_values)
+        q_len = input_ids.shape[1]
+        max_len = q_len + max_new_tokens
+        eos = -1 if eos_token_id is None else int(eos_token_id)
+
+        def run(params, input_ids, pixel_values):
+            logits, cache, cache_len = self.prefill(
+                params, input_ids, pixel_values, max_len
+            )
+            tok = jnp.argmax(logits[:, -1], axis=-1)
+            done = tok == eos
+
+            # carry: (tok, cache, cache_len, done); collect emitted tokens
+            def step2(carry, _):
+                tok, cache, cache_len, done = carry
+                nxt, cache, cache_len = self.decode_step(
+                    params, tok, cache, cache_len
+                )
+                nxt = jnp.where(done, jnp.full_like(nxt, eos), nxt)
+                done = done | (nxt == eos)
+                return (nxt, cache, cache_len, done), tok
+
+            (last, _, _, _), toks = jax.lax.scan(
+                step2, (tok, cache, cache_len, done), None,
+                length=max_new_tokens - 1,
+            )
+            toks = jnp.moveaxis(toks, 0, 1)
+            return jnp.concatenate([toks, last[:, None]], axis=1)
+
+        return np.asarray(jax.jit(run)(params, input_ids, pixel_values))
+
 
 class GemmaForCausalLM:
     """Text-only Gemma causal LM (parity surface: reference

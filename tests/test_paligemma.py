@@ -55,3 +55,24 @@ def test_gemma_causal_lm_cache_consistency():
         expected.append(nxt)
         cur = np.concatenate([cur, [[nxt]]], axis=1).astype(np.int32)
     assert toks[0].tolist() == expected
+
+
+def test_generate_fused_matches_hostloop():
+    cfg = PaliGemmaConfig(
+        vision_config={
+            "hidden_size": 32, "intermediate_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 2, "image_size": 28, "patch_size": 14,
+        },
+        text_config=TINY_TEXT,
+        image_token_index=260, pad_token_id=0, projection_dim=32, hidden_size=32,
+    )
+    model = PaliGemmaForConditionalGeneration(cfg)
+    params = model.init_params(jax.random.PRNGKey(5))
+    rng = np.random.RandomState(6)
+    ids = np.concatenate(
+        [np.full((1, 4), 260, np.int32), rng.randint(3, 299, (1, 5))], axis=1
+    )
+    px = rng.rand(1, 3, 28, 28).astype(np.float32)
+    host = model.generate(params, ids, px, max_new_tokens=6)
+    fused = model.generate_fused(params, ids, px, max_new_tokens=6)
+    np.testing.assert_array_equal(host, fused)
