@@ -25,6 +25,8 @@ def main():
     p.add_argument("--prompt", type=str, default="this image shows ")
     p.add_argument("--max-new-tokens", type=int, default=20)
     p.add_argument("--use-bf16", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="Single-program generation (prefill + decode scan).")
     args = p.parse_args()
 
     import jax
@@ -87,7 +89,8 @@ def main():
         }
         eos = None
 
-    toks = model.generate(
+    gen = model.generate_fused if args.fused else model.generate
+    toks = gen(
         params,
         inputs["input_ids"],
         inputs["pixel_values"].astype(np.float32),

@@ -85,3 +85,20 @@ def test_preset_semantics():
     assert cfg.num_inference_steps == 1
     with pytest.raises(ValueError):
         _apply_preset(cfg, "nope")
+
+
+def test_fractal_configs_load():
+    for name in ("fractal_coke", "fractal_apple", "fractal_drawer", "fractal_move"):
+        cfg = load_yaml(config_root() / "eval" / f"{name}.yaml")
+        assert cfg.proprio_dim == 8  # POS_QUAT
+        assert cfg.act_steps == 2
+        assert "EDRSimplerAdapter" in cfg.env.adapter._target_
+        assert cfg.mixture.vlm.hidden_size == 2048
+    assert load_yaml(config_root() / "eval" / "fractal_coke.yaml").n_eval_episode == 1000
+
+
+def test_w8a8_preset_loads():
+    cfg = load_yaml(config_root() / "eval" / "bridge_w8a8_steps1.yaml")
+    assert cfg.vlm_quantization.mode == "w8a8"
+    assert cfg.vlm_quantization.include_vision is True
+    assert cfg.num_inference_steps == 1
