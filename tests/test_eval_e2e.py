@@ -120,3 +120,29 @@ def test_edr_sticky_gripper_state_machine():
     assert out2 == -1.0
     out3 = adapter.postprocess_gripper(0.0)
     assert out3 == -1.0 and not adapter.sticky_action_is_on  # repeat cap hit
+
+
+def test_eval_reproducible_across_runs(tmp_path):
+    """Same seed -> identical action trajectories (the reference relies on
+    global torch.manual_seed; here the PRNG key is threaded explicitly)."""
+    from blurr_tpu.agent.eval_agent import EvalAgent
+
+    def run_once(subdir):
+        cfg = eval_cfg(tmp_path / subdir, n_episodes=1)
+        cfg.image_token_index = 257152
+        cfg.vocab_size = 258000
+        agent = EvalAgent(cfg)
+        seen = []
+        orig = agent.env_adapter.postprocess
+
+        def spy(actions):
+            seen.append(np.array(actions, copy=True))
+            return orig(actions)
+
+        agent.env_adapter.postprocess = spy
+        agent.run()
+        return np.concatenate(seen)
+
+    a = run_once("r1")
+    b = run_once("r2")
+    np.testing.assert_array_equal(a, b)
