@@ -49,10 +49,10 @@ def test_eval_agent_closed_loop(tmp_path, caplog):
     from blurr_tpu.agent.eval_agent import EvalAgent
 
     cfg = eval_cfg(tmp_path)
-    # image_token_index must match the stub tokenizer's id
+    # image_token_index must match the stub tokenizer's id; vocab must
+    # exceed it so the embedding gather stays in-bounds
     cfg.image_token_index = 257152
-    cfg.vocab_size = 257216 // 400  # keep embed small but > stub ids? no --
-    cfg.vocab_size = 258000  # must exceed image_token_index
+    cfg.vocab_size = 258000
     with caplog.at_level(logging.INFO):
         agent = EvalAgent(cfg)
         rate = agent.run()
