@@ -146,6 +146,7 @@ class EvalAgent:
         env_adapter = self.env_adapter
         cnt_episode = 0
         successes = []
+        infer_times = []
 
         env_reset_options = {"obj_init_options": {"episode_id": cnt_episode}}
         obs, reset_info = env.reset(options=env_reset_options)
@@ -173,11 +174,12 @@ class EvalAgent:
             inputs = env_adapter.preprocess(env, obs, instruction)
             t0 = time.time()
             actions = self._infer(inputs)
+            infer_times.append(time.time() - t0)
             log.debug(
                 "Episode %d, step %d: model forward done in %.3f s.",
                 cnt_episode,
                 step_in_episode,
-                time.time() - t0,
+                infer_times[-1],
             )
             env_actions = env_adapter.postprocess(actions)
 
@@ -242,5 +244,16 @@ class EvalAgent:
         log.info("============ Evaluation Summary ============")
         log.info(f"Number of episodes: {cnt_episode}")
         log.info(f"Success rate: {success_rate}")
+        if len(infer_times) > 1:
+            # first call includes XLA compilation; report it separately
+            steady = sorted(infer_times[1:])
+            log.info(
+                "Inference wall-clock: first %.1f ms (incl. compile), "
+                "steady p50 %.1f ms / mean %.1f ms over %d steps",
+                infer_times[0] * 1000,
+                steady[len(steady) // 2] * 1000,
+                float(np.mean(steady)) * 1000,
+                len(steady),
+            )
         log.info("============================================")
         return success_rate
