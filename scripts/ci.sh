@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Repo health check: test suite (virtual 8-device CPU mesh) + CLI smokes +
+# driver contracts. Safe to run without TPU hardware.
+set -euo pipefail
+REPO_ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+cd "${REPO_ROOT}"
+export BLURR_PLATFORM="${BLURR_PLATFORM:-cpu}"
+
+echo "==== tests ===="
+python -m pytest tests/ -q
+
+echo "==== CLI smokes (tiny configs, CPU) ===="
+python scripts/benchmark_pi0.py --config config/eval/bridge_tiny.yaml \
+  --checkpoint random --warmup 1 --iters 2 --skip-flops | grep "Average latency"
+python scripts/eval_pi0_simpler.py --preset blurr --config config/eval/bridge_tiny.yaml \
+  --task fake_widowx_carrot_on_plate --checkpoint random --n-eval-episode 1 \
+  | grep -E "Success rate" >/dev/null && echo "eval_pi0_simpler OK"
+python scripts/benchmark_hf_vla.py --model-id random --warmup 1 --iters 2 \
+  --skip-flops | grep "Average latency"
+python scripts/collect_bridge_eval_results.py >/dev/null && echo "collector OK"
+python scripts/demo_paligemma_text.py --max-new-tokens 4 --fused >/dev/null \
+  && echo "text demo OK"
+
+echo "==== driver contracts ===="
+python -c "
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+import jax
+fn, args = g.entry()
+out = jax.eval_shape(fn, *args)
+print('entry eval_shape OK:', out.shape)
+"
+echo "ALL GREEN"

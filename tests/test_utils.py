@@ -1,0 +1,88 @@
+"""Utility-module coverage: metrics, schedules, spec, decorators, native."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from blurr_tpu.utils.decorator import conditional_decorator, main_rank_only
+from blurr_tpu.utils.metric import get_action_accuracy
+from blurr_tpu.utils.optim import (
+    cosine_annealing_warmup_restarts,
+    get_num_params_in_billions,
+)
+from blurr_tpu.utils.spec import ModuleSpec
+
+
+def test_action_accuracy_thresholds():
+    gt = jnp.zeros((2, 3, 4))
+    pred = jnp.full((2, 3, 4), 0.15)
+    acc = np.asarray(get_action_accuracy(gt, pred, thresholds=[0.1, 0.2]))
+    # all dims off by 0.15: fails the 0.1 threshold, passes 0.2
+    np.testing.assert_allclose(acc, [0.0, 1.0])
+    # one dimension out of threshold fails the whole step
+    pred2 = gt.at[0, 0, 0].set(0.5)
+    acc2 = np.asarray(get_action_accuracy(gt, pred2, thresholds=[0.2]))
+    np.testing.assert_allclose(acc2, [5.0 / 6.0])
+
+
+def test_cosine_schedule_shape():
+    sched = cosine_annealing_warmup_restarts(
+        first_cycle_steps=10, max_lr=1.0, min_lr=0.1, warmup_steps=2
+    )
+    assert sched(0) == 0.1                      # warmup start at min
+    assert abs(sched(2) - 1.0) < 1e-9           # peak after warmup
+    assert sched(9) < sched(5) < sched(2)       # cosine decay
+    # restart: second cycle begins warming up again
+    assert sched(10) < sched(12) <= 1.0
+
+
+def test_cosine_schedule_cycle_mult_and_gamma():
+    sched = cosine_annealing_warmup_restarts(
+        first_cycle_steps=4, cycle_mult=2.0, max_lr=1.0, min_lr=0.0,
+        warmup_steps=1, gamma=0.5,
+    )
+    # second cycle's peak is halved
+    assert abs(sched(5) - 0.5) < 1e-9  # step 5 = cycle 1, end of warmup
+
+
+def test_num_params():
+    params = {"a": jnp.zeros((1000, 1000)), "b": {"c": jnp.zeros((500,))}}
+    assert abs(get_num_params_in_billions(params) - (1_000_500 / 1e9)) < 1e-12
+
+
+def test_module_spec_roundtrip():
+    spec = ModuleSpec.create("blurr_tpu.utils.metric:get_action_accuracy")
+    fn = ModuleSpec.instantiate(spec)
+    out = np.asarray(fn(jnp.zeros((1, 2, 3)), jnp.zeros((1, 2, 3))))
+    np.testing.assert_allclose(out, [1.0, 1.0])
+    assert "get_action_accuracy" in ModuleSpec.to_string(spec)
+
+
+def test_conditional_decorator():
+    calls = []
+
+    def dec(f):
+        def wrapped(*a):
+            calls.append(1)
+            return f(*a)
+
+        return wrapped
+
+    @conditional_decorator(dec, True)
+    def f1(x):
+        return x + 1
+
+    @conditional_decorator(dec, False)
+    def f2(x):
+        return x + 1
+
+    assert f1(1) == 2 and calls == [1]
+    assert f2(1) == 2 and calls == [1]
+
+
+def test_main_rank_only_runs_on_rank0():
+    @main_rank_only
+    def f():
+        return 42
+
+    assert f() == 42  # single-process == rank 0
