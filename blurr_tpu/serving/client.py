@@ -1,0 +1,34 @@
+"""Client for the ActionServer's length-prefixed JSON protocol."""
+
+from __future__ import annotations
+
+import base64
+import socket
+
+import numpy as np
+
+from blurr_tpu.serving.server import recv_msg, send_msg
+
+
+class ActionClient:
+    def __init__(self, host: str = "127.0.0.1", port: int = 8787,
+                 timeout: float = 120.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+
+    def predict(self, image: np.ndarray, instruction: str, proprio) -> np.ndarray:
+        image = np.ascontiguousarray(image, np.uint8)
+        send_msg(self.sock, {
+            "instruction": instruction,
+            "image": base64.b64encode(image.tobytes()).decode("ascii"),
+            "image_shape": list(image.shape),
+            "proprio": list(np.asarray(proprio, np.float64)),
+        })
+        resp = recv_msg(self.sock)
+        if resp is None:
+            raise ConnectionError("server closed the connection")
+        if "error" in resp:
+            raise RuntimeError(resp["error"])
+        return np.asarray(resp["actions"], np.float32)
+
+    def close(self) -> None:
+        self.sock.close()

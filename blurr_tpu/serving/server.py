@@ -1,0 +1,194 @@
+"""Action server: network serving for the VLA control step.
+
+The reference has no serving daemon (SURVEY.md §0); this is the deployment
+layer for the TPU build. One jitted control-step program serves requests
+over a length-prefixed JSON protocol (arrays as base64) — dependency-free
+stdlib sockets, one worker thread per connection, model execution serialized
+on the device (the TPU is a single in-order stream anyway).
+
+Protocol (both directions): 4-byte big-endian length + UTF-8 JSON.
+Request:  {"instruction": str, "image": b64(u8 HxWx3 bytes), "image_shape":
+           [H, W, 3], "proprio": [float, ...]}
+Response: {"actions": [[...], ...], "latency_ms": float}  or {"error": str}
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import logging
+import socket
+import struct
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def send_msg(sock: socket.socket, obj: dict) -> None:
+    data = json.dumps(obj).encode("utf-8")
+    sock.sendall(struct.pack(">I", len(data)) + data)
+
+
+def recv_msg(sock: socket.socket) -> Optional[dict]:
+    header = _recv_exact(sock, 4)
+    if header is None:
+        return None
+    (length,) = struct.unpack(">I", header)
+    payload = _recv_exact(sock, length)
+    if payload is None:
+        return None
+    return json.loads(payload.decode("utf-8"))
+
+
+def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+class ActionServer:
+    """Serves Pi-0 action chunks over TCP.
+
+    The per-request path is exactly the EvalAgent control step: adapter-style
+    preprocessing (resize + tokenize with an instruction cache), one jitted
+    device program, denormalization-free raw actions returned (callers apply
+    their env adapter; keeps the server robot-agnostic).
+    """
+
+    def __init__(self, cfg, checkpoint_path: Optional[str] = None,
+                 seed: int = 42):
+        import jax
+        import jax.numpy as jnp
+
+        from blurr_tpu.benchmarks import build_processor
+        from blurr_tpu.models.pi0.pizero import PiZeroInference
+
+        self.cfg = cfg
+        self.dtype = jnp.bfloat16 if cfg.get("use_bf16") else jnp.float32
+        self.model = PiZeroInference(cfg)
+        if not checkpoint_path or str(checkpoint_path).lower() in {"random", "none"}:
+            params = self.model.init_params(jax.random.PRNGKey(0), self.dtype)
+            params = self.model.tie_action_proprio_weights(params)
+        else:
+            from blurr_tpu.models.pi0.checkpoint import (
+                pizero_params_from_torch_checkpoint,
+            )
+
+            params = pizero_params_from_torch_checkpoint(
+                checkpoint_path, dtype=self.dtype
+            )
+        params = self.model.enable_action_quantization(params)
+        params = self.model.enable_vlm_quantization(params)
+        self.params = params
+        self.processor = build_processor(cfg)
+        self._step = jax.jit(self.model.infer_action)
+        self._rng = jax.random.PRNGKey(seed)
+        self._lock = threading.Lock()  # device stream + PRNG serialization
+        self._tok_cache = {}
+        self._sock: Optional[socket.socket] = None
+
+    # ------------------------------------------------------------------
+
+    def warmup(self) -> float:
+        """Compile the step with a dummy request; returns seconds taken."""
+        t0 = time.time()
+        size = self.cfg["vision"]["config"]["image_size"]
+        dummy = np.zeros((size, size, 3), np.uint8)
+        self.predict(dummy, "warmup", [0.0] * self.cfg["proprio_dim"])
+        return time.time() - t0
+
+    def predict(self, image: np.ndarray, instruction: str, proprio) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        size = self.cfg["vision"]["config"]["image_size"]
+        if image.shape[:2] != (size, size):
+            try:
+                import cv2
+
+                image = cv2.resize(image, (size, size),
+                                   interpolation=cv2.INTER_LANCZOS4)
+            except ImportError:
+                from blurr_tpu import native
+
+                image = native.lanczos4_resize(image, (size, size))
+        if instruction in self._tok_cache:
+            ids, am = self._tok_cache[instruction]
+        else:
+            out = self.processor(
+                text=[instruction],
+                images=np.ascontiguousarray(image.transpose(2, 0, 1))[None],
+            )
+            ids, am = out["input_ids"], out["attention_mask"]
+            self._tok_cache[instruction] = (ids, am)
+        from blurr_tpu.models.pi0.processing import process_images
+
+        px = process_images(
+            np.ascontiguousarray(image.transpose(2, 0, 1))[None]
+        ).astype(self.dtype)
+        pr = jnp.asarray(np.asarray(proprio, np.float32)[None, None], self.dtype)
+        with self._lock:
+            self._rng, sub = jax.random.split(self._rng)
+            noise = jax.random.normal(
+                sub,
+                (1, self.model.spec.num_action_tokens, self.model.spec.action_dim),
+                self.dtype,
+            )
+            actions = self._step(self.params, ids, am, px, pr, noise)
+            return np.asarray(actions[0], np.float32)
+
+    # ------------------------------------------------------------------
+
+    def serve_forever(self, host: str = "127.0.0.1", port: int = 8787,
+                      ready_event: Optional[threading.Event] = None) -> None:
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(8)
+        self.port = self._sock.getsockname()[1]
+        log.info("ActionServer listening on %s:%d", host, self.port)
+        if ready_event is not None:
+            ready_event.set()
+        try:
+            while True:
+                conn, addr = self._sock.accept()
+                threading.Thread(
+                    target=self._handle, args=(conn,), daemon=True
+                ).start()
+        except OSError:
+            pass  # socket closed by stop()
+
+    def stop(self) -> None:
+        if self._sock is not None:
+            self._sock.close()
+
+    def _handle(self, conn: socket.socket) -> None:
+        with conn:
+            while True:
+                req = recv_msg(conn)
+                if req is None:
+                    return
+                try:
+                    shape = tuple(req["image_shape"])
+                    image = np.frombuffer(
+                        base64.b64decode(req["image"]), np.uint8
+                    ).reshape(shape)
+                    t0 = time.time()
+                    actions = self.predict(
+                        image, req["instruction"], req["proprio"]
+                    )
+                    send_msg(conn, {
+                        "actions": actions.tolist(),
+                        "latency_ms": (time.time() - t0) * 1000.0,
+                    })
+                except Exception as exc:  # keep the connection alive
+                    log.exception("request failed")
+                    send_msg(conn, {"error": f"{type(exc).__name__}: {exc}"})

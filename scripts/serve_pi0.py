@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Run the Pi-0 action server (deployment surface; the reference ships no
+serving daemon — SURVEY.md §0).
+
+    python scripts/serve_pi0.py --config config/eval/bridge.yaml \
+        --checkpoint /path/to/ckpt.pt --preset blurr --port 8787
+
+Clients: blurr_tpu.serving.ActionClient.predict(image_u8_hw3, instruction,
+proprio) -> raw normalized action chunk [horizon, action_dim].
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, default="config/eval/bridge.yaml")
+    p.add_argument("--checkpoint", type=str, default="random")
+    p.add_argument(
+        "--preset", type=str, default="blurr",
+        choices=["baseline", "vanilla", "prefix_cache", "blurr", "step1"],
+    )
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(message)s")
+    from blurr_tpu.benchmarks import load_cfg
+    from blurr_tpu.serving.server import ActionServer
+
+    sys.path.insert(0, str(REPO_ROOT / "scripts"))
+    from eval_pi0_simpler import _apply_preset
+
+    cfg = load_cfg(args.config)
+    _apply_preset(cfg, args.preset)
+    server = ActionServer(cfg, args.checkpoint, seed=args.seed)
+    logging.info("warming up (XLA compile)...")
+    logging.info("warmup took %.1f s", server.warmup())
+    server.serve_forever(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
