@@ -146,3 +146,38 @@ def test_eval_reproducible_across_runs(tmp_path):
     a = run_once("r1")
     b = run_once("r2")
     np.testing.assert_array_equal(a, b)
+
+
+def test_fake_env_action_coupled_dynamics():
+    """Obs are a deterministic function of the integrated action history:
+    identical action streams reproduce identical obs; a perturbed action
+    changes every subsequent observation (closed-loop feedback)."""
+    from blurr_tpu.agent.fake_env import FakeSimplerEnv
+
+    def rollout(perturb: float):
+        env = FakeSimplerEnv(image_hw=(60, 80))
+        obs, _ = env.reset(options={"obj_init_options": {"episode_id": 3}}, seed=7)
+        frames, eefs = [obs["image"]], [obs["agent"]["eef_pos"]]
+        for t in range(4):
+            a = np.full(7, 0.1)
+            if t == 1:
+                a = a + perturb
+            obs, _, _, _, _ = env.step(a)
+            frames.append(obs["image"])
+            eefs.append(obs["agent"]["eef_pos"])
+        return frames, eefs
+
+    f0, e0 = rollout(0.0)
+    f1, e1 = rollout(0.0)
+    for a, b in zip(f0, f1):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(e0, e1):
+        np.testing.assert_array_equal(a, b)
+
+    f2, e2 = rollout(0.05)
+    # pre-perturbation obs identical; post-perturbation obs diverge and the
+    # divergence persists (the env integrates, not resamples)
+    np.testing.assert_array_equal(f0[1], f2[1])
+    for t in (2, 3, 4):
+        assert not np.array_equal(e0[t], e2[t])
+        assert not np.array_equal(f0[t], f2[t])
