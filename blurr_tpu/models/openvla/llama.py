@@ -19,7 +19,13 @@ import jax
 import jax.numpy as jnp
 
 from blurr_tpu.ops.attention import grouped_attention
-from blurr_tpu.ops.quant import mm, quantize_mixture_w8a8, quantize_weight_w8a8
+from blurr_tpu.ops.quant import (
+    mm,
+    quantize_mixture_w4a8,
+    quantize_mixture_w8a8,
+    quantize_weight_w4a8,
+    quantize_weight_w8a8,
+)
 from blurr_tpu.ops.rotary import apply_rope, rope_cos_sin
 
 
@@ -188,6 +194,68 @@ def quantize_llama_w8a8(params: Dict, quantize_lm_head: bool = True) -> Dict:
     if quantize_lm_head and not isinstance(params["lm_head"], dict):
         out["lm_head"] = quantize_weight_w8a8(params["lm_head"])
     return out
+
+
+def quantize_llama_w4a8(params: Dict, quantize_lm_head: bool = True) -> Dict:
+    """W4A8-quantize the decoder weights: int4 nibble-packed storage (half
+    the w8a8 bytes; a 7B decoder fits in ~3.5 GB) consumed by the fused
+    Pallas kernel (ops/pallas_int4_matmul.py). On v5e the bandwidth-bound
+    action-token decode runs ~1.2-1.4x faster than w8a8 per GEMV.
+
+    Accuracy: per-out-channel int4 is a 15-level quantizer — noticeably
+    coarser than int8. Opt-in speed/memory tier; validate closed-loop
+    success with real checkpoints before production.
+    """
+    out = dict(params)
+    out["layers"] = quantize_mixture_w4a8(params["layers"])
+    if quantize_lm_head and not isinstance(params["lm_head"], dict):
+        out["lm_head"] = quantize_weight_w4a8(params["lm_head"])
+    return out
+
+
+def init_llama_params_w4a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) -> Dict:
+    """Random init DIRECTLY in packed-w4a8 form (the bf16->int4 quantize of a
+    full 7B tree would transiently exceed 16GB HBM on one chip). Random int8
+    bytes are random nibble pairs, so the packed tensors are statistically
+    equivalent to packing a random int4 tree."""
+    nl, h, inter = spec.num_layers, spec.hidden_size, spec.intermediate_size
+    nh, kvh, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    keys = iter(jax.random.split(rng, 16))
+
+    def pad_n(n):
+        return -(-n // 1024) * 1024
+
+    def q(shape, fan_in):
+        k, n = shape
+        return {
+            "q4": jax.random.randint(
+                next(keys), (nl, k // 2, pad_n(n)), -128, 128, jnp.int8
+            ),
+            "s": jnp.full((nl, n), fan_in**-0.5 / 7.0, jnp.float32),
+        }
+
+    return {
+        "embed_tokens": jax.random.normal(next(keys), (spec.vocab_size, h), dtype)
+        * (h**-0.5),
+        "layers": {
+            "q_w": q((h, nh * hd), h),
+            "k_w": q((h, kvh * hd), h),
+            "v_w": q((h, kvh * hd), h),
+            "o_w": q((nh * hd, h), nh * hd),
+            "gate_w": q((h, inter), h),
+            "up_w": q((h, inter), h),
+            "down_w": q((inter, h), inter),
+            "input_norm": jnp.ones((nl, h), dtype),
+            "post_norm": jnp.ones((nl, h), dtype),
+        },
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": {
+            "q4": jax.random.randint(
+                next(keys), (h // 2, pad_n(spec.vocab_size)), -128, 128, jnp.int8
+            ),
+            "s": jnp.full((spec.vocab_size,), h**-0.5 / 7.0, jnp.float32),
+        },
+    }
 
 
 def causal_prefill_mask(

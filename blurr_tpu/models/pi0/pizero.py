@@ -186,21 +186,26 @@ class PiZero:
         (pizero.py:274-321): int8-quantize the action mixture and the action/
         proprio encoders + action decoder when cfg.action_quantization.mode is
         set. bnb_int8 maps to the same int8 path on TPU."""
-        if self.action_quant_mode not in {"int8", "int8_cached", "bnb_int8", "w8a8"}:
+        if self.action_quant_mode not in {
+            "int8", "int8_cached", "bnb_int8", "w8a8", "w4a8",
+        }:
             return params
         from blurr_tpu.ops.quant import (
             quantize_dense_int8,
             quantize_mixture_int8,
+            quantize_mixture_w4a8,
             quantize_mixture_w8a8,
         )
 
         tied = params["joint"].get("proprio") is params["joint"].get("action")
         params = dict(params)
         params["joint"] = dict(params["joint"])
-        if self.action_quant_mode == "w8a8":
-            params["joint"]["action"] = quantize_mixture_w8a8(
-                params["joint"]["action"]
+        if self.action_quant_mode in ("w8a8", "w4a8"):
+            qfn = (
+                quantize_mixture_w8a8 if self.action_quant_mode == "w8a8"
+                else quantize_mixture_w4a8
             )
+            params["joint"]["action"] = qfn(params["joint"]["action"])
             if tied:
                 params["joint"]["proprio"] = params["joint"]["action"]
             return params
@@ -226,15 +231,27 @@ class PiZero:
     def enable_vlm_quantization(self, params: Dict) -> Dict:
         """Performance extension beyond the reference's quantization menu:
         W8A8 (dynamic per-token int8 activations x int8 weights on the MXU)
-        for the prefill-heavy VLM mixture. Opt-in via cfg.vlm_quantization.
+        for the prefill-heavy VLM mixture, or W4A8 (nibble-packed int4
+        weights via the fused Pallas kernel — halves the weight reads again;
+        pays off where the step is weight-bandwidth-bound, e.g. the pool64
+        short-pad preset). Opt-in via cfg.vlm_quantization.
         """
-        if self.vlm_quant_mode != "w8a8":
+        if self.vlm_quant_mode not in ("w8a8", "w4a8"):
             return params
-        from blurr_tpu.ops.quant import quantize_mixture_w8a8, quantize_vit_w8a8
+        from blurr_tpu.ops.quant import (
+            quantize_mixture_w4a8,
+            quantize_mixture_w8a8,
+            quantize_vit_w8a8,
+        )
 
         params = dict(params)
         params["joint"] = dict(params["joint"])
-        params["joint"]["vlm"] = quantize_mixture_w8a8(params["joint"]["vlm"])
+        qfn = (
+            quantize_mixture_w8a8 if self.vlm_quant_mode == "w8a8"
+            else quantize_mixture_w4a8
+        )
+        params["joint"]["vlm"] = qfn(params["joint"]["vlm"])
+        # the ViT tower stays int8 under w4a8 (small weights; int8 accuracy)
         if self.vlm_quant_vision:
             params["siglip"] = quantize_vit_w8a8(params["siglip"])
         return params

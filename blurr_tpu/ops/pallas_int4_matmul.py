@@ -1,0 +1,124 @@
+"""Pallas fused W4A8 matmul: int4 nibble-packed weights, int8 MXU.
+
+Motivation (measured, experiments/bench_pallas_int4*.py, v5e):
+- XLA cannot consume int4 weights: an in-graph nibble unpack never fuses
+  into the dot (w4a8 28.4 ms vs w8a8 3.3 ms on an 18-layer Gemma-MLP chain),
+  and native S4 arrays cannot even cross a jit boundary on the axon backend
+  (device_put relayout recurses).
+- Inside a Pallas kernel, `pltpu.bitcast(packed_int8, jnp.int4)` followed by
+  `.astype(jnp.int8)` IS lowered natively by Mosaic: the unpack is ~free and
+  the kernel streams half the HBM bytes of the int8 path.
+- At the Llama-7B decode GEMV shape (M=8, K=4096, N=11264) the kernel runs
+  45.4 us/layer vs 63.9 us for the XLA int8 dot — 1.41x faster AND half the
+  weight memory. A `pl.CostEstimate` is load-bearing (without it the
+  scheduler under-pipelines: 60.6 us).
+
+Packing layout: adjacent-row pairs — byte[k, n] holds row 2k in the low
+nibble and row 2k+1 in the high nibble, matching the TPU's native S4 lane
+order (bitcast round-trips exactly; max err 0 vs an int32 reference).
+
+Accuracy: per-out-channel symmetric int4 is a coarse quantizer (15 levels);
+this is an opt-in speed/memory tier like w8a8 — validate task success with
+real checkpoints before production use.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Block sizes: bn=1408 (11 lanes of 128) measured fastest at decode shapes;
+# N is padded to a multiple of 1024 at quantize time (pack_int4_padded). bm
+# caps the token-block size.
+_BLOCK_M = 256
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def pick_block_n(n: int) -> int:
+    """Largest measured-good block width that divides n."""
+    for bn in (1408, 1024, 512, 256, 128):
+        if n % bn == 0:
+            return bn
+    raise ValueError(f"N={n} is not a multiple of 128; pad the weight first.")
+
+
+def pack_int4(q: jax.Array) -> jax.Array:
+    """int8 [..., K, N] with values in [-8, 7] -> packed int8 [..., K//2, N].
+
+    Adjacent-row pairs: even row -> low nibble, odd row -> high nibble (the
+    order pltpu.bitcast(int8, int4) expands to on TPU).
+    """
+    assert q.shape[-2] % 2 == 0, q.shape
+    lo = q[..., 0::2, :] & 0x0F
+    hi = (q[..., 1::2, :] & 0x0F) << 4
+    return (lo | hi).astype(jnp.int8)
+
+
+def _kernel(x_ref, p_ref, s_ref, o_ref):
+    w = pltpu.bitcast(p_ref[:], jnp.int4).astype(jnp.int8)
+    acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
+    o_ref[:] = acc.astype(jnp.float32) * s_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def int4_matmul(
+    x: jax.Array,  # [M, K] int8 (quantized activations)
+    packed: jax.Array,  # [K//2, N] int8 (nibble-packed int4, N % block_n == 0)
+    scale: jax.Array,  # [N] fp32 per-out-channel weight scale
+    block_m: int = _BLOCK_M,
+    block_n: int = 1408,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns fp32 [M, N] = (x @ unpack(packed)) * scale.
+
+    The per-token activation scale is applied by the caller (w4a8_mm) so XLA
+    can fuse it with the surrounding graph.
+    """
+    m, k = x.shape
+    k2, n = packed.shape
+    assert k == 2 * k2, (x.shape, packed.shape)
+    assert n % block_n == 0, (n, block_n)
+    # single m-block up to 512 rows (avoids padding 279-token prefills to a
+    # 256 multiple); block_m-sized grid above that
+    bm = _round_up(m, 8) if m <= 512 else block_m
+    m_p = _round_up(m, bm)
+    if m_p != m:
+        x = jnp.pad(x, ((0, m_p - m), (0, 0)))
+    out = pl.pallas_call(
+        _kernel,
+        grid=(m_p // bm, n // block_n),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_p, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_p * k * n,
+            bytes_accessed=k2 * n + m_p * k + m_p * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, packed, scale.astype(jnp.float32).reshape(1, n))
+    return out[:m] if m_p != m else out
+
+
+def unpack_int4_reference(packed: jax.Array) -> jax.Array:
+    """Inverse of pack_int4 in plain XLA: packed int8 [..., K//2, N] ->
+    int8 [..., K, N]. Row-interleaves the sign-extended nibbles. Slow on TPU
+    (the unpack materializes through HBM) — used on CPU and in tests."""
+    p = packed.astype(jnp.int32)
+    lo = (((p & 0x0F) ^ 0x08) - 0x08).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    stacked = jnp.stack([lo, hi], axis=-2)  # [..., K//2, 2, N]
+    shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
+    return stacked.reshape(shape)  # rows interleave as (lo_0, hi_0, lo_1, ...)

@@ -41,6 +41,8 @@ def mm(x: jax.Array, w, activation_clip: Optional[float] = None) -> jax.Array:
     if isinstance(w, dict):
         if "q8a" in w:
             return w8a8_mm(x, w, activation_clip)
+        if "q4" in w:
+            return w4a8_mm(x, w, activation_clip)
         if activation_clip is not None:
             x = jnp.clip(x, -activation_clip, activation_clip)
         if "fp" in w:
@@ -156,4 +158,91 @@ def quantize_vit_w8a8(vit_params: dict) -> dict:
         if k in layers and not isinstance(layers[k], dict):
             layers[k] = quantize_weight_w8a8(layers[k])
     out["layers"] = layers
+    return out
+
+
+# ---------------------------------------------------------------------------
+# W4A8: nibble-packed int4 weights + dynamic int8 activations (Pallas MXU)
+# ---------------------------------------------------------------------------
+# XLA cannot stream int4 weights (the unpack never fuses; see
+# ops/pallas_int4_matmul.py for the measurements) — the packed weights are
+# consumed by the fused Pallas kernel instead. Opt-in via mode "w4a8".
+# Per-out-channel symmetric int4: a coarse 15-level quantizer; speed/memory
+# tier for bandwidth-bound decode (Llama-7B: half the w8a8 weight bytes and
+# ~1.2-1.4x the decode GEMV rate on v5e).
+
+
+def quantize_weight_w4a8(w: jax.Array) -> dict:
+    """[K, N] -> {"q4": packed int8 [K//2, N_pad], "s": fp32 [N]}.
+
+    N is zero-padded to a multiple of 1024 so the kernel's block widths
+    divide it; "s" keeps the exact N (w4a8_mm slices the output back).
+    """
+    from blurr_tpu.ops.pallas_int4_matmul import pack_int4
+
+    assert w.ndim == 2 and w.shape[0] % 2 == 0, w.shape
+    wf = w.astype(jnp.float32)
+    scale = jnp.clip(jnp.max(jnp.abs(wf), axis=-2), 1e-6) / 7.0  # [N]
+    q = jnp.clip(jnp.round(wf / scale[None, :]), -8, 7).astype(jnp.int8)
+    n = w.shape[1]
+    n_pad = -(-n // 1024) * 1024
+    if n_pad != n:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n)))
+    return {"q4": pack_int4(q), "s": scale.astype(jnp.float32)}
+
+
+def w4a8_mm(x: jax.Array, w: dict, activation_clip: Optional[float] = None) -> jax.Array:
+    """y = (x_q @ unpack(w_q4)) * x_scale * w_scale via the Pallas kernel.
+
+    x: [..., K]; w["q4"]: [K//2, N_pad] packed int4 (per-layer slice inside
+    scan), w["s"]: [N] exact-width scale.
+    """
+    from blurr_tpu.ops.pallas_int4_matmul import (
+        int4_matmul,
+        pick_block_n,
+        unpack_int4_reference,
+    )
+
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if activation_clip is not None:
+        xf = jnp.clip(xf, -activation_clip, activation_clip)
+    xs = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -128, 127).astype(jnp.int8)
+
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    n, n_pad = w["s"].shape[-1], w["q4"].shape[-1]
+    if jax.default_backend() != "tpu":
+        # CPU/test path: reference unpack + int8 dot (numerics identical)
+        wq = unpack_int4_reference(w["q4"])[:, :n]
+        acc = jax.lax.dot_general(
+            xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc.astype(jnp.float32) * xs * w["s"]).astype(dtype)
+    s_pad = w["s"] if n_pad == n else jnp.pad(w["s"], (0, n_pad - n))
+    y = int4_matmul(
+        xq.reshape(m, x.shape[-1]), w["q4"], s_pad, block_n=pick_block_n(n_pad)
+    )[:, :n]
+    y = y * xs.reshape(m, 1)
+    return y.reshape(*lead, n).astype(dtype)
+
+
+def quantize_mixture_w4a8(mixture_params: dict) -> dict:
+    """Quantize all linear weights of one mixture for the w4a8 path.
+
+    Stacked [L, K, N] weights are quantized per layer (vmap) so each layer
+    keeps its own scales; scan slices the leading axis as usual.
+    """
+    out = dict(mixture_params)
+    for k in _QUANT_WEIGHT_KEYS:
+        if k in out and not isinstance(out[k], dict):
+            w = out[k]
+            out[k] = (
+                jax.vmap(quantize_weight_w4a8)(w) if w.ndim == 3
+                else quantize_weight_w4a8(w)
+            )
     return out

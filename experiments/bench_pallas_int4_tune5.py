@@ -1,0 +1,96 @@
+"""Round 5 (confirmation): the bitcast kernel is DMA-rate-bound at ~520 GB/s (pallas's
+default pipelining), vs XLA's 722 GB/s. Raise vmem_limit_bytes and sweep
+block sizes (exact divisors of 11264) + CostEstimate hints.
+"""
+
+import functools
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blurr_tpu.utils.monitor import timed_call
+
+M, K, NP = 8, 4096, 11264
+L = 4
+
+
+def _kernel(x_ref, p_ref, s_ref, o_ref):
+    w = pltpu.bitcast(p_ref[:], jnp.int4).astype(jnp.int8)
+    acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
+    o_ref[:] = acc.astype(jnp.float32) * s_ref[:]
+
+
+def make(bn, vmem_mb, with_cost):
+    params = pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+    cost = (
+        pl.CostEstimate(
+            flops=2 * M * K * NP,
+            bytes_accessed=K * NP // 2 + M * K + M * NP * 4,
+            transcendentals=0,
+        )
+        if with_cost
+        else None
+    )
+
+    def f(x, packed, s):
+        return pl.pallas_call(
+            _kernel,
+            grid=(NP // bn,),
+            in_specs=[
+                pl.BlockSpec((M, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K // 2, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((M, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, NP), jnp.float32),
+            compiler_params=params,
+            cost_estimate=cost,
+        )(x, packed, s)
+    return f
+
+
+def scanned(fn, x):
+    def outer(leaves):
+        def body(c, wl):
+            y = fn(x, *wl)
+            return c + y[:, :8].astype(jnp.float32).sum(), None
+        out, _ = jax.lax.scan(body, 0.0, leaves)
+        return out
+    return jax.jit(outer)
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.randint(key, (M, K), -127, 127, jnp.int8)
+    w4 = jax.random.randint(key, (L, K, NP), -8, 8, jnp.int8)
+    s = jnp.ones((L, 1, NP), jnp.float32)
+    ref = (x.astype(jnp.int32) @ w4[0].astype(jnp.int32)).astype(jnp.float32)
+    pk = ((w4[:, 0::2, :] & 0x0F) | ((w4[:, 1::2, :] & 0x0F) << 4)).astype(jnp.int8)
+
+    for bn, vmem_mb, with_cost in (
+        (704, 64, True),
+        (1024, 64, True),
+        (1408, 64, True),
+        (1408, 64, True),
+        (512, 64, True),
+    ):
+        try:
+            fn = make(bn, vmem_mb, with_cost)
+            err = float(jnp.max(jnp.abs(ref - fn(x, pk[0], s[0]))))
+            t, _, _ = timed_call(scanned(fn, x), (pk, s), warmup=2, iters=50)
+            bw = K * NP // 2 / (t / L) / 1e9
+            print(f"bn={bn:5d} vmem={vmem_mb:3d}MB cost={with_cost}: err={err:4.1f}  "
+                  f"{t/L*1e6:7.1f} us/layer  {bw:6.1f} GB/s packed", flush=True)
+        except Exception as e:
+            print(f"bn={bn} vmem={vmem_mb} cost={with_cost}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

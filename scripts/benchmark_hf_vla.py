@@ -40,9 +40,12 @@ def parse_args():
     p.add_argument("--unnorm-key", type=str, default=None)
     p.add_argument("--use-bf16", action="store_true")
     p.add_argument(
-        "--quantization", type=str, default="none", choices=["none", "w8a8"],
+        "--quantization", type=str, default="none",
+        choices=["none", "w8a8", "w4a8"],
         help="w8a8: dynamic int8 activations x int8 weights for the LLM "
-        "(halves decode weight reads; TPU extension).",
+        "(halves decode weight reads; TPU extension). w4a8: nibble-packed "
+        "int4 weights via the fused Pallas kernel (half the w8a8 bytes; "
+        "coarser quantizer — experimental).",
     )
     p.add_argument("--use-fp16", action="store_true")
     p.add_argument("--use-torch-compile", action="store_true",
@@ -84,24 +87,33 @@ def main():
             from blurr_tpu.models.openvla.llama import quantize_llama_w8a8
 
             params["llama"] = quantize_llama_w8a8(params["llama"])
+        elif args.quantization == "w4a8":
+            from blurr_tpu.models.openvla.llama import quantize_llama_w4a8
+
+            params["llama"] = quantize_llama_w4a8(params["llama"])
         tokenizer = load_hf_tokenizer(str(model_path))
     elif args.model_id in ("random-7b", "openvla-7b-random"):
         spec = OpenVLASpec()
         model = OpenVLA(spec)
         params = model.init_params(jax.random.PRNGKey(0), dtype)
         tokenizer = None
-        if args.quantization == "w8a8":
+        if args.quantization in ("w8a8", "w4a8"):
             # rebuild the LLM directly in quantized form (post-hoc
             # quantization of a 7B bf16 tree would transiently OOM 16GB)
-            from blurr_tpu.models.openvla.llama import init_llama_params_w8a8
+            from blurr_tpu.models.openvla.llama import (
+                init_llama_params_w4a8,
+                init_llama_params_w8a8,
+            )
 
             params["llama"] = None
             import gc
 
             gc.collect()
-            params["llama"] = init_llama_params_w8a8(
-                jax.random.PRNGKey(0), spec.llama, dtype
+            init_q = (
+                init_llama_params_w8a8 if args.quantization == "w8a8"
+                else init_llama_params_w4a8
             )
+            params["llama"] = init_q(jax.random.PRNGKey(0), spec.llama, dtype)
     else:
         spec = OpenVLASpec.tiny()
         model = OpenVLA(spec)

@@ -102,3 +102,17 @@ def test_w8a8_preset_loads():
     assert cfg.vlm_quantization.mode == "w8a8"
     assert cfg.vlm_quantization.include_vision is True
     assert cfg.num_inference_steps == 1
+
+
+def test_pool64_w8a8_preset_loads():
+    cfg = load_yaml(config_root() / "eval" / "bridge_pool64_w8a8_steps1.yaml")
+    assert cfg.vlm_quantization.mode == "w8a8"
+    assert cfg.action_quantization.mode == "w8a8"
+    assert cfg.kv_quantization.mode is None
+    assert cfg.num_inference_steps == 1
+    # 64 vision tokens, static 96-token pad threaded through the adapter
+    assert cfg.vision.config.num_image_tokens == 64
+    assert cfg.max_seq_len == 96
+    assert cfg.max_image_text_tokens == 96
+    assert cfg.env.adapter.max_seq_len == 96
+    assert cfg.env.adapter.num_image_tokens == 64
