@@ -72,6 +72,12 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--unnorm-key", type=str, default=None)
     p.add_argument("--attn-implementation", type=str, default="")
     p.add_argument("--use-bf16", action="store_true")
+    p.add_argument(
+        "--quantization", type=str, default="none",
+        choices=["none", "w8a8", "w4a8"],
+        help="Quantize the Llama decoder (TPU extension; same tiers as "
+        "benchmark_hf_vla.py). Experimental — validate success rates.",
+    )
     p.add_argument("--use-fp16", action="store_true")
     p.add_argument("--use-torch-compile", action="store_true")
     p.add_argument("--no-torch-compile", action="store_true")
@@ -143,6 +149,14 @@ def _build_model(args, dtype):
         model = OpenVLA(spec)
         params = model.init_params(jax.random.PRNGKey(args.seed), dtype)
         tokenizer = None
+    if getattr(args, "quantization", "none") != "none":
+        from blurr_tpu.models.openvla.llama import (
+            quantize_llama_w4a8,
+            quantize_llama_w8a8,
+        )
+
+        qfn = quantize_llama_w8a8 if args.quantization == "w8a8" else quantize_llama_w4a8
+        params["llama"] = qfn(params["llama"])
     processor = OpenVLAProcessor(
         tokenizer, image_size=spec.siglip.image_size, fused=spec.use_fused_vision
     )
@@ -312,6 +326,7 @@ def main() -> None:
     summary = {
         "model_id": args.model_id,
         "preset": args.preset,
+        "quantization": args.quantization,
         "dtype": str(dtype),
         "torch_compile": True,
         "attn_implementation": args.attn_implementation,
