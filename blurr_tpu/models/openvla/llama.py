@@ -222,14 +222,14 @@ def init_llama_params_w4a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) 
     nh, kvh, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
     keys = iter(jax.random.split(rng, 16))
 
-    def pad_n(n):
-        return -(-n // 1024) * 1024
+    from blurr_tpu.ops.pallas_int4_matmul import pick_block_layout
 
     def q(shape, fan_in):
         k, n = shape
+        bn, n_pad = pick_block_layout(n)
         return {
             "q4": jax.random.randint(
-                next(keys), (nl, k // 2, pad_n(n)), -128, 128, jnp.int8
+                next(keys), (nl, n_pad // bn, k // 2, bn), -128, 128, jnp.int8
             ),
             "s": jnp.full((nl, n), fan_in**-0.5 / 7.0, jnp.float32),
         }
@@ -249,12 +249,17 @@ def init_llama_params_w4a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) 
             "post_norm": jnp.ones((nl, h), dtype),
         },
         "final_norm": jnp.ones((h,), dtype),
-        "lm_head": {
-            "q4": jax.random.randint(
-                next(keys), (h // 2, pad_n(spec.vocab_size)), -128, 128, jnp.int8
-            ),
-            "s": jnp.full((spec.vocab_size,), h**-0.5 / 7.0, jnp.float32),
-        },
+        "lm_head": _w4_head(next(keys), h, spec.vocab_size),
+    }
+
+
+def _w4_head(key, h: int, vocab: int) -> Dict:
+    from blurr_tpu.ops.pallas_int4_matmul import pick_block_layout
+
+    bn, n_pad = pick_block_layout(vocab)
+    return {
+        "q4": jax.random.randint(key, (n_pad // bn, h // 2, bn), -128, 128, jnp.int8),
+        "s": jnp.full((vocab,), h**-0.5 / 7.0, jnp.float32),
     }
 
 

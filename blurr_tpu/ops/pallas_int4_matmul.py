@@ -9,13 +9,17 @@ Motivation (measured, experiments/bench_pallas_int4*.py, v5e):
   `.astype(jnp.int8)` IS lowered natively by Mosaic: the unpack is ~free and
   the kernel streams half the HBM bytes of the int8 path.
 - At the Llama-7B decode GEMV shape (M=8, K=4096, N=11264) the kernel runs
-  45.4 us/layer vs 63.9 us for the XLA int8 dot — 1.41x faster AND half the
-  weight memory. A `pl.CostEstimate` is load-bearing (without it the
-  scheduler under-pipelines: 60.6 us).
+  43.9 us/layer vs 63.9-74.5 us for the XLA int8 dot — ~1.7x faster AND half
+  the weight memory. Two scheduler details are load-bearing: a
+  `pl.CostEstimate` (without it the pipeline under-buffers) and BLOCK-MAJOR
+  weight storage (see to_block_major — strided row-major blocks stream at
+  only ~300 GB/s).
 
-Packing layout: adjacent-row pairs — byte[k, n] holds row 2k in the low
-nibble and row 2k+1 in the high nibble, matching the TPU's native S4 lane
-order (bitcast round-trips exactly; max err 0 vs an int32 reference).
+Packing layout: adjacent-row nibble pairs — byte[k, n] holds row 2k in the
+low nibble and row 2k+1 in the high nibble, matching the TPU's native S4
+lane order (bitcast round-trips exactly; max err 0 vs an int32 reference) —
+then block-major over N: [NB, K//2, BN] so each grid step's DMA is one
+contiguous chunk.
 
 Accuracy: per-out-channel symmetric int4 is a coarse quantizer (15 levels);
 this is an opt-in speed/memory tier like w8a8 — validate task success with
@@ -31,8 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Block sizes: bn=1408 (11 lanes of 128) measured fastest at decode shapes;
-# N is padded to a multiple of 1024 at quantize time (pack_int4_padded). bm
+# bn=1408 (11 lanes of 128) measured fastest at decode shapes; smaller
+# blocks are chosen when they waste less padding (pick_block_layout). bm
 # caps the token-block size.
 _BLOCK_M = 256
 
@@ -41,12 +45,15 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def pick_block_n(n: int) -> int:
-    """Largest measured-good block width that divides n."""
+def pick_block_layout(n: int) -> tuple:
+    """(block_n, padded_n) minimizing the zero padding of n; larger blocks
+    win ties (bn=1408 measured fastest at the decode GEMV shape)."""
+    best = None
     for bn in (1408, 1024, 512, 256, 128):
-        if n % bn == 0:
-            return bn
-    raise ValueError(f"N={n} is not a multiple of 128; pad the weight first.")
+        n_pad = _round_up(n, bn)
+        if best is None or n_pad < best[1]:
+            best = (bn, n_pad)
+    return best
 
 
 def pack_int4(q: jax.Array) -> jax.Array:
@@ -61,30 +68,46 @@ def pack_int4(q: jax.Array) -> jax.Array:
     return (lo | hi).astype(jnp.int8)
 
 
+def to_block_major(packed: jax.Array, block_n: int) -> jax.Array:
+    """packed [..., K//2, N] -> block-major [..., N//block_n, K//2, block_n].
+
+    Each weight block the kernel consumes becomes one fully CONTIGUOUS HBM
+    chunk. This is load-bearing: with row-major storage each [K//2, bn]
+    block is a strided read (bn-byte bursts) and the kernel streams at only
+    ~300 GB/s; block-major reaches ~525 GB/s at the decode GEMV shape —
+    1.7x faster than the XLA int8 dot on half the bytes
+    (experiments/bench_pallas_int4_tune6.py).
+    """
+    *lead, k2, n = packed.shape
+    assert n % block_n == 0, (n, block_n)
+    nb = n // block_n
+    reshaped = packed.reshape(*lead, k2, nb, block_n)
+    return jnp.moveaxis(reshaped, -2, -3)
+
+
 def _kernel(x_ref, p_ref, s_ref, o_ref):
-    w = pltpu.bitcast(p_ref[:], jnp.int4).astype(jnp.int8)
+    w = pltpu.bitcast(p_ref[0], jnp.int4).astype(jnp.int8)
     acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
     o_ref[:] = acc.astype(jnp.float32) * s_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
 def int4_matmul(
     x: jax.Array,  # [M, K] int8 (quantized activations)
-    packed: jax.Array,  # [K//2, N] int8 (nibble-packed int4, N % block_n == 0)
-    scale: jax.Array,  # [N] fp32 per-out-channel weight scale
+    packed: jax.Array,  # [NB, K//2, BN] int8 (block-major nibble-packed int4)
+    scale: jax.Array,  # [NB*BN] fp32 per-out-channel weight scale (padded)
     block_m: int = _BLOCK_M,
-    block_n: int = 1408,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns fp32 [M, N] = (x @ unpack(packed)) * scale.
+    """Returns fp32 [M, NB*BN] = (x @ unpack(packed)) * scale.
 
     The per-token activation scale is applied by the caller (w4a8_mm) so XLA
     can fuse it with the surrounding graph.
     """
     m, k = x.shape
-    k2, n = packed.shape
+    nb, k2, bn = packed.shape
+    n = nb * bn
     assert k == 2 * k2, (x.shape, packed.shape)
-    assert n % block_n == 0, (n, block_n)
     # single m-block up to 512 rows (avoids padding 279-token prefills to a
     # 256 multiple); block_m-sized grid above that
     bm = _round_up(m, 8) if m <= 512 else block_m
@@ -93,13 +116,13 @@ def int4_matmul(
         x = jnp.pad(x, ((0, m_p - m), (0, 0)))
     out = pl.pallas_call(
         _kernel,
-        grid=(m_p // bm, n // block_n),
+        grid=(m_p // bm, nb),
         in_specs=[
             pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k2, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k2, bn), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_p, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -122,3 +145,9 @@ def unpack_int4_reference(packed: jax.Array) -> jax.Array:
     stacked = jnp.stack([lo, hi], axis=-2)  # [..., K//2, 2, N]
     shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
     return stacked.reshape(shape)  # rows interleave as (lo_0, hi_0, lo_1, ...)
+
+
+def from_block_major(packed_bm: jax.Array) -> jax.Array:
+    """Inverse of to_block_major: [..., NB, K//2, BN] -> [..., K//2, NB*BN]."""
+    *lead, nb, k2, bn = packed_bm.shape
+    return jnp.moveaxis(packed_bm, -3, -2).reshape(*lead, k2, nb * bn)

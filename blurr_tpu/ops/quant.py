@@ -173,33 +173,38 @@ def quantize_vit_w8a8(vit_params: dict) -> dict:
 
 
 def quantize_weight_w4a8(w: jax.Array) -> dict:
-    """[K, N] -> {"q4": packed int8 [K//2, N_pad], "s": fp32 [N]}.
+    """[K, N] -> {"q4": block-major packed int8 [NB, K//2, BN], "s": fp32 [N]}.
 
-    N is zero-padded to a multiple of 1024 so the kernel's block widths
-    divide it; "s" keeps the exact N (w4a8_mm slices the output back).
+    N is zero-padded to NB*BN (pick_block_layout minimizes the padding) and
+    the packed bytes are stored block-major so every kernel DMA is one
+    contiguous chunk; "s" keeps the exact N (w4a8_mm slices the output back).
     """
-    from blurr_tpu.ops.pallas_int4_matmul import pack_int4
+    from blurr_tpu.ops.pallas_int4_matmul import (
+        pack_int4,
+        pick_block_layout,
+        to_block_major,
+    )
 
     assert w.ndim == 2 and w.shape[0] % 2 == 0, w.shape
     wf = w.astype(jnp.float32)
     scale = jnp.clip(jnp.max(jnp.abs(wf), axis=-2), 1e-6) / 7.0  # [N]
     q = jnp.clip(jnp.round(wf / scale[None, :]), -8, 7).astype(jnp.int8)
     n = w.shape[1]
-    n_pad = -(-n // 1024) * 1024
+    bn, n_pad = pick_block_layout(n)
     if n_pad != n:
         q = jnp.pad(q, ((0, 0), (0, n_pad - n)))
-    return {"q4": pack_int4(q), "s": scale.astype(jnp.float32)}
+    return {"q4": to_block_major(pack_int4(q), bn), "s": scale.astype(jnp.float32)}
 
 
 def w4a8_mm(x: jax.Array, w: dict, activation_clip: Optional[float] = None) -> jax.Array:
     """y = (x_q @ unpack(w_q4)) * x_scale * w_scale via the Pallas kernel.
 
-    x: [..., K]; w["q4"]: [K//2, N_pad] packed int4 (per-layer slice inside
-    scan), w["s"]: [N] exact-width scale.
+    x: [..., K]; w["q4"]: block-major [NB, K//2, BN] packed int4 (per-layer
+    slice inside scan), w["s"]: [N] exact-width scale.
     """
     from blurr_tpu.ops.pallas_int4_matmul import (
+        from_block_major,
         int4_matmul,
-        pick_block_n,
         unpack_int4_reference,
     )
 
@@ -214,19 +219,19 @@ def w4a8_mm(x: jax.Array, w: dict, activation_clip: Optional[float] = None) -> j
     m = 1
     for d in lead:
         m *= d
-    n, n_pad = w["s"].shape[-1], w["q4"].shape[-1]
+    n = w["s"].shape[-1]
+    nb, _, bn = w["q4"].shape
+    n_pad = nb * bn
     if jax.default_backend() != "tpu":
         # CPU/test path: reference unpack + int8 dot (numerics identical)
-        wq = unpack_int4_reference(w["q4"])[:, :n]
+        wq = unpack_int4_reference(from_block_major(w["q4"]))[:, :n]
         acc = jax.lax.dot_general(
             xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         return (acc.astype(jnp.float32) * xs * w["s"]).astype(dtype)
     s_pad = w["s"] if n_pad == n else jnp.pad(w["s"], (0, n_pad - n))
-    y = int4_matmul(
-        xq.reshape(m, x.shape[-1]), w["q4"], s_pad, block_n=pick_block_n(n_pad)
-    )[:, :n]
+    y = int4_matmul(xq.reshape(m, x.shape[-1]), w["q4"], s_pad)[:, :n]
     y = y * xs.reshape(m, 1)
     return y.reshape(*lead, n).astype(dtype)
 

@@ -116,3 +116,10 @@ def test_pool64_w8a8_preset_loads():
     assert cfg.max_image_text_tokens == 96
     assert cfg.env.adapter.max_seq_len == 96
     assert cfg.env.adapter.num_image_tokens == 64
+
+
+def test_pool64_w4a8_preset_loads():
+    cfg = load_yaml(config_root() / "eval" / "bridge_pool64_w4a8_steps1.yaml")
+    assert cfg.vlm_quantization.mode == "w4a8"
+    assert cfg.action_quantization.mode == "w4a8"
+    assert cfg.max_seq_len == 96 and cfg.vision.config.num_image_tokens == 64

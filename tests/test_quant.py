@@ -131,18 +131,20 @@ def test_int4_pack_roundtrip():
 def test_int4_kernel_interpret_exact():
     """The Pallas kernel (interpret mode) matches the int32 reference —
     including the bitcast nibble ordering."""
-    from blurr_tpu.ops.pallas_int4_matmul import int4_matmul, pack_int4
+    from blurr_tpu.ops.pallas_int4_matmul import (
+        int4_matmul,
+        pack_int4,
+        to_block_major,
+    )
 
     rng = np.random.RandomState(0)
-    q = rng.randint(-8, 8, (64, 128)).astype(np.int8)
+    q = rng.randint(-8, 8, (64, 256)).astype(np.int8)
     x = rng.randint(-127, 128, (4, 64)).astype(np.int8)
-    s = rng.rand(128).astype(np.float32) + 0.5
+    s = rng.rand(256).astype(np.float32) + 0.5
     ref = (x.astype(np.int32) @ q.astype(np.int32)) * s[None, :]
+    packed = to_block_major(pack_int4(jnp.asarray(q)), 128)  # 2 blocks of 128
     got = np.asarray(
-        int4_matmul(
-            jnp.asarray(x), pack_int4(jnp.asarray(q)), jnp.asarray(s),
-            block_n=128, interpret=True,
-        )
+        int4_matmul(jnp.asarray(x), packed, jnp.asarray(s), interpret=True)
     )
     np.testing.assert_allclose(got, ref, rtol=1e-6)
 
@@ -154,8 +156,8 @@ def test_w4a8_mm_tracks_fp():
     w = jnp.asarray(rng.randn(64, 48) * 0.05, jnp.float32)
     x = jnp.asarray(rng.randn(5, 64), jnp.float32)
     qw = quantize_weight_w4a8(w)
-    # N=48 padded to 1024 in storage; output sliced back to 48
-    assert qw["q4"].shape == (32, 1024) and qw["s"].shape == (48,)
+    # N=48 padded to one 128-wide block (block-major); output sliced to 48
+    assert qw["q4"].shape == (1, 32, 128) and qw["s"].shape == (48,)
     dense = np.asarray(x @ w)
     quant = np.asarray(mm(x, qw))
     assert quant.shape == dense.shape
@@ -172,7 +174,7 @@ def test_w4a8_stacked_scan_layers():
     L = 3
     params = {"gate_w": jnp.asarray(rng.randn(L, 32, 64) * 0.1, jnp.float32)}
     qp = quantize_mixture_w4a8(params)
-    assert qp["gate_w"]["q4"].shape == (L, 16, 1024)
+    assert qp["gate_w"]["q4"].shape == (L, 1, 16, 128)
     x = jnp.asarray(rng.randn(4, 32), jnp.float32)
 
     def step(h, layer):
@@ -203,7 +205,7 @@ def test_llama_w4a8_decode_runs():
     )
     params = init_llama_params(jax.random.PRNGKey(0), spec, jnp.float32)
     qp = quantize_llama_w4a8(params)
-    assert qp["layers"]["gate_w"]["q4"].shape[-2:] == (32, 1024)
+    assert qp["layers"]["gate_w"]["q4"].shape[-3:] == (1, 32, 128)
     ids = np.arange(8)[None] % 250
     embeds = jnp.asarray(np.asarray(params["embed_tokens"])[ids])
     valid = jnp.ones((1, 8), jnp.int32)
