@@ -87,10 +87,12 @@ class FakeSimplerEnv:
         h, w = self._image_hw
         img = self._background.copy()
         # stamp a bright square whose position/size track the EEF pose so the
-        # image is a deterministic function of the integrated action history
-        cy = int((self._eef_xyz[1] / 0.3) * (h - 60))
-        cx = int((self._eef_xyz[0] / 0.3) * (w - 60))
-        size = 20 + int((self._eef_xyz[2] / 0.3) * 40)
+        # image is a deterministic function of the integrated action history;
+        # size is resolution-scaled and coordinates clamp to keep the stamp
+        # fully in-frame at any image_hw (tiny test images included)
+        size = max(2, int((0.3 + (self._eef_xyz[2] / 0.3)) * 0.2 * min(h, w)))
+        cy = max(0, int((self._eef_xyz[1] / 0.3) * max(h - size, 1)))
+        cx = max(0, int((self._eef_xyz[0] / 0.3) * max(w - size, 1)))
         shade = np.array(
             [255 * self._gripper, 255 * (1 - self._gripper), 220], dtype=np.uint8
         )

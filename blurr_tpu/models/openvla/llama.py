@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from blurr_tpu.ops.attention import grouped_attention
 from blurr_tpu.ops.quant import (
+    _QUANT_WEIGHT_KEYS,
     mm,
     quantize_mixture_w4a8,
     quantize_mixture_w8a8,
@@ -193,6 +194,41 @@ def quantize_llama_w8a8(params: Dict, quantize_lm_head: bool = True) -> Dict:
     out["layers"] = quantize_mixture_w8a8(params["layers"])
     if quantize_lm_head and not isinstance(params["lm_head"], dict):
         out["lm_head"] = quantize_weight_w8a8(params["lm_head"])
+    return out
+
+
+def quantize_llama_streaming(params: Dict, mode: str,
+                             quantize_lm_head: bool = True) -> Dict:
+    """Memory-bounded quantization of an already-loaded 7B decoder.
+
+    quantize_llama_w8a8/w4a8 make a full-stack fp32 transient per tensor
+    (vmap over [L, K, N]: gate_w alone is ~5.8 GB fp32) while the ~13.5 GB
+    bf16 tree is still resident — that OOMs the 16 GB chip. This variant
+    (a) quantizes each stacked tensor with lax.map so the fp32 transient is
+    one LAYER (~0.2 GB), (b) processes tensors smallest-first, and
+    (c) DELETES each bf16 source buffer as soon as its quantized form
+    exists. The input tree is consumed: its weight buffers are freed, so
+    drop every other reference to it. Use for checkpoint-loaded 7B models
+    (random-init benchmarking should init directly in quantized form via
+    init_llama_params_w8a8/w4a8 instead).
+    """
+    assert mode in ("w8a8", "w4a8"), mode
+    qfn = quantize_weight_w8a8 if mode == "w8a8" else quantize_weight_w4a8
+    out = dict(params)
+    layers = dict(params["layers"])
+    targets = [k for k in _QUANT_WEIGHT_KEYS if k in layers
+               and not isinstance(layers[k], dict)]
+    for k in sorted(targets, key=lambda k: layers[k].size):
+        w = layers[k]
+        layers[k] = jax.lax.map(qfn, w) if w.ndim == 3 else qfn(w)
+        jax.block_until_ready(layers[k])
+        w.delete()
+    out["layers"] = layers
+    if quantize_lm_head and not isinstance(params["lm_head"], dict):
+        head = params["lm_head"]
+        out["lm_head"] = qfn(head)
+        jax.block_until_ready(out["lm_head"])
+        head.delete()
     return out
 
 

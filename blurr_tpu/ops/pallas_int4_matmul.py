@@ -46,14 +46,16 @@ def _round_up(v: int, m: int) -> int:
 
 
 def pick_block_layout(n: int) -> tuple:
-    """(block_n, padded_n) minimizing the zero padding of n; larger blocks
-    win ties (bn=1408 measured fastest at the decode GEMV shape)."""
-    best = None
-    for bn in (1408, 1024, 512, 256, 128):
-        n_pad = _round_up(n, bn)
-        if best is None or n_pad < best[1]:
-            best = (bn, n_pad)
-    return best
+    """(block_n, padded_n): the largest block whose zero padding stays under
+    5% — big contiguous DMAs beat minimal padding (bn=1408 measured fastest
+    at the decode GEMV shape; e.g. Llama's N=11008 pads 2.3% to 11264 rather
+    than dropping to unmeasured 256-wide blocks). Falls back to the
+    minimum-padding block for small/awkward widths."""
+    candidates = [(bn, _round_up(n, bn)) for bn in (1408, 1024, 512, 256, 128)]
+    for bn, n_pad in candidates:
+        if n_pad <= n * 1.05:
+            return bn, n_pad
+    return min(candidates, key=lambda c: (c[1], -c[0]))
 
 
 def pack_int4(q: jax.Array) -> jax.Array:

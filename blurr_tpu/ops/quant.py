@@ -37,7 +37,8 @@ def quantize_weight_int8(w: jax.Array, cache_fp_dtype=None) -> dict:
 
 def mm(x: jax.Array, w, activation_clip: Optional[float] = None) -> jax.Array:
     """Matmul dispatching on the weight representation: plain array, int8
-    weight-only {"q","s"}, w8a8 {"q","s","mode"}, or cached-fp {"fp"}."""
+    weight-only {"q","s"}, w8a8 {"q8a","s"}, w4a8 {"q4","s"} (block-major
+    packed int4, Pallas kernel), or cached-fp {"fp"}."""
     if isinstance(w, dict):
         if "q8a" in w:
             return w8a8_mm(x, w, activation_clip)

@@ -150,13 +150,42 @@ def _build_model(args, dtype):
         params = model.init_params(jax.random.PRNGKey(args.seed), dtype)
         tokenizer = None
     if getattr(args, "quantization", "none") != "none":
-        from blurr_tpu.models.openvla.llama import (
-            quantize_llama_w4a8,
-            quantize_llama_w8a8,
-        )
+        if args.model_id == "random-7b":
+            # rebuild directly in quantized form (quantizing a resident bf16
+            # 7B tree transiently OOMs the 16 GB chip)
+            import gc
 
-        qfn = quantize_llama_w8a8 if args.quantization == "w8a8" else quantize_llama_w4a8
-        params["llama"] = qfn(params["llama"])
+            from blurr_tpu.models.openvla.llama import (
+                init_llama_params_w4a8,
+                init_llama_params_w8a8,
+            )
+
+            params["llama"] = None
+            gc.collect()
+            init_q = (
+                init_llama_params_w8a8 if args.quantization == "w8a8"
+                else init_llama_params_w4a8
+            )
+            params["llama"] = init_q(jax.random.PRNGKey(args.seed), spec.llama, dtype)
+        elif model_path.is_dir():
+            # checkpoint-loaded 7B: memory-bounded streaming quantization
+            # (frees each bf16 tensor as its quantized form lands)
+            from blurr_tpu.models.openvla.llama import quantize_llama_streaming
+
+            params["llama"] = quantize_llama_streaming(
+                params["llama"], args.quantization
+            )
+        else:
+            from blurr_tpu.models.openvla.llama import (
+                quantize_llama_w4a8,
+                quantize_llama_w8a8,
+            )
+
+            qfn = (
+                quantize_llama_w8a8 if args.quantization == "w8a8"
+                else quantize_llama_w4a8
+            )
+            params["llama"] = qfn(params["llama"])
     processor = OpenVLAProcessor(
         tokenizer, image_size=spec.siglip.image_size, fused=spec.use_fused_vision
     )

@@ -190,12 +190,17 @@ def test_w4a8_stacked_scan_layers():
 
 
 def test_llama_w4a8_decode_runs():
-    """Tiny Llama stack quantized w4a8 end-to-end: greedy decode executes and
-    token stream correlates with the fp path."""
+    """Tiny Llama stack quantized w4a8 end-to-end: greedy decode executes,
+    and the pre-argmax prefill logits correlate with the fp path (greedy
+    token agreement itself is noise-sensitive on random init, see
+    quantize_llama_w8a8's accuracy note)."""
     from blurr_tpu.models.openvla.llama import (
         LlamaSpec,
+        causal_prefill_mask,
+        forward,
         greedy_generate,
         init_llama_params,
+        logits,
         quantize_llama_w4a8,
     )
 
@@ -212,6 +217,20 @@ def test_llama_w4a8_decode_runs():
     toks = greedy_generate(qp, spec, embeds, valid, num_new_tokens=4)
     assert np.asarray(toks).shape[-1] == 4
     assert (np.asarray(toks) >= 0).all()
+
+    # numeric fidelity: prefill logits of the quantized stack track fp
+    from blurr_tpu.models.openvla.llama import alloc_cache
+
+    pos = jnp.arange(8)[None]
+    mask = causal_prefill_mask(valid, 8)
+
+    def prefill_logits(p):
+        h, _ = forward(p, spec, embeds, pos, mask, alloc_cache(spec, 1, 8, jnp.float32), jnp.int32(0))
+        return np.asarray(logits(p, spec, h), np.float32)
+
+    lf, lq = prefill_logits(params), prefill_logits(qp)
+    corr = np.corrcoef(lf.ravel(), lq.ravel())[0, 1]
+    assert corr > 0.9, corr
 
 
 def test_w4a8_model_actions_track_fp():
@@ -230,3 +249,38 @@ def test_w4a8_model_actions_track_fp():
     assert np.isfinite(out).all()
     corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
     assert corr > 0.9, corr  # int4 weights: coarser than the w8a8 0.98 bound
+
+
+def test_llama_streaming_quantize_matches_and_frees():
+    """quantize_llama_streaming == quantize_llama_w4a8 numerically, and the
+    bf16 source buffers are deleted (the 16GB-chip memory contract)."""
+    from blurr_tpu.models.openvla.llama import (
+        LlamaSpec,
+        init_llama_params,
+        quantize_llama_streaming,
+        quantize_llama_w4a8,
+    )
+
+    spec = LlamaSpec(
+        num_layers=2, hidden_size=64, intermediate_size=128, num_heads=4,
+        num_kv_heads=4, vocab_size=256,
+    )
+    params = init_llama_params(jax.random.PRNGKey(0), spec, jnp.float32)
+    ref = quantize_llama_w4a8(params)
+    # fresh copy: streaming consumes its input
+    params2 = init_llama_params(jax.random.PRNGKey(0), spec, jnp.float32)
+    srcs = [params2["layers"]["gate_w"], params2["lm_head"]]
+    out = quantize_llama_streaming(params2, "w4a8")
+    for k in ("gate_w", "down_w", "q_w"):
+        np.testing.assert_array_equal(
+            np.asarray(ref["layers"][k]["q4"]), np.asarray(out["layers"][k]["q4"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref["layers"][k]["s"]), np.asarray(out["layers"][k]["s"]),
+            rtol=1e-5,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ref["lm_head"]["q4"]), np.asarray(out["lm_head"]["q4"])
+    )
+    for src in srcs:
+        assert src.is_deleted()
