@@ -258,16 +258,17 @@ def init_llama_params_w4a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) 
     nh, kvh, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
     keys = iter(jax.random.split(rng, 16))
 
-    from blurr_tpu.ops.pallas_int4_matmul import pick_block_layout
+    from blurr_tpu.ops.pallas_int4_matmul import pick_block_layout, pick_group_size
 
     def q(shape, fan_in):
         k, n = shape
         bn, n_pad = pick_block_layout(n)
+        groups = k // pick_group_size(k)
         return {
             "q4": jax.random.randint(
                 next(keys), (nl, n_pad // bn, k // 2, bn), -128, 128, jnp.int8
             ),
-            "s": jnp.full((nl, n), fan_in**-0.5 / 7.0, jnp.float32),
+            "s": jnp.full((nl, groups, n), fan_in**-0.5 / 7.0, jnp.float32),
         }
 
     return {
@@ -290,12 +291,13 @@ def init_llama_params_w4a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) 
 
 
 def _w4_head(key, h: int, vocab: int) -> Dict:
-    from blurr_tpu.ops.pallas_int4_matmul import pick_block_layout
+    from blurr_tpu.ops.pallas_int4_matmul import pick_block_layout, pick_group_size
 
     bn, n_pad = pick_block_layout(vocab)
+    groups = h // pick_group_size(h)
     return {
         "q4": jax.random.randint(key, (n_pad // bn, h // 2, bn), -128, 128, jnp.int8),
-        "s": jnp.full((vocab,), h**-0.5 / 7.0, jnp.float32),
+        "s": jnp.full((groups, vocab), h**-0.5 / 7.0, jnp.float32),
     }
 
 

@@ -21,9 +21,10 @@ lane order (bitcast round-trips exactly; max err 0 vs an int32 reference) —
 then block-major over N: [NB, K//2, BN] so each grid step's DMA is one
 contiguous chunk.
 
-Accuracy: per-out-channel symmetric int4 is a coarse quantizer (15 levels);
-this is an opt-in speed/memory tier like w8a8 — validate task success with
-real checkpoints before production use.
+Accuracy: group-wise symmetric int4 (512-row groups by default,
+GPTQ-style round-to-nearest — the kernel accumulates per-group int32 dots
+scaled by per-group fp32 scales). Still an opt-in tier like w8a8 —
+validate task success with real checkpoints before production use.
 """
 
 from __future__ import annotations
@@ -87,29 +88,50 @@ def to_block_major(packed: jax.Array, block_n: int) -> jax.Array:
     return jnp.moveaxis(reshaped, -2, -3)
 
 
-def _kernel(x_ref, p_ref, s_ref, o_ref):
-    w = pltpu.bitcast(p_ref[0], jnp.int4).astype(jnp.int8)
-    acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
-    o_ref[:] = acc.astype(jnp.float32) * s_ref[:]
+def pick_group_size(k: int, preferred: int = 512) -> int:
+    """Largest divisor of k among (preferred, 256, 128); whole-K (i.e.
+    plain per-out-channel scaling) if none divides."""
+    for g in (preferred, 256, 128):
+        if k % g == 0 and k >= g:
+            return g
+    return k
+
+
+def _kernel(x_ref, p_ref, s_ref, o_ref, *, groups):
+    w = pltpu.bitcast(p_ref[0], jnp.int4).astype(jnp.int8)  # [K, BN]
+    rows = w.shape[0] // groups
+    acc = None
+    for g in range(groups):  # static unroll: per-group int32 dot x fp32 scale
+        d = jnp.dot(
+            x_ref[:, g * rows : (g + 1) * rows],
+            w[g * rows : (g + 1) * rows],
+            preferred_element_type=jnp.int32,
+        )
+        term = d.astype(jnp.float32) * s_ref[g]
+        acc = term if acc is None else acc + term
+    o_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
 def int4_matmul(
     x: jax.Array,  # [M, K] int8 (quantized activations)
     packed: jax.Array,  # [NB, K//2, BN] int8 (block-major nibble-packed int4)
-    scale: jax.Array,  # [NB*BN] fp32 per-out-channel weight scale (padded)
+    scale: jax.Array,  # [G, NB*BN] fp32 weight scales: G groups over K (padded N)
     block_m: int = _BLOCK_M,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns fp32 [M, NB*BN] = (x @ unpack(packed)) * scale.
+    """Returns fp32 [M, NB*BN] = sum_g (x_g @ unpack(packed)_g) * scale[g].
 
-    The per-token activation scale is applied by the caller (w4a8_mm) so XLA
-    can fuse it with the surrounding graph.
+    G=1 is plain per-out-channel scaling; G>1 is group-wise (GPTQ-style RTN
+    groups over the K dimension — the accuracy-credible int4 recipe). The
+    per-token activation scale is applied by the caller (w4a8_mm) so XLA can
+    fuse it with the surrounding graph.
     """
     m, k = x.shape
     nb, k2, bn = packed.shape
-    n = nb * bn
-    assert k == 2 * k2, (x.shape, packed.shape)
+    groups, n = scale.shape
+    assert k == 2 * k2 and n == nb * bn and k % groups == 0, (
+        x.shape, packed.shape, scale.shape)
     # single m-block up to 512 rows (avoids padding 279-token prefills to a
     # 256 multiple); block_m-sized grid above that
     bm = _round_up(m, 8) if m <= 512 else block_m
@@ -117,12 +139,12 @@ def int4_matmul(
     if m_p != m:
         x = jnp.pad(x, ((0, m_p - m), (0, 0)))
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, groups=groups),
         grid=(m_p // bm, nb),
         in_specs=[
             pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k2, bn), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_p, n), jnp.float32),
@@ -133,7 +155,7 @@ def int4_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, packed, scale.astype(jnp.float32).reshape(1, n))
+    )(x, packed, scale.astype(jnp.float32))
     return out[:m] if m_p != m else out
 
 

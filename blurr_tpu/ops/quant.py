@@ -168,13 +168,17 @@ def quantize_vit_w8a8(vit_params: dict) -> dict:
 # XLA cannot stream int4 weights (the unpack never fuses; see
 # ops/pallas_int4_matmul.py for the measurements) — the packed weights are
 # consumed by the fused Pallas kernel instead. Opt-in via mode "w4a8".
-# Per-out-channel symmetric int4: a coarse 15-level quantizer; speed/memory
-# tier for bandwidth-bound decode (Llama-7B: half the w8a8 weight bytes and
-# ~1.2-1.4x the decode GEMV rate on v5e).
+# GROUP-WISE symmetric int4 (default 512-row groups, GPTQ-style RTN) — the
+# standard accuracy-credible int4 recipe; speed/memory tier for
+# bandwidth-bound decode (Llama-7B: half the w8a8 weight bytes and ~1.2x the
+# w8a8 end-to-end action rate on v5e).
 
 
-def quantize_weight_w4a8(w: jax.Array) -> dict:
-    """[K, N] -> {"q4": block-major packed int8 [NB, K//2, BN], "s": fp32 [N]}.
+def quantize_weight_w4a8(w: jax.Array, group_size: int = 512) -> dict:
+    """[K, N] -> {"q4": block-major packed int8 [NB, K//2, BN],
+    "s": fp32 [G, N]} with GROUP-WISE scales: each of the G = K/group_size
+    row-groups gets its own per-out-channel scale (GPTQ-style RTN — the
+    accuracy-credible int4 recipe; G=1 degenerates to plain per-channel).
 
     N is zero-padded to NB*BN (pick_block_layout minimizes the padding) and
     the packed bytes are stored block-major so every kernel DMA is one
@@ -183,14 +187,17 @@ def quantize_weight_w4a8(w: jax.Array) -> dict:
     from blurr_tpu.ops.pallas_int4_matmul import (
         pack_int4,
         pick_block_layout,
+        pick_group_size,
         to_block_major,
     )
 
     assert w.ndim == 2 and w.shape[0] % 2 == 0, w.shape
-    wf = w.astype(jnp.float32)
-    scale = jnp.clip(jnp.max(jnp.abs(wf), axis=-2), 1e-6) / 7.0  # [N]
-    q = jnp.clip(jnp.round(wf / scale[None, :]), -8, 7).astype(jnp.int8)
-    n = w.shape[1]
+    k, n = w.shape
+    g = pick_group_size(k, group_size)
+    wf = w.astype(jnp.float32).reshape(k // g, g, n)
+    scale = jnp.clip(jnp.max(jnp.abs(wf), axis=1), 1e-6) / 7.0  # [G, N]
+    q = jnp.clip(jnp.round(wf / scale[:, None, :]), -8, 7)
+    q = q.reshape(k, n).astype(jnp.int8)
     bn, n_pad = pick_block_layout(n)
     if n_pad != n:
         q = jnp.pad(q, ((0, 0), (0, n_pad - n)))
@@ -198,10 +205,11 @@ def quantize_weight_w4a8(w: jax.Array) -> dict:
 
 
 def w4a8_mm(x: jax.Array, w: dict, activation_clip: Optional[float] = None) -> jax.Array:
-    """y = (x_q @ unpack(w_q4)) * x_scale * w_scale via the Pallas kernel.
+    """y = sum_g (x_q_g @ unpack(w_q4)_g) * s_g * x_scale via the Pallas
+    kernel (group-wise int4).
 
     x: [..., K]; w["q4"]: block-major [NB, K//2, BN] packed int4 (per-layer
-    slice inside scan), w["s"]: [N] exact-width scale.
+    slice inside scan), w["s"]: [G, N] exact-width group scales.
     """
     from blurr_tpu.ops.pallas_int4_matmul import (
         from_block_major,
@@ -220,19 +228,20 @@ def w4a8_mm(x: jax.Array, w: dict, activation_clip: Optional[float] = None) -> j
     m = 1
     for d in lead:
         m *= d
-    n = w["s"].shape[-1]
+    k = x.shape[-1]
+    groups, n = w["s"].shape
     nb, _, bn = w["q4"].shape
     n_pad = nb * bn
     if jax.default_backend() != "tpu":
-        # CPU/test path: reference unpack + int8 dot (numerics identical)
+        # CPU/test path: dequantized fp32 matmul — mathematically identical
+        # to the kernel's per-group int32 dots ((x_g @ w_g)*s_g == x_g @
+        # (w_g*s_g) since s_g is constant over each group's rows)
         wq = unpack_int4_reference(from_block_major(w["q4"]))[:, :n]
-        acc = jax.lax.dot_general(
-            xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        return (acc.astype(jnp.float32) * xs * w["s"]).astype(dtype)
-    s_pad = w["s"] if n_pad == n else jnp.pad(w["s"], (0, n_pad - n))
-    y = int4_matmul(xq.reshape(m, x.shape[-1]), w["q4"], s_pad)[:, :n]
+        deq = wq.astype(jnp.float32) * jnp.repeat(w["s"], k // groups, axis=0)
+        y = xq.astype(jnp.float32) @ deq
+        return (y * xs).astype(dtype)
+    s_pad = w["s"] if n_pad == n else jnp.pad(w["s"], ((0, 0), (0, n_pad - n)))
+    y = int4_matmul(xq.reshape(m, k), w["q4"], s_pad)[:, :n]
     y = y * xs.reshape(m, 1)
     return y.reshape(*lead, n).astype(dtype)
 

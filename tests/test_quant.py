@@ -144,7 +144,9 @@ def test_int4_kernel_interpret_exact():
     ref = (x.astype(np.int32) @ q.astype(np.int32)) * s[None, :]
     packed = to_block_major(pack_int4(jnp.asarray(q)), 128)  # 2 blocks of 128
     got = np.asarray(
-        int4_matmul(jnp.asarray(x), packed, jnp.asarray(s), interpret=True)
+        int4_matmul(
+            jnp.asarray(x), packed, jnp.asarray(s).reshape(1, -1), interpret=True
+        )
     )
     np.testing.assert_allclose(got, ref, rtol=1e-6)
 
@@ -156,8 +158,9 @@ def test_w4a8_mm_tracks_fp():
     w = jnp.asarray(rng.randn(64, 48) * 0.05, jnp.float32)
     x = jnp.asarray(rng.randn(5, 64), jnp.float32)
     qw = quantize_weight_w4a8(w)
-    # N=48 padded to one 128-wide block (block-major); output sliced to 48
-    assert qw["q4"].shape == (1, 32, 128) and qw["s"].shape == (48,)
+    # N=48 padded to one 128-wide block (block-major); output sliced to 48;
+    # K=64 < the minimum 128-row group -> one scale group
+    assert qw["q4"].shape == (1, 32, 128) and qw["s"].shape == (1, 48)
     dense = np.asarray(x @ w)
     quant = np.asarray(mm(x, qw))
     assert quant.shape == dense.shape
@@ -284,3 +287,27 @@ def test_llama_streaming_quantize_matches_and_frees():
     )
     for src in srcs:
         assert src.is_deleted()
+
+
+def test_w4a8_groupwise_beats_per_channel_on_outlier_rows():
+    """Group-wise scales contain outlier rows to their own group: a weight
+    with one huge row-block must quantize far more accurately group-wise."""
+    from blurr_tpu.ops.quant import mm, quantize_weight_w4a8
+
+    rng = np.random.RandomState(7)
+    w = rng.randn(256, 64).astype(np.float32) * 0.02
+    w[:128] *= 40.0  # outlier half: per-channel scales would crush the rest
+    xn = rng.randn(4, 256).astype(np.float32)
+    xn[:, :128] = 0.0  # read only the small-magnitude rows: their error is
+    # what group-wise scaling fixes (outlier-row error is identical in both)
+    x = jnp.asarray(xn)
+    dense = np.asarray(x @ jnp.asarray(w))
+
+    per_channel = np.asarray(mm(x, quantize_weight_w4a8(jnp.asarray(w), group_size=256)))
+    grouped = np.asarray(mm(x, quantize_weight_w4a8(jnp.asarray(w), group_size=128)))
+    err_pc = np.abs(per_channel - dense).max()
+    err_g = np.abs(grouped - dense).max()
+    assert err_g < err_pc * 0.6, (err_g, err_pc)
+
+    qw = quantize_weight_w4a8(jnp.asarray(w), group_size=128)
+    assert qw["s"].shape == (2, 64)  # two 128-row groups
