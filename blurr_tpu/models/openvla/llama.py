@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from blurr_tpu.ops.attention import grouped_attention
+from blurr_tpu.ops.attention import merge_heads as _merge_heads
+from blurr_tpu.ops.attention import split_heads as _split_heads
 from blurr_tpu.ops.quant import (
     _QUANT_WEIGHT_KEYS,
     mm,
@@ -81,16 +83,6 @@ def init_llama_params(rng: jax.Array, spec: LlamaSpec, dtype=jnp.float32) -> Dic
         "lm_head": jax.random.normal(next(keys), (h, spec.vocab_size), dtype)
         * (h**-0.5),
     }
-
-
-def _split_heads(x, n, hd):
-    b, s, _ = x.shape
-    return x.reshape(b, s, n, hd).transpose(0, 2, 1, 3)
-
-
-def _merge_heads(x):
-    b, n, s, hd = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, s, n * hd)
 
 
 def alloc_cache(spec: LlamaSpec, batch: int, max_len: int, dtype):
@@ -218,16 +210,24 @@ def quantize_llama_streaming(params: Dict, mode: str,
     layers = dict(params["layers"])
     targets = [k for k in _QUANT_WEIGHT_KEYS if k in layers
                and not isinstance(layers[k], dict)]
+    def fence(q):
+        # fetch ONE element of the quantized tensor: on the axon tunnel
+        # jax.block_until_ready is a no-op (only data fetches block, see
+        # CLAUDE.md), so this is the fence that guarantees the quantized
+        # buffer is materialized before the bf16 source is deleted
+        key = "q8a" if "q8a" in q else "q4"
+        int(q[key][(0,) * q[key].ndim])
+
     for k in sorted(targets, key=lambda k: layers[k].size):
         w = layers[k]
         layers[k] = jax.lax.map(qfn, w) if w.ndim == 3 else qfn(w)
-        jax.block_until_ready(layers[k])
+        fence(layers[k])
         w.delete()
     out["layers"] = layers
     if quantize_lm_head and not isinstance(params["lm_head"], dict):
         head = params["lm_head"]
         out["lm_head"] = qfn(head)
-        jax.block_until_ready(out["lm_head"])
+        fence(out["lm_head"])
         head.delete()
     return out
 
@@ -334,18 +334,29 @@ def greedy_generate(
     pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
     mask = causal_prefill_mask(attn_valid, max_len)
     h, cache = forward(params, spec, prompt_embeds, pos, mask, cache, jnp.int32(0))
-    last_logits = logits(params, spec, h[:, -1:])
-    first_tok = jnp.argmax(last_logits[:, -1], axis=-1)  # [B]
+    # first token comes from the last VALID prompt position per example
+    # (h[:, -1] would read a pad position under right padding)
+    last_idx = jnp.sum(attn_valid.astype(jnp.int32), axis=-1) - 1  # [B]
+    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)  # [B,1,H]
+    first_tok = jnp.argmax(logits(params, spec, h_last)[:, -1], axis=-1)  # [B]
+
+    # cache-column validity for decode steps: prompt columns keep their
+    # attn_valid bit (pad positions' K/V must stay masked), generated
+    # columns become valid as they are written
+    valid_cols = jnp.pad(
+        attn_valid.astype(bool), ((0, 0), (0, max_len - s)), constant_values=True
+    )[:, None, :]
 
     def step(carry, i):
         tok, cache = carry
         emb = params["embed_tokens"][tok][:, None, :].astype(prompt_embeds.dtype)
-        offset = s + i  # static prompt length s
+        offset = s + i  # static prompt length s (same-length batch; ragged
+        # prompts would need per-example write offsets — not supported)
         pos = jnp.broadcast_to(
             jnp.asarray(offset, jnp.int32)[None, None], (b, 1)
         )
         cols = jnp.arange(max_len)[None, None, :]
-        m = jnp.broadcast_to(cols <= offset, (b, 1, max_len))
+        m = jnp.broadcast_to(cols <= offset, (b, 1, max_len)) & valid_cols
         h, cache = forward(
             params, spec, emb, pos, m, cache, jnp.asarray(offset, jnp.int32)
         )

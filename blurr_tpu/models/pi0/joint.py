@@ -41,6 +41,8 @@ from blurr_tpu.ops.norms import (
     adaptive_rms_norm,
     rms_norm,
 )
+from blurr_tpu.ops.attention import merge_heads as _merge_heads
+from blurr_tpu.ops.attention import split_heads as _split_heads
 from blurr_tpu.ops.quant import dequantize_kv, mm
 from blurr_tpu.ops.rotary import apply_rope, rope_cos_sin
 
@@ -185,16 +187,6 @@ def _apply_scale(lp: Dict, name: str, x, time_cond, spec: MixtureSpec):
     if spec.adaptive_mode == "adaLN-Zero":
         return adaptive_layerscale(x, time_cond, lp[name])
     return x
-
-
-def _split_heads(x: jax.Array, n_heads: int, head_dim: int) -> jax.Array:
-    b, s, _ = x.shape
-    return x.reshape(b, s, n_heads, head_dim).transpose(0, 2, 1, 3)
-
-
-def _merge_heads(x: jax.Array) -> jax.Array:
-    b, nh, s, hd = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
 
 
 def _attention(spec: JointSpec, q, k, v, mask):

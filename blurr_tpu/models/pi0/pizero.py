@@ -18,7 +18,6 @@ validity vector instead of the reference's host-side [B,1,S,S] float masks.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -103,7 +102,9 @@ class PiZero:
         vq = cfg.get("vlm_quantization") or {}
         self.vlm_quant_mode = (str(vq.get("mode") or "")).lower() or None
         self.vlm_quant_vision = bool(vq.get("include_vision", False))
-        if self.action_quant_mode in {"int8", "int8_cached", "bnb_int8"}:
+        if self.action_quant_mode in {
+            "int8", "int8_cached", "bnb_int8", "w8a8", "w4a8",
+        }:
             import dataclasses
 
             clip = aq.get("activation_clip")
@@ -586,8 +587,14 @@ class PiZero:
         input_ids: jax.Array,
         pixel_values: jax.Array,
         max_cache_len: int,
+        attention_mask: Optional[jax.Array] = None,
     ):
-        """Prefill the vlm mixture and return (logits, cache, cache_len)."""
+        """Prefill the vlm mixture and return (logits, cache, cache_len).
+
+        The PaliGemma prefix attends bidirectionally; ``attention_mask``
+        ([B, q_len] validity) excludes padded positions in batched prompts
+        (omitted = all valid, the single-prompt demo path).
+        """
         bsz, q_len = input_ids.shape
         embeds = self._embed_merge(params, input_ids, pixel_values)
         pos = jnp.broadcast_to(
@@ -598,6 +605,13 @@ class PiZero:
         )
         cols = jnp.arange(max_cache_len)[None, None, :]
         mask = jnp.broadcast_to(cols < q_len, (bsz, q_len, max_cache_len))
+        if attention_mask is not None:
+            valid = jnp.pad(
+                attention_mask.astype(bool),
+                ((0, 0), (0, max_cache_len - q_len)),
+                constant_values=True,  # decode columns become valid as written
+            )
+            mask = mask & valid[:, None, :]
         hidden, cache = joint_lib.single_forward(
             params["joint"],
             self.joint_spec,
@@ -645,13 +659,11 @@ class PiZeroInference(PiZero):
         return self.infer_action(params, **kwargs)
 
 
-def make_jitted_infer(
-    model: PiZero, donate_cache: bool = True
-) -> "functools.partial":
-    """Compile the control-step function once; returns
+def make_jitted_infer(model: PiZero):
+    """Jit the control-step function once; returns
     fn(params, input_ids, attention_mask, pixel_values, proprios, noise)."""
 
-    @functools.partial(jax.jit, static_argnums=())
+    @jax.jit
     def step(params, input_ids, attention_mask, pixel_values, proprios, noise):
         return model.infer_action(
             params, input_ids, attention_mask, pixel_values, proprios, noise

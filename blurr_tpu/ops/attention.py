@@ -26,6 +26,19 @@ import jax.numpy as jnp
 DEFAULT_SOFTCLAMP = 50.0
 
 
+def split_heads(x, n_heads: int, head_dim: int):
+    """[B, S, n*d] -> [B, n, S, d] (the head layout every attention op here
+    consumes)."""
+    b, s, _ = x.shape
+    return x.reshape(b, s, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    """[B, n, S, d] -> [B, S, n*d]."""
+    b, nh, s, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+
+
 def grouped_attention(
     q: jax.Array,  # [B, NH, Sq, D]
     k: jax.Array,  # [B, KVH, Skv, D]

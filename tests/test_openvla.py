@@ -163,3 +163,34 @@ def test_llama_w8a8_decode_tracks_fp(tiny_model):
     # greedy argmax over a random-init model need not match exactly, but the
     # quantized forward must run and produce valid token ids
     assert (toks_q >= 0).all() and (toks_q < model.spec.llama.vocab_size).all()
+
+
+def test_greedy_generate_ignores_padded_prompt_positions():
+    """Pad positions' cached K/V must not leak into decode: generations are
+    identical whatever garbage sits in the padded embedding slots."""
+    import jax
+    import jax.numpy as jnp
+
+    from blurr_tpu.models.openvla.llama import (
+        LlamaSpec,
+        greedy_generate,
+        init_llama_params,
+    )
+
+    spec = LlamaSpec(
+        num_layers=2, hidden_size=64, intermediate_size=128, num_heads=4,
+        num_kv_heads=4, vocab_size=128,
+    )
+    params = init_llama_params(jax.random.PRNGKey(0), spec, jnp.float32)
+    rng = np.random.RandomState(0)
+    emb = rng.randn(1, 8, 64).astype(np.float32) * 0.3
+    valid = np.array([[1, 1, 1, 1, 1, 0, 0, 0]], np.int32)  # 3 pad slots
+
+    emb_a = emb.copy()
+    emb_b = emb.copy()
+    emb_b[0, 5:] = 37.0  # garbage in the padded slots only
+    t_a = np.asarray(greedy_generate(params, spec, jnp.asarray(emb_a),
+                                     jnp.asarray(valid), num_new_tokens=5))
+    t_b = np.asarray(greedy_generate(params, spec, jnp.asarray(emb_b),
+                                     jnp.asarray(valid), num_new_tokens=5))
+    np.testing.assert_array_equal(t_a, t_b)
