@@ -89,6 +89,17 @@ class SimplerAdapter(BaseEnvAdapter):
 
         with open(_resolve_stats_path(dataset_statistics_path)) as f:
             self.dataset_statistics = json.load(f)
+        # hoist the per-control-step arrays out of the hot loop (the JSON
+        # lists would otherwise be re-converted on every preprocess/
+        # postprocess call)
+        self._stats = {
+            field: {
+                k: np.asarray(v, np.float64)
+                for k, v in self.dataset_statistics[field].items()
+                if isinstance(v, list)
+            }
+            for field in ("action", "proprio")
+        }
 
         self.tokenizer = _load_tokenizer(pretrained_model_path)
         self.processor = VLAProcessor(
@@ -152,16 +163,16 @@ class SimplerAdapter(BaseEnvAdapter):
         if self.proprio_normalization_type == "bound":
             proprio = self.normalize_bound(
                 raw_proprio,
-                np.array(self.dataset_statistics["proprio"]["p01"]),
-                np.array(self.dataset_statistics["proprio"]["p99"]),
+                self._stats["proprio"]["p01"],
+                self._stats["proprio"]["p99"],
                 clip_min=-1,
                 clip_max=1,
             )
         else:
             proprio = self.normalize_gaussian(
                 raw_proprio,
-                np.array(self.dataset_statistics["proprio"]["mean"]),
-                np.array(self.dataset_statistics["proprio"]["std"]),
+                self._stats["proprio"]["mean"],
+                self._stats["proprio"]["std"],
             )
 
         import jax.numpy as jnp
@@ -178,16 +189,16 @@ class SimplerAdapter(BaseEnvAdapter):
         if self.action_normalization_type == "bound":
             raw_except_gripper = self.denormalize_bound(
                 actions[:, :-1],
-                np.array(self.dataset_statistics["action"]["p01"])[:-1],
-                np.array(self.dataset_statistics["action"]["p99"])[:-1],
+                self._stats["action"]["p01"][:-1],
+                self._stats["action"]["p99"][:-1],
                 clip_min=-1,
                 clip_max=1,
             )
         else:
             raw_except_gripper = self.denormalize_gaussian(
                 actions[:, :-1],
-                np.array(self.dataset_statistics["action"]["mean"])[:-1],
-                np.array(self.dataset_statistics["action"]["std"])[:-1],
+                self._stats["action"]["mean"][:-1],
+                self._stats["action"]["std"][:-1],
             )
         raw_actions = np.concatenate([raw_except_gripper, actions[:, -1:]], axis=1)
 

@@ -67,15 +67,32 @@ class EvalAgent:
             self.params = self.model.enable_vlm_quantization(self.params)
         except Exception as exc:  # graceful like the reference (eval.py:74-78)
             log.warning("Quantization failed, continuing without: %s", exc)
-        # jit boundary (the reference's torch.compile(mode="reduce-overhead"))
-        self._infer_cached = jax.jit(self.model.infer_action)
-        self._infer_naive = jax.jit(self.model.infer_action_naive)
+        # jit boundary (the reference's torch.compile(mode="reduce-overhead")).
+        # Noise is sampled IN-GRAPH from (base_key, step_idx): sampling on the
+        # host would dispatch two extra device programs per control step
+        # (split + normal), which costs real round-trips on the axon tunnel.
+        noise_shape = (
+            1, self.model.spec.num_action_tokens, self.model.spec.action_dim
+        )
+
+        def _with_noise(fn):
+            def step(params, ids, am, px, pr, key, idx):
+                noise = jax.random.normal(
+                    jax.random.fold_in(key, idx), noise_shape, self.dtype
+                )
+                return fn(params, ids, am, px, pr, noise)
+
+            return jax.jit(step)
+
+        self._infer_cached = _with_noise(self.model.infer_action)
+        self._infer_naive = _with_noise(self.model.infer_action_naive)
         log.info("Using device: %s dtype: %s", jax.devices()[0], self.dtype)
         log_allocated_tpu_memory(log, "loading model")
 
         self.act_steps = cfg["act_steps"]
         self.use_prefix_kv_cache = bool(cfg.get("use_prefix_kv_cache", True))
-        self._rng = jax.random.PRNGKey(int(cfg.get("seed", 42)))
+        self._base_key = jax.random.PRNGKey(int(cfg.get("seed", 42)))
+        self._step_idx = 0
 
         log.info("Creating SimplerEnv env with task='%s'...", cfg["env"]["task"])
         t0 = time.time()
@@ -114,12 +131,6 @@ class EvalAgent:
             return None
 
     def _infer(self, inputs: dict) -> np.ndarray:
-        self._rng, sub = jax.random.split(self._rng)
-        noise = jax.random.normal(
-            sub,
-            (1, self.model.spec.num_action_tokens, self.model.spec.action_dim),
-            self.dtype,
-        )
         fn = self._infer_cached if self.use_prefix_kv_cache else self._infer_naive
         actions = fn(
             self.params,
@@ -127,8 +138,10 @@ class EvalAgent:
             inputs["attention_mask"],
             inputs["pixel_values"].astype(self.dtype),
             inputs["proprios"].astype(self.dtype),
-            noise,
+            self._base_key,
+            self._step_idx,
         )
+        self._step_idx += 1
         out = np.asarray(actions[0], np.float32)
         if not np.isfinite(out).all():
             log.warning("Non-finite actions (nan/inf) replaced with zeros.")
@@ -229,7 +242,8 @@ class EvalAgent:
                 instruction = env.get_language_instruction()
                 log.info(
                     f"Reset info: {reset_info} Instruction: {instruction} "
-                    f"Max episode length: {env.spec.max_episode_steps}"
+                    f"Max episode length: "
+                    f"{getattr(env.spec, 'max_episode_steps', None)}"
                 )
                 recording = self.n_video > cnt_episode
                 if recording:

@@ -454,7 +454,18 @@ def naive_forward(
         params["action"]["final_norm"], hs["action"], tc_for("action"), m_a, eps
     )
     if return_all:
-        return {"action": out}
+        all_out = {}
+        for n in names:
+            if n == "action":
+                all_out[n] = out
+            elif spec.mixtures[n].use_final_norm:
+                all_out[n] = _apply_norm(
+                    params[n]["final_norm"], hs[n], tc_for(n),
+                    spec.mixtures[n], eps,
+                )
+            else:
+                all_out[n] = hs[n]
+        return all_out
     return out
 
 
@@ -562,8 +573,10 @@ class JointModel:
         surface parity (reference joint_model.py:333-336)."""
         return {name: None for name in self.cache_names}
 
-    def prefill(self, params, embeds, position_ids, prefix_mask):
-        return prefill(params, self.spec, embeds, position_ids, prefix_mask)
+    def prefill(self, params, embeds, position_ids, prefix_mask,
+                time_cond=None):
+        return prefill(params, self.spec, embeds, position_ids, prefix_mask,
+                       time_cond)
 
     def decode(self, params, action_embeds, action_position_ids, cache,
                action_mask, time_cond=None):

@@ -115,12 +115,6 @@ def pi0_position_ids(
     return vlm, proprio, action
 
 
-def text_causal_mask(q_len: int, kv_len: int, batch_size: int) -> jax.Array:
-    """Text-generation mask (reference pizero.py:395-418): prefill assumes no
-    padding and attends fully; 1-token decode attends everything cached."""
-    return jnp.ones((batch_size, q_len, kv_len), dtype=bool)
-
-
 def additive_from_bool(mask: jax.Array, dtype) -> jax.Array:
     """Parity helper: boolean [B, Q, K] -> additive float [B, 1, Q, K] with 0
     where allowed and finfo(dtype).min where masked (the reference's exact

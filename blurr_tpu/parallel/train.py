@@ -31,6 +31,10 @@ def make_train_step(model: PiZero, learning_rate: float = 1e-4):
             batch["x0"],
         )
 
+    # NOTE: donate_argnums=(0,) would halve the peak param memory, but the
+    # Pi-0 tree carries ALIASED leaves (tie_action_proprio_weights points
+    # proprio at the action arrays) and XLA rejects donating the same buffer
+    # twice. Donation would need an untied canonical training tree first.
     @jax.jit
     def step(params, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)

@@ -33,11 +33,19 @@ def send_msg(sock: socket.socket, obj: dict) -> None:
     sock.sendall(struct.pack(">I", len(data)) + data)
 
 
+# generous bound for a base64 camera frame + metadata; rejects hostile
+# length prefixes before buffering (a 0xFFFFFFFF header would otherwise
+# allocate 4 GiB per connection)
+MAX_MSG_BYTES = 64 * 1024 * 1024
+
+
 def recv_msg(sock: socket.socket) -> Optional[dict]:
     header = _recv_exact(sock, 4)
     if header is None:
         return None
     (length,) = struct.unpack(">I", header)
+    if length > MAX_MSG_BYTES:
+        return None
     payload = _recv_exact(sock, length)
     if payload is None:
         return None
@@ -89,13 +97,55 @@ class ActionServer:
         params = self.model.enable_vlm_quantization(params)
         self.params = params
         self.processor = build_processor(cfg)
-        self._step = jax.jit(self.model.infer_action)
-        self._rng = jax.random.PRNGKey(seed)
+        # noise sampled in-graph from (base_key, request_idx): one device
+        # program per request (host-side split/normal would dispatch two
+        # extra programs over the tunnel)
+        noise_shape = (
+            1, self.model.spec.num_action_tokens, self.model.spec.action_dim
+        )
+        infer = self.model.infer_action
+
+        def _step_fn(params, ids, am, px, pr, key, idx):
+            noise = jax.random.normal(
+                jax.random.fold_in(key, idx), noise_shape, self.dtype
+            )
+            return infer(params, ids, am, px, pr, noise)
+
+        self._step = jax.jit(_step_fn)
+        self._base_key = jax.random.PRNGKey(seed)
+        self._req_idx = 0
         self._lock = threading.Lock()  # device stream + PRNG serialization
         self._tok_cache = {}
         self._sock: Optional[socket.socket] = None
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _resize(image: np.ndarray, size: int) -> np.ndarray:
+        """cv2 > native C++ Lanczos-4 > jax.image — same degradation ladder
+        as SimplerAdapter._resize (the native path can be unavailable)."""
+        try:
+            import cv2
+
+            return cv2.resize(image, (size, size),
+                              interpolation=cv2.INTER_LANCZOS4)
+        except ImportError:
+            pass
+        from blurr_tpu import native
+
+        if native.available():
+            out = native.lanczos4_resize(image, (size, size))
+            if out is not None:
+                return out
+        import jax
+        import jax.numpy as jnp
+
+        out = jax.image.resize(
+            jnp.asarray(image, jnp.float32),
+            (size, size, image.shape[2]),
+            method="lanczos5",
+        )
+        return np.asarray(jnp.clip(jnp.round(out), 0, 255)).astype(np.uint8)
 
     def warmup(self) -> float:
         """Compile the step with a dummy request; returns seconds taken."""
@@ -111,38 +161,25 @@ class ActionServer:
 
         size = self.cfg["vision"]["config"]["image_size"]
         if image.shape[:2] != (size, size):
-            try:
-                import cv2
-
-                image = cv2.resize(image, (size, size),
-                                   interpolation=cv2.INTER_LANCZOS4)
-            except ImportError:
-                from blurr_tpu import native
-
-                image = native.lanczos4_resize(image, (size, size))
+            image = self._resize(image, size)
+        chw = np.ascontiguousarray(image.transpose(2, 0, 1))[None]
         if instruction in self._tok_cache:
             ids, am = self._tok_cache[instruction]
         else:
-            out = self.processor(
-                text=[instruction],
-                images=np.ascontiguousarray(image.transpose(2, 0, 1))[None],
-            )
+            out = self.processor(text=[instruction], images=chw)
             ids, am = out["input_ids"], out["attention_mask"]
+            if len(self._tok_cache) >= 1024:  # bound daemon memory
+                self._tok_cache.pop(next(iter(self._tok_cache)))
             self._tok_cache[instruction] = (ids, am)
         from blurr_tpu.models.pi0.processing import process_images
 
-        px = process_images(
-            np.ascontiguousarray(image.transpose(2, 0, 1))[None]
-        ).astype(self.dtype)
+        px = process_images(chw).astype(self.dtype)
         pr = jnp.asarray(np.asarray(proprio, np.float32)[None, None], self.dtype)
         with self._lock:
-            self._rng, sub = jax.random.split(self._rng)
-            noise = jax.random.normal(
-                sub,
-                (1, self.model.spec.num_action_tokens, self.model.spec.action_dim),
-                self.dtype,
+            actions = self._step(
+                self.params, ids, am, px, pr, self._base_key, self._req_idx
             )
-            actions = self._step(self.params, ids, am, px, pr, noise)
+            self._req_idx += 1
             return np.asarray(actions[0], np.float32)
 
     # ------------------------------------------------------------------
