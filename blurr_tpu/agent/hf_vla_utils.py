@@ -136,6 +136,11 @@ def normalize_proprio(
     return out.astype(np.float32)
 
 
+# NOTE on precedence: config.json norm_stats WIN over dataset_statistics
+# for overlapping action keys — this mirrors the reference exactly
+# (reference scripts/eval_hf_vla_simpler.py:236-238: merged = dict(ds);
+# merged.update(base) keeps the mask and base values); dataset stats fill
+# gaps and replace all-zero proprio blocks only.
 def inject_dataset_statistics_into_norm_stats(
     norm_stats: Dict[str, Any], dataset_stats: Dict[str, Any]
 ) -> Dict[str, Any]:

@@ -236,6 +236,15 @@ def init_oft_action_head(
     }
 
 
+# NOTE on OFT-head parity: the math below (flatten the WHOLE chunk of
+# action hidden states into one vector, residual blocks = x + Linear(LN(x))
+# with NO activation, ReLU proprio projector) is exactly the REFERENCE's own
+# reimplementation (reference scripts/eval_hf_vla_simpler.py:30-72), which
+# is what this framework mirrors. Upstream openvla-oft differs (per-timestep
+# head with GELU blocks); if real OFT checkpoints with per-timestep shapes
+# appear, the dims are reconstructed from the checkpoint either way
+# (checkpoint.load_oft_aux_params), matching the reference's shape-driven
+# loader (reference :99-117).
 def oft_action_head_forward(p: Dict, x: jax.Array) -> jax.Array:
     """MLP-ResNet regression head (math of reference _OFTActionHead,
     eval_hf_vla_simpler.py:40-63: LN -> fc1 -> [x + Linear(LN(x))]* -> LN ->
@@ -321,17 +330,29 @@ class OpenVLAOFT(OpenVLA):
             embeds = jnp.concatenate([embeds, pe[:, None, :]], axis=1)
         n_tok = self.chunk_len * s.action_dim
         b = embeds.shape[0]
+        # trailing empty token 29871, like the remote code's AR path (the
+        # training-time prompt always ends with it)
+        empty = jnp.broadcast_to(
+            params["llama"]["embed_tokens"][EMPTY_TOKEN][None, None, :],
+            (b, 1, s.llama.hidden_size),
+        ).astype(embeds.dtype)
         placeholders = jnp.broadcast_to(
             params["llama"]["embed_tokens"][EMPTY_TOKEN][None, None, :],
             (b, n_tok, s.llama.hidden_size),
         ).astype(embeds.dtype)
-        embeds = jnp.concatenate([embeds, placeholders], axis=1)
+        embeds = jnp.concatenate([embeds, empty, placeholders], axis=1)
         total = embeds.shape[1]
         cache = llama_lib.alloc_cache(s.llama, b, total, embeds.dtype)
         pos = jnp.broadcast_to(
             jnp.arange(total, dtype=jnp.int32)[None], (b, total)
         )
+        # OFT parallel decoding attends BIDIRECTIONALLY among the action
+        # placeholder tokens (a headline OFT design point); the prompt
+        # prefix stays causal
         mask = llama_lib.causal_prefill_mask(jnp.ones((b, total), jnp.int32), total)
+        rows = jnp.arange(total)[None, :, None] >= total - n_tok
+        cols = jnp.arange(total)[None, None, :] >= total - n_tok
+        mask = mask | (rows & cols)
         h, _ = llama_lib.forward(
             params["llama"], s.llama, embeds, pos, mask, cache, jnp.int32(0)
         )

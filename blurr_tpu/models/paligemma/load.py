@@ -11,13 +11,7 @@ import jax.numpy as jnp
 
 from blurr_tpu.models.paligemma.config import PaliGemmaConfig
 from blurr_tpu.models.paligemma.model import PaliGemmaForConditionalGeneration
-from blurr_tpu.models.pi0.checkpoint import (
-    _mixture_params_from_torch,
-    _siglip_params_from_torch,
-    _t,
-    jnp_cast,
-    load_safetensors_dir,
-)
+from blurr_tpu.models.pi0.checkpoint import paligemma_params_from_safetensors
 
 
 def load_hf_model(
@@ -29,16 +23,5 @@ def load_hf_model(
     config = PaliGemmaConfig(**raw)
     model = PaliGemmaForConditionalGeneration(config)
 
-    state = load_safetensors_dir(model_path)
-    params = {
-        "embed_tokens": _t(state["language_model.model.embed_tokens.weight"]),
-        "siglip": _siglip_params_from_torch(state, "vision_tower.vision_model."),
-        "projector": {
-            "w": _t(state["multi_modal_projector.linear.weight"]).T,
-            "b": _t(state["multi_modal_projector.linear.bias"]),
-        },
-        "joint": {
-            "vlm": _mixture_params_from_torch(state, "language_model.model.")
-        },
-    }
-    return model, jnp_cast(params, dtype)
+    # key remaps live in ONE place: the pi0 checkpoint bridge
+    return model, paligemma_params_from_safetensors(model_path, dtype)

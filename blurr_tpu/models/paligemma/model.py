@@ -114,7 +114,10 @@ class PaliGemmaForConditionalGeneration:
             params["joint"], self.joint_spec, "vlm", embeds, pos, mask,
             cache=cache, cache_len=jnp.int32(0),
         )
-        logits = hidden @ params["embed_tokens"].T  # tied lm_head
+        # project only the LAST position through the 257k-vocab tied head
+        # (a full-prompt [B, S, V] projection is ~155 MB + 316 GFLOP of
+        # waste; generation uses logits[:, -1] only)
+        logits = hidden[:, -1:] @ params["embed_tokens"].T
         return logits, cache, jnp.int32(q_len)
 
     def decode_step(self, params: Dict, token: jax.Array, cache, cache_len):
@@ -133,6 +136,17 @@ class PaliGemmaForConditionalGeneration:
         logits = hidden @ params["embed_tokens"].T
         return jnp.argmax(logits[:, -1], axis=-1), cache, cache_len + 1
 
+    def _jitted(self, key, make):
+        """Per-instance jit cache: re-wrapping a method in jax.jit on every
+        generate() call would recompile each time (~15s/program over the
+        axon tunnel; the persistent cache does not help)."""
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        if key not in cache:
+            cache[key] = make()
+        return cache[key]
+
     def generate(
         self, params: Dict, input_ids, pixel_values, max_new_tokens: int = 20,
         eos_token_id: Optional[int] = None,
@@ -141,8 +155,8 @@ class PaliGemmaForConditionalGeneration:
         input_ids = jnp.asarray(input_ids)
         pixel_values = jnp.asarray(pixel_values)
         max_len = input_ids.shape[1] + max_new_tokens
-        prefill = jax.jit(self.prefill, static_argnums=(3,))
-        step = jax.jit(self.decode_step)
+        prefill = self._jitted("prefill", lambda: jax.jit(self.prefill, static_argnums=(3,)))
+        step = self._jitted("decode", lambda: jax.jit(self.decode_step))
         logits, cache, cache_len = prefill(params, input_ids, pixel_values, max_len)
         tok = jnp.argmax(logits[:, -1], axis=-1)
         out = [np.asarray(tok)]
@@ -191,7 +205,8 @@ class PaliGemmaForConditionalGeneration:
             toks = jnp.moveaxis(toks, 0, 1)
             return jnp.concatenate([toks, last[:, None]], axis=1)
 
-        return np.asarray(jax.jit(run)(params, input_ids, pixel_values))
+        fused = self._jitted(("fused", max_len, eos), lambda: jax.jit(run))
+        return np.asarray(fused(params, input_ids, pixel_values))
 
 
 class GemmaForCausalLM:
@@ -218,6 +233,8 @@ class GemmaForCausalLM:
         self._inner = PaliGemmaForConditionalGeneration(wrapper)
         self.config = text
 
+    _jitted = PaliGemmaForConditionalGeneration._jitted
+
     def init_params(self, rng, dtype=jnp.float32):
         params = self._inner.init_params(rng, dtype)
         return {k: v for k, v in params.items() if k not in ("siglip", "projector")}
@@ -238,7 +255,7 @@ class GemmaForCausalLM:
             params["joint"], self._inner.joint_spec, "vlm", embeds, pos, mask,
             cache=cache, cache_len=jnp.int32(0),
         )
-        logits = hidden @ params["embed_tokens"].T
+        logits = hidden[:, -1:] @ params["embed_tokens"].T  # last position only
         return logits, cache, jnp.int32(q_len)
 
     def decode_step(self, params, token, cache, cache_len):
@@ -247,10 +264,9 @@ class GemmaForCausalLM:
     def generate(self, params, input_ids, max_new_tokens=20, eos_token_id=None):
         input_ids = jnp.asarray(input_ids)
         max_len = input_ids.shape[1] + max_new_tokens
-        logits, cache, cache_len = jax.jit(self.prefill, static_argnums=(2,))(
-            params, input_ids, max_len
-        )
-        step = jax.jit(self.decode_step)
+        prefill = self._jitted("prefill", lambda: jax.jit(self.prefill, static_argnums=(2,)))
+        logits, cache, cache_len = prefill(params, input_ids, max_len)
+        step = self._jitted("decode", lambda: jax.jit(self.decode_step))
         tok = jnp.argmax(logits[:, -1], axis=-1)
         out = [np.asarray(tok)]
         for _ in range(max_new_tokens - 1):

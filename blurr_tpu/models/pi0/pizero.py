@@ -622,7 +622,10 @@ class PiZero:
             cache=cache,
             cache_len=jnp.int32(0),
         )
-        logits = hidden @ params["embed_tokens"].T  # tied lm_head
+        # last position only through the 257k-vocab tied head (the full
+        # [B, S, V] projection is ~155 MB + 316 GFLOP of waste; generation
+        # reads logits[:, -1] only)
+        logits = hidden[:, -1:] @ params["embed_tokens"].T
         return logits, cache, jnp.int32(q_len)
 
     def infer_text_decode_step(

@@ -146,7 +146,8 @@ def test_text_generation_shapes(model_and_params):
     logits, cache, cache_len = model.infer_text_prefill(
         params, inputs["input_ids"], inputs["pixel_values"], max_len
     )
-    assert logits.shape == (2, cfg.max_seq_len, cfg.vocab_size)
+    # prefill projects the LAST position only (generation reads [:, -1])
+    assert logits.shape == (2, 1, cfg.vocab_size)
     tok = jnp.argmax(logits[:, -1, :], axis=-1)
     tok2, cache, cache_len = model.infer_text_decode_step(
         params, tok, cache, cache_len
