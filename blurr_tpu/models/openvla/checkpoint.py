@@ -59,7 +59,7 @@ def llama_params_from_hf(state: Dict, prefix: str = "language_model.") -> Dict:
     def lin(name):
         return _stack({i: w.T for i, w in per[name + ".weight"].items()})
 
-    return {
+    params = {
         "embed_tokens": _t(state[prefix + "model.embed_tokens.weight"]),
         "layers": {
             "q_w": lin("self_attn.q_proj"),
@@ -73,8 +73,17 @@ def llama_params_from_hf(state: Dict, prefix: str = "language_model.") -> Dict:
             "post_norm": _stack(per["post_attention_layernorm.weight"]),
         },
         "final_norm": _t(state[prefix + "model.norm.weight"]),
-        "lm_head": _t(state[prefix + "lm_head.weight"]).T,
     }
+    # Qwen2-family (MiniVLA backbone) attention biases
+    if "self_attn.q_proj.bias" in per:
+        params["layers"]["q_b"] = _stack(per["self_attn.q_proj.bias"])
+        params["layers"]["k_b"] = _stack(per["self_attn.k_proj.bias"])
+        params["layers"]["v_b"] = _stack(per["self_attn.v_proj.bias"])
+    # tied word embeddings (Qwen2-0.5B) ship no lm_head tensor; the logits
+    # path falls back to embed_tokens.T when the key is absent
+    if prefix + "lm_head.weight" in state:
+        params["lm_head"] = _t(state[prefix + "lm_head.weight"]).T
+    return params
 
 
 def timm_vit_params_from_hf(

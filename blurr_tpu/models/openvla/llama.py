@@ -43,6 +43,12 @@ class LlamaSpec:
     rope_theta: float = 10000.0
     eps: float = 1e-5
     pad_token_id: int = 32000
+    # Qwen2-family knobs (MiniVLA's prismatic backbone is Qwen2.5-0.5B:
+    # attention QKV biases + lm_head tied to the embedding matrix; the
+    # reference reaches that model only through the external openvla-mini
+    # repo, scripts/eval_prismatic_vla_simpler.py:240-281)
+    qkv_bias: bool = False
+    tie_word_embeddings: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -65,7 +71,7 @@ def init_llama_params(rng: jax.Array, spec: LlamaSpec, dtype=jnp.float32) -> Dic
     def stack(key, fan_in, shape):
         return jax.random.normal(key, (nl, *shape), dtype) * (fan_in**-0.5)
 
-    return {
+    params = {
         "embed_tokens": jax.random.normal(next(keys), (spec.vocab_size, h), dtype)
         * (h**-0.5),
         "layers": {
@@ -80,9 +86,16 @@ def init_llama_params(rng: jax.Array, spec: LlamaSpec, dtype=jnp.float32) -> Dic
             "post_norm": jnp.ones((nl, h), dtype),
         },
         "final_norm": jnp.ones((h,), dtype),
-        "lm_head": jax.random.normal(next(keys), (h, spec.vocab_size), dtype)
-        * (h**-0.5),
     }
+    if spec.qkv_bias:
+        params["layers"]["q_b"] = jnp.zeros((nl, nh * hd), dtype)
+        params["layers"]["k_b"] = jnp.zeros((nl, kvh * hd), dtype)
+        params["layers"]["v_b"] = jnp.zeros((nl, kvh * hd), dtype)
+    if not spec.tie_word_embeddings:
+        params["lm_head"] = jax.random.normal(
+            next(keys), (h, spec.vocab_size), dtype
+        ) * (h**-0.5)
+    return params
 
 
 def alloc_cache(spec: LlamaSpec, batch: int, max_len: int, dtype):
@@ -110,9 +123,12 @@ def forward(
     def layer(h, xs):
         lp, kc, vc = xs
         x = llama_rms_norm(h, lp["input_norm"], eps)
-        q = apply_rope(_split_heads(mm(x, lp["q_w"]), nh, hd), cos, sin)
-        k = apply_rope(_split_heads(mm(x, lp["k_w"]), kvh, hd), cos, sin)
-        v = _split_heads(mm(x, lp["v_w"]), kvh, hd)
+        qh, kh, vh = mm(x, lp["q_w"]), mm(x, lp["k_w"]), mm(x, lp["v_w"])
+        if "q_b" in lp:  # Qwen2-style attention biases
+            qh, kh, vh = qh + lp["q_b"], kh + lp["k_b"], vh + lp["v_b"]
+        q = apply_rope(_split_heads(qh, nh, hd), cos, sin)
+        k = apply_rope(_split_heads(kh, kvh, hd), cos, sin)
+        v = _split_heads(vh, kvh, hd)
         kc = jax.lax.dynamic_update_slice(kc, k, (0, 0, cache_offset, 0))
         vc = jax.lax.dynamic_update_slice(vc, v, (0, 0, cache_offset, 0))
         attn = grouped_attention(q, kc, vc, mask, softclamp=None)
@@ -130,7 +146,11 @@ def final_hidden(params: Dict, spec: LlamaSpec, h: jax.Array) -> jax.Array:
 
 
 def logits(params: Dict, spec: LlamaSpec, h: jax.Array) -> jax.Array:
-    return mm(final_hidden(params, spec, h), params["lm_head"])
+    hf = final_hidden(params, spec, h)
+    if "lm_head" in params:
+        return mm(hf, params["lm_head"])
+    # tied embeddings (Qwen2-0.5B / MiniVLA backbone)
+    return hf @ params["embed_tokens"].T.astype(hf.dtype)
 
 
 def init_llama_params_w8a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) -> Dict:
@@ -184,7 +204,7 @@ def quantize_llama_w8a8(params: Dict, quantize_lm_head: bool = True) -> Dict:
     """
     out = dict(params)
     out["layers"] = quantize_mixture_w8a8(params["layers"])
-    if quantize_lm_head and not isinstance(params["lm_head"], dict):
+    if quantize_lm_head and not isinstance(params.get("lm_head"), (dict, type(None))):
         out["lm_head"] = quantize_weight_w8a8(params["lm_head"])
     return out
 
@@ -224,7 +244,7 @@ def quantize_llama_streaming(params: Dict, mode: str,
         fence(layers[k])
         w.delete()
     out["layers"] = layers
-    if quantize_lm_head and not isinstance(params["lm_head"], dict):
+    if quantize_lm_head and not isinstance(params.get("lm_head"), (dict, type(None))):
         head = params["lm_head"]
         out["lm_head"] = qfn(head)
         fence(out["lm_head"])
@@ -244,7 +264,7 @@ def quantize_llama_w4a8(params: Dict, quantize_lm_head: bool = True) -> Dict:
     """
     out = dict(params)
     out["layers"] = quantize_mixture_w4a8(params["layers"])
-    if quantize_lm_head and not isinstance(params["lm_head"], dict):
+    if quantize_lm_head and not isinstance(params.get("lm_head"), (dict, type(None))):
         out["lm_head"] = quantize_weight_w4a8(params["lm_head"])
     return out
 

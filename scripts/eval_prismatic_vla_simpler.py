@@ -35,23 +35,48 @@ from blurr_tpu.paths import repo_root
 log = logging.getLogger("eval_prismatic_vla_simpler")
 
 
-def minivla_spec():
-    """MiniVLA-style prismatic spec: SigLIP-only vision + ~0.5B-class LM."""
+def minivla_spec(vocab_size: int = 32064):
+    """MiniVLA-style prismatic spec: SigLIP-only vision + the Qwen2.5-0.5B
+    architecture MiniVLA uses as its LLM backbone (attention QKV biases,
+    lm_head tied to the embedding matrix, rope theta 1e6, eps 1e-6). The
+    default vocab keeps the OpenVLA 32064/32000 action-token convention for
+    the random-init stand-in; loading a real checkpoint rebuilds the spec
+    from the embedding shape."""
     from blurr_tpu.models.openvla.llama import LlamaSpec
     from blurr_tpu.models.openvla.model import SIGLIP_SO400M, OpenVLASpec
 
     return OpenVLASpec(
         llama=LlamaSpec(
-            vocab_size=32064,
+            vocab_size=vocab_size,
             hidden_size=896,
             intermediate_size=4864,
             num_layers=24,
             num_heads=14,
             num_kv_heads=2,
+            rope_theta=1_000_000.0,
+            eps=1e-6,
+            qkv_bias=True,
+            tie_word_embeddings=True,
         ),
         siglip=SIGLIP_SO400M,
         use_fused_vision=False,
     )
+
+
+def _infer_unnorm_key(norm_stats, dataset_stats, override):
+    """Reference semantics (eval_prismatic_vla_simpler.py:45-59): explicit
+    override wins; else the first dataset-statistics key also present in
+    norm_stats; else 'bridge_dataset'; else the first norm_stats key."""
+    if override:
+        return override
+    norm_keys = list(norm_stats.keys())
+    if dataset_stats:
+        inter = [k for k in dataset_stats.keys() if k in norm_keys]
+        if inter:
+            return inter[0]
+    if "bridge_dataset" in norm_keys:
+        return "bridge_dataset"
+    return norm_keys[0] if norm_keys else "bridge_dataset"
 
 
 def parse_args():
@@ -67,11 +92,21 @@ def parse_args():
     p.add_argument("--initial-states", type=str, default="eval",
                    choices=["eval", "train", "episode_id"])
     p.add_argument("--log-dir", type=str, default="")
-    p.add_argument("--unnorm-key", type=str, default="bridge_orig")
+    p.add_argument("--unnorm-key", type=str, default=None,
+                   help="Explicit normalization-statistics key; inferred from "
+                        "the checkpoint run dir's dataset_statistics.json "
+                        "when omitted (reference semantics).")
     p.add_argument("--use-bf16", action="store_true", default=True)
     p.add_argument(
         "--image-preproc", type=str, default="octo128", choices=["octo128", "raw"]
     )
+    p.add_argument(
+        "--num-steps-wait", type=int, default=0,
+        help="No-op settle steps ([0,0,0,0,0,0,-1]) at episode start "
+             "(reference eval_prismatic_vla_simpler.py:196-203).")
+    p.add_argument(
+        "--instruction-template", type=str, default="{instruction}",
+        help="Prompt template; must contain '{instruction}'.")
     return p.parse_args()
 
 
@@ -104,8 +139,11 @@ def main() -> None:
         force=True,
     )
 
+    if "{instruction}" not in args.instruction_template:
+        raise ValueError("--instruction-template must contain '{instruction}'")
+
     dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32
-    spec = minivla_spec()
+
     # bundled Bridge statistics give the default unnorm ranges
     stats_path = (
         Path(__file__).resolve().parents[1]
@@ -121,16 +159,51 @@ def main() -> None:
             }
         }
     }
-    model = OpenVLA(spec, norm_stats)
-    if str(args.checkpoint).lower() in {"random", "none", ""}:
-        params = model.init_params(jax.random.PRNGKey(args.seed), dtype)
-    else:
+
+    is_random = str(args.checkpoint).lower() in {"random", "none", ""}
+    state = None
+    dataset_stats = {}
+    if not is_random:
         import torch
 
-        from blurr_tpu.models.openvla.checkpoint import llama_params_from_hf
-
+        ckpt = Path(args.checkpoint).expanduser()
+        # run_dir layout: run_dir/checkpoints/*.pt next to
+        # dataset_statistics.json (reference :250-252)
+        run_dir = ckpt.parents[1] if ckpt.parent.name == "checkpoints" else ckpt.parent
+        ds_path = run_dir / "dataset_statistics.json"
+        if ds_path.is_file():
+            try:
+                dataset_stats = json.loads(ds_path.read_text())
+            except Exception:
+                dataset_stats = {}
         state = torch.load(args.checkpoint, map_location="cpu")
         state = state.get("model", state)
+        # merge per-dataset action stats into norm_stats (the prismatic
+        # checkpoint's vla.norm_stats equivalent)
+        for key, st in (dataset_stats or {}).items():
+            act = st.get("action", st) if isinstance(st, dict) else {}
+            if isinstance(act, dict) and "q01" in act and "q99" in act:
+                norm_stats[key] = {"action": act}
+
+    spec = minivla_spec()
+    if state is not None and "llm_backbone.llm.model.embed_tokens.weight" in state:
+        vocab = state["llm_backbone.llm.model.embed_tokens.weight"].shape[0]
+        from dataclasses import replace
+
+        spec = minivla_spec(vocab_size=int(vocab))
+        has_bias = any(k.endswith("self_attn.q_proj.bias") for k in state)
+        tied = "llm_backbone.llm.lm_head.weight" not in state
+        spec = replace(
+            spec, llama=replace(spec.llama, qkv_bias=has_bias,
+                                tie_word_embeddings=tied)
+        )
+
+    model = OpenVLA(spec, norm_stats)
+    if is_random:
+        params = model.init_params(jax.random.PRNGKey(args.seed), dtype)
+    else:
+        from blurr_tpu.models.openvla.checkpoint import llama_params_from_hf
+
         try:
             params = model.init_params(jax.random.PRNGKey(args.seed), dtype)
             params["llama"] = jax.tree.map(
@@ -144,9 +217,13 @@ def main() -> None:
             )
             params = model.init_params(jax.random.PRNGKey(args.seed), dtype)
 
+    unnorm_key = _infer_unnorm_key(norm_stats, dataset_stats, args.unnorm_key)
+    log.info("Using unnorm_key=%s", unnorm_key)
+
     processor = OpenVLAProcessor(None, image_size=spec.siglip.image_size, fused=False)
     jitted = jax.jit(model.predict_action_tokens)
-    action_stats = norm_stats["bridge_orig"]["action"]
+    action_stats = norm_stats.get(unnorm_key, norm_stats["bridge_orig"])["action"]
+    dummy_action = np.array([0, 0, 0, 0, 0, 0, -1], dtype=np.float32)
 
     per_task: Dict[str, float] = {}
     for task in args.task:
@@ -166,7 +243,15 @@ def main() -> None:
             instruction = env.get_language_instruction()
             terminated = truncated = False
             steps = 0
-            while steps < args.max_steps and not (terminated or truncated):
+            while (
+                steps < args.max_steps + args.num_steps_wait
+                and not (terminated or truncated)
+            ):
+                if steps < args.num_steps_wait:
+                    # settle steps: no-op action while objects come to rest
+                    obs, reward, terminated, truncated, info = env.step(dummy_action)
+                    steps += 1
+                    continue
                 from blurr_tpu.agent.env_adapter.simpler import get_image_from_obs
 
                 image = Image.fromarray(
@@ -176,15 +261,16 @@ def main() -> None:
                     image = octo_style_preprocess(
                         image, resize_size=spec.siglip.image_size
                     )
+                templated = args.instruction_template.format(instruction=instruction)
                 prompt = (
-                    f"In: What action should the robot take to {instruction.lower()}?\nOut:"
+                    f"In: What action should the robot take to {templated.lower()}?\nOut:"
                 )
                 batch = processor(prompt, np.asarray(image))
                 action = model.predict_action(
                     params,
                     batch["input_ids"],
                     batch["pixel_values"].astype(np.float32),
-                    unnorm_key=args.unnorm_key,
+                    unnorm_key=unnorm_key,
                     _jitted_tokens=jitted,
                 )
                 env_action = bridge_action_to_simpler(action, action_stats=action_stats)
@@ -207,6 +293,8 @@ def main() -> None:
     avg = float(np.mean(list(per_task.values()))) if per_task else 0.0
     summary = {
         "checkpoint": args.checkpoint,
+        "unnorm_key": unnorm_key,
+        "num_steps_wait": int(args.num_steps_wait),
         "dtype": str(dtype),
         "seed": int(args.seed),
         "initial_states": args.initial_states,

@@ -166,3 +166,78 @@ def test_oft_aux_reconstruction(tmp_path):
     ).numpy()
     ours = np.asarray(oft_action_head_forward(head, jnp.asarray(x)))
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_qwen2_style_backbone_bridge():
+    """Qwen2-family (MiniVLA) layout: attention QKV biases + tied lm_head.
+    The bridge must pick up the biases and omit lm_head so the logits path
+    falls back to embed_tokens.T (reference reaches MiniVLA only through the
+    external openvla-mini repo, eval_prismatic_vla_simpler.py:240-281)."""
+    import jax
+
+    from blurr_tpu.models.openvla.checkpoint import llama_params_from_hf
+    from blurr_tpu.models.openvla.llama import (
+        LlamaSpec,
+        causal_prefill_mask,
+        greedy_generate,
+        init_llama_params,
+    )
+
+    spec = LlamaSpec(
+        vocab_size=96, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, qkv_bias=True, tie_word_embeddings=True,
+        rope_theta=1_000_000.0, eps=1e-6,
+    )
+    rng = np.random.RandomState(3)
+    t = lambda *shape: torch.tensor(rng.randn(*shape).astype(np.float32) * 0.1)
+    prefix = "llm_backbone.llm."
+    state = {
+        prefix + "model.embed_tokens.weight": t(spec.vocab_size, spec.hidden_size),
+        prefix + "model.norm.weight": t(spec.hidden_size),
+    }
+    hd = spec.head_dim
+    for i in range(spec.num_layers):
+        lp = f"{prefix}model.layers.{i}."
+        state[lp + "self_attn.q_proj.weight"] = t(spec.num_heads * hd, spec.hidden_size)
+        state[lp + "self_attn.q_proj.bias"] = t(spec.num_heads * hd)
+        state[lp + "self_attn.k_proj.weight"] = t(spec.num_kv_heads * hd, spec.hidden_size)
+        state[lp + "self_attn.k_proj.bias"] = t(spec.num_kv_heads * hd)
+        state[lp + "self_attn.v_proj.weight"] = t(spec.num_kv_heads * hd, spec.hidden_size)
+        state[lp + "self_attn.v_proj.bias"] = t(spec.num_kv_heads * hd)
+        state[lp + "self_attn.o_proj.weight"] = t(spec.hidden_size, spec.num_heads * hd)
+        state[lp + "mlp.gate_proj.weight"] = t(spec.intermediate_size, spec.hidden_size)
+        state[lp + "mlp.up_proj.weight"] = t(spec.intermediate_size, spec.hidden_size)
+        state[lp + "mlp.down_proj.weight"] = t(spec.hidden_size, spec.intermediate_size)
+        state[lp + "input_layernorm.weight"] = t(spec.hidden_size)
+        state[lp + "post_attention_layernorm.weight"] = t(spec.hidden_size)
+
+    params = llama_params_from_hf(state, prefix=prefix)
+    assert "lm_head" not in params
+    assert {"q_b", "k_b", "v_b"} <= set(params["layers"])
+
+    # same tree structure as a native init with the matching spec
+    ref = init_llama_params(jax.random.PRNGKey(0), spec)
+    assert jax.tree.structure(params) == jax.tree.structure(
+        jax.tree.map(np.asarray, ref)
+    )
+
+    params = jax.tree.map(jnp.asarray, params)
+    embeds = params["embed_tokens"][jnp.arange(6)[None]]
+    toks = greedy_generate(
+        params, spec, embeds, jnp.ones((1, 6), jnp.int32), num_new_tokens=3
+    )
+    assert toks.shape == (1, 3)
+    assert ((0 <= np.asarray(toks)) & (np.asarray(toks) < spec.vocab_size)).all()
+
+    # biases are live: zeroing them must change the prefill hidden states
+    from blurr_tpu.models.openvla import llama as llama_lib
+
+    cache = llama_lib.alloc_cache(spec, 1, 6, jnp.float32)
+    mask = causal_prefill_mask(jnp.ones((1, 6), jnp.int32), 6)
+    pos = jnp.arange(6)[None]
+    h1, _ = llama_lib.forward(params, spec, embeds, pos, mask, cache, jnp.int32(0))
+    p0 = dict(params, layers=dict(params["layers"]))
+    for k in ("q_b", "k_b", "v_b"):
+        p0["layers"][k] = jnp.zeros_like(p0["layers"][k])
+    h0, _ = llama_lib.forward(p0, spec, embeds, pos, mask, cache, jnp.int32(0))
+    assert not np.allclose(np.asarray(h1), np.asarray(h0))
