@@ -74,11 +74,21 @@ def llama_params_from_hf(state: Dict, prefix: str = "language_model.") -> Dict:
         },
         "final_norm": _t(state[prefix + "model.norm.weight"]),
     }
-    # Qwen2-family (MiniVLA backbone) attention biases
-    if "self_attn.q_proj.bias" in per:
-        params["layers"]["q_b"] = _stack(per["self_attn.q_proj.bias"])
-        params["layers"]["k_b"] = _stack(per["self_attn.k_proj.bias"])
-        params["layers"]["v_b"] = _stack(per["self_attn.v_proj.bias"])
+    # Qwen2-family (MiniVLA backbone) attention biases. Only bridge them when
+    # every layer carries all three (a partial set would break the layer scan
+    # and signals an unexpected layout).
+    bias_names = [f"self_attn.{p}_proj.bias" for p in ("q", "k", "v")]
+    n_layers = len(per["input_layernorm.weight"])
+    if any(n in per for n in bias_names):
+        if all(len(per.get(n, {})) == n_layers for n in bias_names):
+            params["layers"]["q_b"] = _stack(per["self_attn.q_proj.bias"])
+            params["layers"]["k_b"] = _stack(per["self_attn.k_proj.bias"])
+            params["layers"]["v_b"] = _stack(per["self_attn.v_proj.bias"])
+        else:
+            log.warning(
+                "Partial attention-bias set in checkpoint (expected q/k/v "
+                "biases on all %d layers); ignoring biases.", n_layers
+            )
     # tied word embeddings (Qwen2-0.5B) ship no lm_head tensor; the logits
     # path falls back to embed_tokens.T when the key is absent
     if prefix + "lm_head.weight" in state:
@@ -135,6 +145,31 @@ def timm_vit_params_from_hf(
         params["layers"]["ls1"] = vec("ls1.gamma")
         params["layers"]["ls2"] = vec("ls2.gamma")
     return params
+
+
+def prismatic_vision_params(state: Dict, spec) -> Tuple[Dict, Dict]:
+    """Single-backbone prismatic (MiniVLA) vision tower + projector from a
+    ``.pt`` state dict: ``vision_backbone.featurizer.*`` timm keys and a
+    Linear-GELU-Linear MLP projector (``projector.projector.{0,2}`` in
+    prismatic naming, or ``projector.fc{1,2}``). Returns (vit, projector)
+    numpy pytrees. Raises KeyError when the layout does not match."""
+    vit = timm_vit_params_from_hf(
+        state, "vision_backbone.featurizer.", spec.siglip.effective_num_layers
+    )
+
+    def pick(*names):
+        for n in names:
+            if n in state:
+                return _t(state[n])
+        raise KeyError(f"projector tensor not found; tried {names}")
+
+    proj = {
+        "fc1_w": pick("projector.projector.0.weight", "projector.fc1.weight").T,
+        "fc1_b": pick("projector.projector.0.bias", "projector.fc1.bias"),
+        "fc2_w": pick("projector.projector.2.weight", "projector.fc2.weight").T,
+        "fc2_b": pick("projector.projector.2.bias", "projector.fc2.bias"),
+    }
+    return vit, proj
 
 
 def openvla_params_from_hf_dir(path: str, spec, dtype=jnp.bfloat16,

@@ -153,6 +153,23 @@ def logits(params: Dict, spec: LlamaSpec, h: jax.Array) -> jax.Array:
     return hf @ params["embed_tokens"].T.astype(hf.dtype)
 
 
+def _has_fp_lm_head(params: Dict) -> bool:
+    """True when an unquantized lm_head tensor is present (absent for tied-
+    embedding models; a dict means it is already quantized)."""
+    return "lm_head" in params and not isinstance(params["lm_head"], dict)
+
+
+def _materialize_tied_head(params: Dict, qfn) -> Dict:
+    """For tied-embedding models the decode-logits matmul reads the full
+    [H, V] embedding transpose in fp every token — usually the single
+    largest weight read in a 0.5B-class decode. Materialize a quantized
+    copy as lm_head (embed_tokens stays fp for the gather); `logits` then
+    takes the quantized path."""
+    out = dict(params)
+    out["lm_head"] = qfn(jnp.swapaxes(params["embed_tokens"], 0, 1))
+    return out
+
+
 def init_llama_params_w8a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) -> Dict:
     """Random init DIRECTLY in w8a8 form: the int8 weights are generated
     without ever materializing the bf16 tree (quantizing a full bf16 7B tree
@@ -167,7 +184,7 @@ def init_llama_params_w8a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) 
             "s": jnp.full((nl, shape[-1]), fan_in**-0.5 / 127.0, jnp.float32),
         }
 
-    return {
+    params = {
         "embed_tokens": jax.random.normal(next(keys), (spec.vocab_size, h), dtype)
         * (h**-0.5),
         "layers": {
@@ -182,6 +199,8 @@ def init_llama_params_w8a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) 
             "post_norm": jnp.ones((nl, h), dtype),
         },
         "final_norm": jnp.ones((h,), dtype),
+        # tied-embedding specs still get a (quantized) head: the quantizers
+        # materialize one from embed_tokens.T for the decode-logits matmul
         "lm_head": {
             "q8a": jax.random.randint(
                 next(keys), (h, spec.vocab_size), -127, 128, jnp.int8
@@ -189,6 +208,11 @@ def init_llama_params_w8a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) 
             "s": jnp.full((spec.vocab_size,), h**-0.5 / 127.0, jnp.float32),
         },
     }
+    if spec.qkv_bias:
+        params["layers"]["q_b"] = jnp.zeros((nl, nh * hd), dtype)
+        params["layers"]["k_b"] = jnp.zeros((nl, kvh * hd), dtype)
+        params["layers"]["v_b"] = jnp.zeros((nl, kvh * hd), dtype)
+    return params
 
 
 def quantize_llama_w8a8(params: Dict, quantize_lm_head: bool = True) -> Dict:
@@ -204,8 +228,11 @@ def quantize_llama_w8a8(params: Dict, quantize_lm_head: bool = True) -> Dict:
     """
     out = dict(params)
     out["layers"] = quantize_mixture_w8a8(params["layers"])
-    if quantize_lm_head and not isinstance(params.get("lm_head"), (dict, type(None))):
-        out["lm_head"] = quantize_weight_w8a8(params["lm_head"])
+    if quantize_lm_head:
+        if _has_fp_lm_head(params):
+            out["lm_head"] = quantize_weight_w8a8(params["lm_head"])
+        elif "lm_head" not in params:
+            out = _materialize_tied_head(out, quantize_weight_w8a8)
     return out
 
 
@@ -244,11 +271,17 @@ def quantize_llama_streaming(params: Dict, mode: str,
         fence(layers[k])
         w.delete()
     out["layers"] = layers
-    if quantize_lm_head and not isinstance(params.get("lm_head"), (dict, type(None))):
-        head = params["lm_head"]
-        out["lm_head"] = qfn(head)
-        fence(out["lm_head"])
-        head.delete()
+    if quantize_lm_head:
+        if _has_fp_lm_head(params):
+            head = params["lm_head"]
+            out["lm_head"] = qfn(head)
+            fence(out["lm_head"])
+            head.delete()
+        elif "lm_head" not in params:
+            # tied embeddings: materialize a quantized head copy; the fp
+            # embedding stays (the gather path needs it)
+            out = _materialize_tied_head(out, qfn)
+            fence(out["lm_head"])
     return out
 
 
@@ -264,8 +297,11 @@ def quantize_llama_w4a8(params: Dict, quantize_lm_head: bool = True) -> Dict:
     """
     out = dict(params)
     out["layers"] = quantize_mixture_w4a8(params["layers"])
-    if quantize_lm_head and not isinstance(params.get("lm_head"), (dict, type(None))):
-        out["lm_head"] = quantize_weight_w4a8(params["lm_head"])
+    if quantize_lm_head:
+        if _has_fp_lm_head(params):
+            out["lm_head"] = quantize_weight_w4a8(params["lm_head"])
+        elif "lm_head" not in params:
+            out = _materialize_tied_head(out, quantize_weight_w4a8)
     return out
 
 
@@ -291,7 +327,7 @@ def init_llama_params_w4a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) 
             "s": jnp.full((nl, groups, n), fan_in**-0.5 / 7.0, jnp.float32),
         }
 
-    return {
+    params = {
         "embed_tokens": jax.random.normal(next(keys), (spec.vocab_size, h), dtype)
         * (h**-0.5),
         "layers": {
@@ -306,8 +342,14 @@ def init_llama_params_w4a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) 
             "post_norm": jnp.ones((nl, h), dtype),
         },
         "final_norm": jnp.ones((h,), dtype),
+        # see init_llama_params_w8a8 on tied-embedding specs
         "lm_head": _w4_head(next(keys), h, spec.vocab_size),
     }
+    if spec.qkv_bias:
+        params["layers"]["q_b"] = jnp.zeros((nl, nh * hd), dtype)
+        params["layers"]["k_b"] = jnp.zeros((nl, kvh * hd), dtype)
+        params["layers"]["v_b"] = jnp.zeros((nl, kvh * hd), dtype)
+    return params
 
 
 def _w4_head(key, h: int, vocab: int) -> Dict:

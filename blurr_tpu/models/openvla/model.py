@@ -99,17 +99,21 @@ class OpenVLA:
         def dense(key, fan_in, shape):
             return jax.random.normal(key, shape, dtype) * (fan_in**-0.5)
 
+        projector = {
+            "fc1_w": dense(next(keys), s.vision_dim, (s.vision_dim, ldim)),
+            "fc1_b": jnp.zeros((ldim,), dtype),
+            "fc2_w": dense(next(keys), ldim, (ldim, ldim)),
+            "fc2_b": jnp.zeros((ldim,), dtype),
+        }
+        if s.use_fused_vision:
+            # OpenVLA's fused-backbone projector is 3 linears; the prismatic
+            # single-backbone MLP projector is Linear-GELU-Linear (2)
+            projector["fc3_w"] = dense(next(keys), ldim, (ldim, ldim))
+            projector["fc3_b"] = jnp.zeros((ldim,), dtype)
         params = {
             "llama": llama_lib.init_llama_params(next(keys), s.llama, dtype),
             "siglip": init_vit_params(next(keys), s.siglip, dtype),
-            "projector": {
-                "fc1_w": dense(next(keys), s.vision_dim, (s.vision_dim, ldim)),
-                "fc1_b": jnp.zeros((ldim,), dtype),
-                "fc2_w": dense(next(keys), ldim, (ldim, ldim)),
-                "fc2_b": jnp.zeros((ldim,), dtype),
-                "fc3_w": dense(next(keys), ldim, (ldim, ldim)),
-                "fc3_b": jnp.zeros((ldim,), dtype),
-            },
+            "projector": projector,
         }
         if s.use_fused_vision:
             params["dinov2"] = init_vit_params(next(keys), s.dinov2, dtype)
@@ -138,8 +142,11 @@ class OpenVLA:
             feats = vit_forward(params["siglip"], pixel_values, s.siglip)
         p = params["projector"]
         x = jax.nn.gelu(feats @ p["fc1_w"] + p["fc1_b"], approximate=False)
-        x = jax.nn.gelu(x @ p["fc2_w"] + p["fc2_b"], approximate=False)
-        return x @ p["fc3_w"] + p["fc3_b"]
+        if "fc3_w" in p:  # fused-backbone 3-layer projector (OpenVLA)
+            x = jax.nn.gelu(x @ p["fc2_w"] + p["fc2_b"], approximate=False)
+            return x @ p["fc3_w"] + p["fc3_b"]
+        # prismatic single-backbone MLP projector: Linear-GELU-Linear
+        return x @ p["fc2_w"] + p["fc2_b"]
 
     def _build_prompt_embeds(self, params, input_ids, pixel_values):
         """[BOS] + patches + prompt tokens -> embeds [B, 1+P+S-1, H]."""

@@ -131,8 +131,11 @@ def openvla_forward_flops(model_spec, prompt_len: int, batch: int = 1) -> int:
         vision += vit_flops(s.dinov2, batch)
     n_patches = s.siglip.num_patches
     ldim = s.llama.hidden_size
+    # fused backbones use a 3-linear projector; prismatic single-backbone a
+    # 2-linear MLP (models/openvla/model.py init_params)
+    n_sq = 2 if s.use_fused_vision else 1
     proj = batch * (
-        _mm(n_patches, s.vision_dim, ldim) + 2 * _mm(n_patches, ldim, ldim)
+        _mm(n_patches, s.vision_dim, ldim) + n_sq * _mm(n_patches, ldim, ldim)
     )
     prefill_len = 1 + n_patches + prompt_len
     nl = s.llama.num_layers

@@ -185,37 +185,70 @@ def main() -> None:
             if isinstance(act, dict) and "q01" in act and "q99" in act:
                 norm_stats[key] = {"action": act}
 
+    # token-id ceiling for action de-tokenization (discretized =
+    # action_token_vocab - token_id): the REAL tokenizer vocab, not the
+    # padded embedding rows. Known paddings: llama-2 32064 -> 32000,
+    # Qwen2/2.5 151936 -> 151643.
+    _TOKENIZER_VOCAB = {32064: 32000, 151936: 151643}
+
     spec = minivla_spec()
     if state is not None and "llm_backbone.llm.model.embed_tokens.weight" in state:
-        vocab = state["llm_backbone.llm.model.embed_tokens.weight"].shape[0]
+        vocab = int(state["llm_backbone.llm.model.embed_tokens.weight"].shape[0])
         from dataclasses import replace
 
-        spec = minivla_spec(vocab_size=int(vocab))
+        spec = minivla_spec(vocab_size=vocab)
         has_bias = any(k.endswith("self_attn.q_proj.bias") for k in state)
         tied = "llm_backbone.llm.lm_head.weight" not in state
+        act_vocab = _TOKENIZER_VOCAB.get(vocab, vocab)
+        if vocab not in _TOKENIZER_VOCAB:
+            log.warning(
+                "Unknown vocab padding for embedding rows=%d; assuming the "
+                "action-token ceiling equals it (override with the spec if "
+                "actions detokenize to constants).", vocab,
+            )
         spec = replace(
-            spec, llama=replace(spec.llama, qkv_bias=has_bias,
-                                tie_word_embeddings=tied)
+            spec,
+            llama=replace(spec.llama, qkv_bias=has_bias,
+                          tie_word_embeddings=tied),
+            action_token_vocab=act_vocab,
         )
 
     model = OpenVLA(spec, norm_stats)
-    if is_random:
-        params = model.init_params(jax.random.PRNGKey(args.seed), dtype)
-    else:
-        from blurr_tpu.models.openvla.checkpoint import llama_params_from_hf
+    params = model.init_params(jax.random.PRNGKey(args.seed), dtype)
+    if not is_random:
+        from blurr_tpu.models.openvla.checkpoint import (
+            llama_params_from_hf,
+            prismatic_vision_params,
+        )
 
+        loaded, random_init = [], []
         try:
-            params = model.init_params(jax.random.PRNGKey(args.seed), dtype)
             params["llama"] = jax.tree.map(
                 lambda a: jnp.asarray(a, dtype),
                 llama_params_from_hf(state, prefix="llm_backbone.llm."),
             )
-            log.info("Loaded LLM backbone from %s", args.checkpoint)
+            loaded.append("llama")
         except Exception as exc:
-            log.warning(
-                "Prismatic checkpoint layout not recognized (%s); random init.", exc
+            log.warning("LLM backbone layout not recognized (%s).", exc)
+            random_init.append("llama")
+        try:
+            vis, proj = prismatic_vision_params(state, spec)
+            params["siglip"] = jax.tree.map(lambda a: jnp.asarray(a, dtype), vis)
+            params["projector"] = jax.tree.map(
+                lambda a: jnp.asarray(a, dtype), proj
             )
-            params = model.init_params(jax.random.PRNGKey(args.seed), dtype)
+            loaded.append("siglip+projector")
+        except Exception as exc:
+            log.warning("Vision/projector layout not recognized (%s).", exc)
+            random_init.append("siglip+projector")
+        if loaded:
+            log.info("Loaded from %s: %s", args.checkpoint, ", ".join(loaded))
+        if random_init:
+            log.warning(
+                "PARTIAL LOAD: %s stayed RANDOM-INIT — actions will be "
+                "meaningless unless this is a smoke run.",
+                ", ".join(random_init),
+            )
 
     unnorm_key = _infer_unnorm_key(norm_stats, dataset_stats, args.unnorm_key)
     log.info("Using unnorm_key=%s", unnorm_key)

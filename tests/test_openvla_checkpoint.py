@@ -241,3 +241,115 @@ def test_qwen2_style_backbone_bridge():
         p0["layers"][k] = jnp.zeros_like(p0["layers"][k])
     h0, _ = llama_lib.forward(p0, spec, embeds, pos, mask, cache, jnp.int32(0))
     assert not np.allclose(np.asarray(h1), np.asarray(h0))
+
+
+def test_tied_head_quantization_materializes_int8_head():
+    """quantize_llama_w8a8 on a tied-embedding tree must materialize a
+    quantized lm_head copy (the decode-logits matmul is the largest weight
+    read) while keeping the fp embedding for the gather."""
+    import jax
+
+    from blurr_tpu.models.openvla.llama import (
+        LlamaSpec,
+        init_llama_params,
+        logits,
+        quantize_llama_w8a8,
+    )
+
+    spec = LlamaSpec(
+        vocab_size=64, hidden_size=32, intermediate_size=48, num_layers=2,
+        num_heads=4, num_kv_heads=2, qkv_bias=True, tie_word_embeddings=True,
+    )
+    params = init_llama_params(jax.random.PRNGKey(0), spec)
+    assert "lm_head" not in params
+    qp = quantize_llama_w8a8(params)
+    assert isinstance(qp["lm_head"], dict) and "q8a" in qp["lm_head"]
+    assert qp["embed_tokens"].dtype == params["embed_tokens"].dtype
+    # biases survive quantization untouched
+    assert qp["layers"]["q_b"].dtype == params["layers"]["q_b"].dtype
+
+    h = jnp.ones((1, 1, spec.hidden_size), jnp.float32)
+    lg_fp = np.asarray(logits(params, spec, h), np.float32)
+    lg_q = np.asarray(logits(qp, spec, h), np.float32)
+    # int8 head tracks the fp tied head closely
+    assert np.abs(lg_fp - lg_q).max() < 0.05 * (np.abs(lg_fp).max() + 1e-6) + 0.05
+
+
+def test_quantized_inits_honor_spec_flags():
+    import jax
+
+    from blurr_tpu.models.openvla.llama import (
+        LlamaSpec,
+        init_llama_params_w4a8,
+        init_llama_params_w8a8,
+    )
+
+    spec = LlamaSpec(
+        vocab_size=64, hidden_size=128, intermediate_size=256, num_layers=2,
+        num_heads=2, num_kv_heads=1, qkv_bias=True, tie_word_embeddings=True,
+    )
+    for init in (init_llama_params_w8a8, init_llama_params_w4a8):
+        p = init(jax.random.PRNGKey(0), spec)
+        assert {"q_b", "k_b", "v_b"} <= set(p["layers"]), init.__name__
+
+
+def test_prismatic_vision_bridge(tmp_path):
+    """MiniVLA-layout .pt: SigLIP featurizer + 2-layer MLP projector bridge
+    into the non-fused model and change its outputs vs random init."""
+    import jax
+
+    from blurr_tpu.models.openvla.checkpoint import prismatic_vision_params
+    from blurr_tpu.models.openvla.llama import LlamaSpec
+    from blurr_tpu.models.openvla.model import OpenVLASpec
+    from blurr_tpu.models.openvla.vit import ViTSpec
+
+    spec = OpenVLASpec(
+        llama=LlamaSpec(vocab_size=64, hidden_size=32, intermediate_size=48,
+                        num_layers=1, num_heads=4, num_kv_heads=2),
+        siglip=ViTSpec(hidden_size=48, intermediate_size=96, num_layers=2,
+                       num_heads=2, image_size=28, feature_layer=-1),
+        use_fused_vision=False,
+    )
+    rng = np.random.RandomState(0)
+    t = lambda *shape: torch.tensor(rng.randn(*shape).astype(np.float32) * 0.1)
+    d, inter = spec.siglip.hidden_size, spec.siglip.intermediate_size
+    state = {
+        "vision_backbone.featurizer.patch_embed.proj.weight": t(d, 3, 14, 14),
+        "vision_backbone.featurizer.patch_embed.proj.bias": t(d),
+        "vision_backbone.featurizer.pos_embed": t(1, spec.siglip.num_patches, d),
+        "projector.projector.0.weight": t(spec.llama.hidden_size, d),
+        "projector.projector.0.bias": t(spec.llama.hidden_size),
+        "projector.projector.2.weight": t(spec.llama.hidden_size, spec.llama.hidden_size),
+        "projector.projector.2.bias": t(spec.llama.hidden_size),
+    }
+    for i in range(spec.siglip.num_layers):
+        bp = f"vision_backbone.featurizer.blocks.{i}."
+        state[bp + "norm1.weight"] = t(d)
+        state[bp + "norm1.bias"] = t(d)
+        state[bp + "norm2.weight"] = t(d)
+        state[bp + "norm2.bias"] = t(d)
+        state[bp + "attn.qkv.weight"] = t(3 * d, d)
+        state[bp + "attn.qkv.bias"] = t(3 * d)
+        state[bp + "attn.proj.weight"] = t(d, d)
+        state[bp + "attn.proj.bias"] = t(d)
+        state[bp + "mlp.fc1.weight"] = t(inter, d)
+        state[bp + "mlp.fc1.bias"] = t(inter)
+        state[bp + "mlp.fc2.weight"] = t(d, inter)
+        state[bp + "mlp.fc2.bias"] = t(d)
+
+    vis, proj = prismatic_vision_params(state, spec)
+    assert set(proj) == {"fc1_w", "fc1_b", "fc2_w", "fc2_b"}
+
+    from blurr_tpu.models.openvla.model import OpenVLA
+
+    model = OpenVLA(spec)
+    params = model.init_params(jax.random.PRNGKey(1))
+    assert "fc3_w" not in params["projector"]  # non-fused = 2-layer projector
+    px = jnp.asarray(rng.randn(1, 3, 28, 28), jnp.float32)
+    before = np.asarray(model._vision_features(params, px))
+    params["siglip"] = jax.tree.map(jnp.asarray, vis)
+    params["projector"] = jax.tree.map(jnp.asarray, proj)
+    after = np.asarray(model._vision_features(params, px))
+    assert before.shape == after.shape
+    assert not np.allclose(before, after)
+    assert np.isfinite(after).all()
