@@ -32,6 +32,11 @@ def main():
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8787)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max-batch", type=int, default=1,
+                   help="Dynamic batching: requests arriving within "
+                        "--batch-window-ms are padded to the next power-of-2 "
+                        "bucket and served by ONE device program.")
+    p.add_argument("--batch-window-ms", type=float, default=2.0)
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(message)s")
@@ -43,7 +48,9 @@ def main():
 
     cfg = load_cfg(args.config)
     _apply_preset(cfg, args.preset)
-    server = ActionServer(cfg, args.checkpoint, seed=args.seed)
+    server = ActionServer(cfg, args.checkpoint, seed=args.seed,
+                          max_batch=args.max_batch,
+                          batch_window_ms=args.batch_window_ms)
     logging.info("warming up (XLA compile)...")
     logging.info("warmup took %.1f s", server.warmup())
     server.serve_forever(args.host, args.port)

@@ -74,3 +74,81 @@ def test_concurrent_clients(server):
     assert len(results) == 4
     for r in results:
         assert r.shape == (4, 7) and np.isfinite(r).all()
+
+
+@pytest.fixture(scope="module")
+def batch_server():
+    cfg = tiny_pi0_cfg()
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg.pretrained_model_path = "(stub)"
+    cfg.max_seq_len = cfg.max_image_text_tokens
+    srv = ActionServer(cfg, checkpoint_path="random", max_batch=4,
+                       batch_window_ms=25.0)
+    ready = threading.Event()
+    t = threading.Thread(
+        target=srv.serve_forever, kwargs={"port": 0, "ready_event": ready},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(30)
+    yield srv
+    srv.stop()
+
+
+def test_batched_concurrent_requests(batch_server):
+    """Concurrent requests are coalesced into padded power-of-2 buckets and
+    each client still gets its own [horizon, action_dim] chunk."""
+    results = {}
+
+    def hit(i):
+        c = ActionClient(port=batch_server.port)
+        out = c.predict(
+            np.full((28, 28, 3), i * 10, np.uint8), f"task {i}", [0.0] * 7
+        )
+        results[i] = out
+        c.close()
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert len(results) == 6
+    for r in results.values():
+        assert r.shape == (4, 7) and np.isfinite(r).all()
+    # different images/instructions must NOT all map to the same actions
+    flat = [tuple(np.round(r.ravel(), 5)) for r in results.values()]
+    assert len(set(flat)) > 1
+
+
+def test_batched_bad_request_does_not_poison_batch(batch_server):
+    """A malformed request fails in its own connection; a concurrent good
+    request still succeeds (validation happens before enqueue)."""
+    out = {}
+
+    def good():
+        c = ActionClient(port=batch_server.port)
+        out["good"] = c.predict(np.zeros((28, 28, 3), np.uint8), "g", [0.0] * 7)
+        c.close()
+
+    def bad():
+        c = ActionClient(port=batch_server.port)
+        try:
+            c.predict(np.zeros((28, 28, 3), np.uint8), "b", [0.0] * 3)
+        except RuntimeError as exc:
+            out["bad"] = exc
+        c.close()
+
+    tg, tb = threading.Thread(target=good), threading.Thread(target=bad)
+    tg.start(); tb.start(); tg.join(120); tb.join(120)
+    assert out["good"].shape == (4, 7)
+    assert isinstance(out["bad"], RuntimeError)
+
+
+def test_batched_single_request_latency_path(batch_server):
+    """A lone request proceeds after the batch window (no deadlock)."""
+    c = ActionClient(port=batch_server.port)
+    r = c.predict(np.zeros((28, 28, 3), np.uint8), "solo", [0.0] * 7)
+    assert r.shape == (4, 7)
+    c.close()
