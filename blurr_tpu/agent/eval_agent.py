@@ -91,6 +91,16 @@ class EvalAgent:
 
         self.act_steps = cfg["act_steps"]
         self.use_prefix_kv_cache = bool(cfg.get("use_prefix_kv_cache", True))
+        # Async pipelined control (SURVEY §7.5 #6: hide TPU dispatch behind
+        # env stepping): inference for the NEXT chunk is dispatched after the
+        # first sub-step of the current chunk and fetched after the last, so
+        # the device computes while the sim steps. Executed actions are stale
+        # by act_steps-1 env steps (fresh actions still arrive every
+        # act_steps). Opt-in; needs act_steps >= 2 to have anything to hide.
+        self.async_pipeline = bool(cfg.get("async_pipeline", False))
+        if self.async_pipeline and self.act_steps < 2:
+            log.warning("async_pipeline needs act_steps >= 2; disabled.")
+            self.async_pipeline = False
         self._base_key = jax.random.PRNGKey(int(cfg.get("seed", 42)))
         self._step_idx = 0
 
@@ -130,7 +140,11 @@ class EvalAgent:
             log.warning("Video recording disabled (%s).", exc)
             return None
 
-    def _infer(self, inputs: dict) -> np.ndarray:
+    def _dispatch(self, inputs: dict):
+        """Launch the control-step device program WITHOUT fetching: JAX
+        dispatch is asynchronous, so the host returns immediately and the
+        TPU computes in the background (the async-pipeline mode overlaps
+        this with env stepping)."""
         fn = self._infer_cached if self.use_prefix_kv_cache else self._infer_naive
         actions = fn(
             self.params,
@@ -142,11 +156,17 @@ class EvalAgent:
             self._step_idx,
         )
         self._step_idx += 1
-        out = np.asarray(actions[0], np.float32)
+        return actions
+
+    def _fetch(self, pending) -> np.ndarray:
+        out = np.asarray(pending[0], np.float32)
         if not np.isfinite(out).all():
             log.warning("Non-finite actions (nan/inf) replaced with zeros.")
             out = np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
         return out
+
+    def _infer(self, inputs: dict) -> np.ndarray:
+        return self._fetch(self._dispatch(inputs))
 
     def run(self):
         log.info(
@@ -183,22 +203,29 @@ class EvalAgent:
             getattr(env.spec, "max_episode_steps", None),
         )
         step_in_episode = 0
+        next_chunk = None  # async pipeline: prefetched chunk for next step
+        fetch_waits = []
         while True:
-            inputs = env_adapter.preprocess(env, obs, instruction)
-            t0 = time.time()
-            actions = self._infer(inputs)
-            infer_times.append(time.time() - t0)
-            log.debug(
-                "Episode %d, step %d: model forward done in %.3f s.",
-                cnt_episode,
-                step_in_episode,
-                infer_times[-1],
-            )
+            if next_chunk is None:
+                inputs = env_adapter.preprocess(env, obs, instruction)
+                t0 = time.time()
+                actions = self._infer(inputs)
+                infer_times.append(time.time() - t0)
+                log.debug(
+                    "Episode %d, step %d: model forward done in %.3f s.",
+                    cnt_episode,
+                    step_in_episode,
+                    infer_times[-1],
+                )
+            else:
+                actions = next_chunk
+                next_chunk = None
             env_actions = env_adapter.postprocess(actions)
 
             truncated = False
             success = False
-            for env_action in env_actions[: self.act_steps]:
+            pending = None
+            for i, env_action in enumerate(env_actions[: self.act_steps]):
                 step_in_episode += 1
                 if step_in_episode % 10 == 0:
                     log.info(
@@ -209,6 +236,16 @@ class EvalAgent:
                 obs, reward, success, truncated, info = env.step(env_action)
                 if truncated:
                     break
+                if self.async_pipeline and i == 0:
+                    # dispatch the NEXT chunk from the post-first-sub-step
+                    # obs; the TPU computes while the remaining act_steps-1
+                    # sub-steps run (actions land act_steps-1 steps stale)
+                    inputs = env_adapter.preprocess(env, obs, instruction)
+                    pending = self._dispatch(inputs)
+            if pending is not None and not truncated:
+                t_wait = time.time()
+                next_chunk = self._fetch(pending)
+                fetch_waits.append(time.time() - t_wait)
 
             if recording and video_writer is not None:
                 video_writer.append_data(env_adapter.get_video_frame(env, obs))
@@ -234,6 +271,7 @@ class EvalAgent:
                         )
                 cnt_episode += 1
                 step_in_episode = 0
+                next_chunk = None  # fresh episode must infer from new obs
                 if cnt_episode >= self.n_eval_episode:
                     break
                 env_reset_options["obj_init_options"] = {"episode_id": cnt_episode}
@@ -268,6 +306,16 @@ class EvalAgent:
                 steady[len(steady) // 2] * 1000,
                 float(np.mean(steady)) * 1000,
                 len(steady),
+            )
+        if fetch_waits:
+            w = sorted(fetch_waits)
+            log.info(
+                "Async pipeline: residual fetch wait p50 %.1f ms / mean "
+                "%.1f ms over %d prefetched chunks (device time hidden "
+                "behind env stepping)",
+                w[len(w) // 2] * 1000,
+                float(np.mean(w)) * 1000,
+                len(w),
             )
         log.info("============================================")
         return success_rate

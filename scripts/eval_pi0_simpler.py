@@ -110,6 +110,11 @@ def parse_args() -> argparse.Namespace:
     parser.add_argument("--no-prefix-kv-cache", action="store_true")
     parser.add_argument("--num-inference-steps", type=int, default=0)
     parser.add_argument("--act-steps", type=int, default=0)
+    parser.add_argument(
+        "--async-pipeline", action="store_true",
+        help="Overlap TPU inference with env stepping: the next chunk is "
+             "dispatched after the first sub-step of the current one "
+             "(actions land act_steps-1 env steps stale; needs act_steps>=2).")
     return parser.parse_args()
 
 
@@ -138,6 +143,8 @@ def main() -> None:
         cfg["num_inference_steps"] = args.num_inference_steps
     if args.act_steps > 0:
         cfg["act_steps"] = args.act_steps
+    if args.async_pipeline:
+        cfg["async_pipeline"] = True
 
     log_dir = (
         Path(args.log_dir).expanduser()

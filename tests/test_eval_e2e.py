@@ -181,3 +181,33 @@ def test_fake_env_action_coupled_dynamics():
     for t in (2, 3, 4):
         assert not np.array_equal(e0[t], e2[t])
         assert not np.array_equal(f0[t], f2[t])
+
+
+def test_async_pipeline_closed_loop(tmp_path, caplog):
+    """Async-pipelined control: next chunk dispatched mid-chunk and fetched
+    after env stepping. Episodes complete, success accounting works, and the
+    pipeline log line appears (act_steps=2 on the tiny config)."""
+    cfg = eval_cfg(tmp_path)
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg["act_steps"] = 2
+    cfg["async_pipeline"] = True
+    from blurr_tpu.agent.eval_agent import EvalAgent
+
+    with caplog.at_level(logging.INFO):
+        agent = EvalAgent(cfg)
+        rate = agent.run()
+    assert 0.0 <= rate <= 1.0
+    assert "Async pipeline: residual fetch wait" in caplog.text
+
+
+def test_async_pipeline_requires_act_steps(tmp_path):
+    cfg = eval_cfg(tmp_path)
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg["act_steps"] = 1
+    cfg["async_pipeline"] = True
+    from blurr_tpu.agent.eval_agent import EvalAgent
+
+    agent = EvalAgent(cfg)
+    assert agent.async_pipeline is False  # auto-disabled with a warning
