@@ -113,27 +113,11 @@ class SimplerAdapter(BaseEnvAdapter):
         pass
 
     def _resize(self, image: np.ndarray) -> np.ndarray:
-        # preference order: cv2 (best-tuned SIMD) > native C++ Lanczos-4
-        # (dependency-free, matches cv2 within ~1 intensity level) > jax.image
-        if cv2 is not None:
-            return cv2.resize(image, self.image_size, interpolation=cv2.INTER_LANCZOS4)
-        from blurr_tpu import native
+        # shared ladder (cv2 > native C++ Lanczos-4 > jax.image); image_size
+        # is stored in cv2 (W, H) order
+        from blurr_tpu.utils.image import lanczos_resize_uint8
 
-        if native.available():
-            out = native.lanczos4_resize(
-                image, (self.image_size[1], self.image_size[0])
-            )
-            if out is not None:
-                return out
-        import jax.numpy as jnp
-        import jax
-
-        out = jax.image.resize(
-            jnp.asarray(image, jnp.float32),
-            (self.image_size[1], self.image_size[0], image.shape[2]),
-            method="lanczos5",
-        )
-        return np.asarray(jnp.clip(jnp.round(out), 0, 255)).astype(np.uint8)
+        return lanczos_resize_uint8(image, self.image_size[1], self.image_size[0])
 
     def preprocess(self, env, obs: dict, instruction: str) -> dict:
         """sxyz Euler convention throughout."""

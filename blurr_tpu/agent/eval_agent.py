@@ -63,10 +63,16 @@ class EvalAgent:
         log.info("PiZeroInference initialized in %.2f s", time.time() - t0)
         self.params = self.load_checkpoint(cfg.get("checkpoint_path"))
         try:
-            self.params = self.model.enable_action_quantization(self.params)
-            self.params = self.model.enable_vlm_quantization(self.params)
+            # apply atomically: a failure between the two enables must not
+            # leave a half-quantized tree attributed to the quantized preset
+            quantized = self.model.enable_action_quantization(self.params)
+            quantized = self.model.enable_vlm_quantization(quantized)
+            self.params = quantized
         except Exception as exc:  # graceful like the reference (eval.py:74-78)
-            log.warning("Quantization failed, continuing without: %s", exc)
+            log.warning(
+                "Quantization failed, continuing with UNQUANTIZED weights "
+                "(results do not reflect the quantized preset): %s", exc
+            )
         # jit boundary (the reference's torch.compile(mode="reduce-overhead")).
         # Noise is sampled IN-GRAPH from (base_key, step_idx): sampling on the
         # host would dispatch two extra device programs per control step

@@ -4,6 +4,7 @@ line pointers on each function)."""
 
 from __future__ import annotations
 
+import copy
 import io
 import math
 from typing import Any, Dict, Optional
@@ -172,7 +173,10 @@ def inject_dataset_statistics_into_norm_stats(
             elif isinstance(ds.get("proprio"), dict) and isinstance(base.get("proprio"), dict):
                 for k, v in ds["proprio"].items():
                     base["proprio"].setdefault(k, v)
-            norm_stats.setdefault("bridge_dataset", base)
+            if "bridge_dataset" not in norm_stats:
+                # deep-copy: aliasing the same dict would let a later
+                # mutation of one key silently corrupt the other
+                norm_stats["bridge_dataset"] = copy.deepcopy(base)
 
     for key, value in dataset_stats.items():
         if key in norm_stats or not isinstance(value, dict) or "action" not in value:

@@ -102,7 +102,7 @@ def _resolve_token(token: str, root: Any) -> Any:
         import time
 
         fmt = token[len("now:") :]
-        return time.strftime(fmt.replace("%H-%M-%S", "%H-%M-%S"))
+        return time.strftime(fmt)
     return _lookup(root, token)
 
 

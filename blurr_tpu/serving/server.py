@@ -125,7 +125,13 @@ class ActionServer:
         # per bucket).
         n_tok = self.model.spec.num_action_tokens
         act_dim = self.model.spec.action_dim
-        infer = self.model.infer_action
+        # honor the preset semantics: baseline/vanilla presets set
+        # use_prefix_kv_cache=False and must serve the naive path
+        infer = (
+            self.model.infer_action
+            if cfg.get("use_prefix_kv_cache", True)
+            else self.model.infer_action_naive
+        )
 
         def _step_fn(params, ids, am, px, pr, key, idx):
             noise = jax.random.normal(
@@ -139,6 +145,7 @@ class ActionServer:
         self._req_idx = 0
         self._lock = threading.Lock()  # device stream + PRNG serialization
         self._tok_cache = {}
+        self._tok_lock = threading.Lock()  # cache mutated by handler threads
         self._sock: Optional[socket.socket] = None
         # dynamic batching: concurrent requests within batch_window_ms are
         # padded to the next power-of-2 bucket and run as ONE device program
@@ -157,37 +164,36 @@ class ActionServer:
 
     @staticmethod
     def _resize(image: np.ndarray, size: int) -> np.ndarray:
-        """cv2 > native C++ Lanczos-4 > jax.image — same degradation ladder
-        as SimplerAdapter._resize (the native path can be unavailable)."""
-        try:
-            import cv2
+        """Shared cv2 > native C++ > jax.image ladder (utils/image.py) —
+        same pixels as SimplerAdapter._resize."""
+        from blurr_tpu.utils.image import lanczos_resize_uint8
 
-            return cv2.resize(image, (size, size),
-                              interpolation=cv2.INTER_LANCZOS4)
-        except ImportError:
-            pass
-        from blurr_tpu import native
-
-        if native.available():
-            out = native.lanczos4_resize(image, (size, size))
-            if out is not None:
-                return out
-        import jax
-        import jax.numpy as jnp
-
-        out = jax.image.resize(
-            jnp.asarray(image, jnp.float32),
-            (size, size, image.shape[2]),
-            method="lanczos5",
-        )
-        return np.asarray(jnp.clip(jnp.round(out), 0, 255)).astype(np.uint8)
+        return lanczos_resize_uint8(image, size, size)
 
     def warmup(self) -> float:
-        """Compile the step with a dummy request; returns seconds taken."""
+        """Compile the step for EVERY batch bucket (1, 2, 4, ... max_batch)
+        with dummy requests; returns seconds taken. Without this, the first
+        live batch of each size stalls on a fresh XLA compile under the
+        device lock (~15s per program over the axon tunnel)."""
         t0 = time.time()
         size = self.cfg["vision"]["config"]["image_size"]
         dummy = np.zeros((size, size, 3), np.uint8)
-        self.predict(dummy, "warmup", [0.0] * self.cfg["proprio_dim"])
+        proprio = [0.0] * self.cfg["proprio_dim"]
+        inputs = self._prepare(dummy, "warmup", proprio)
+        import jax.numpy as jnp
+
+        bucket = 1
+        while True:
+            batched = tuple(
+                jnp.concatenate([a] * bucket, axis=0) if bucket > 1 else a
+                for a in inputs
+            )
+            with self._lock:
+                out = self._step(self.params, *batched, self._base_key, 0)
+                np.asarray(out)  # block until compiled + executed
+            if bucket >= self.max_batch:
+                break
+            bucket *= 2
         return time.time() - t0
 
     def _prepare(self, image: np.ndarray, instruction: str, proprio):
@@ -202,18 +208,23 @@ class ActionServer:
             raise ValueError(
                 f"proprio must have shape ({expected},), got {proprio.shape}"
             )
+        if image.ndim != 3 or image.shape[2] != 3:
+            raise ValueError(f"image must be HxWx3 uint8, got {image.shape}")
         size = self.cfg["vision"]["config"]["image_size"]
         if image.shape[:2] != (size, size):
             image = self._resize(image, size)
         chw = np.ascontiguousarray(image.transpose(2, 0, 1))[None]
-        if instruction in self._tok_cache:
-            ids, am = self._tok_cache[instruction]
+        with self._tok_lock:
+            cached = self._tok_cache.get(instruction)
+        if cached is not None:
+            ids, am = cached
         else:
             out = self.processor(text=[instruction], images=chw)
             ids, am = out["input_ids"], out["attention_mask"]
-            if len(self._tok_cache) >= 1024:  # bound daemon memory
-                self._tok_cache.pop(next(iter(self._tok_cache)))
-            self._tok_cache[instruction] = (ids, am)
+            with self._tok_lock:
+                if len(self._tok_cache) >= 1024:  # bound daemon memory
+                    self._tok_cache.pop(next(iter(self._tok_cache)), None)
+                self._tok_cache[instruction] = (ids, am)
         from blurr_tpu.models.pi0.processing import process_images
 
         px = process_images(chw).astype(self.dtype)
@@ -245,16 +256,23 @@ class ActionServer:
             if first is None:  # shutdown sentinel
                 return
             batch = [first]
+            shutdown = False
             deadline = time.monotonic() + self.batch_window_s
             while len(batch) < self.max_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
                 try:
-                    batch.append(self._queue.get(timeout=remaining))
+                    item = self._queue.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if item is None:  # shutdown sentinel mid-collection
+                    shutdown = True
+                    break
+                batch.append(item)
             self._run_batch(batch)
+            if shutdown:
+                return
 
     def _run_batch(self, batch) -> None:
         """Pad to the next power-of-2 bucket (bounds compile count to

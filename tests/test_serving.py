@@ -152,3 +152,74 @@ def test_batched_single_request_latency_path(batch_server):
     r = c.predict(np.zeros((28, 28, 3), np.uint8), "solo", [0.0] * 7)
     assert r.shape == (4, 7)
     c.close()
+
+
+def test_rgba_image_rejected_per_request(batch_server):
+    """Non-3-channel images fail in their own connection (validated before
+    enqueue) instead of poisoning a batch."""
+    c = ActionClient(port=batch_server.port)
+    with pytest.raises(RuntimeError):
+        c.predict(np.zeros((28, 28, 4), np.uint8), "rgba", [0.0] * 7)
+    out = c.predict(np.zeros((28, 28, 3), np.uint8), "ok", [0.0] * 7)
+    assert out.shape == (4, 7)
+    c.close()
+
+
+def test_warmup_compiles_all_buckets():
+    from tests.util import tiny_pi0_cfg
+
+    cfg = tiny_pi0_cfg()
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg.pretrained_model_path = "(stub)"
+    cfg.max_seq_len = cfg.max_image_text_tokens
+    srv = ActionServer(cfg, checkpoint_path="random", max_batch=4)
+    secs = srv.warmup()
+    assert secs > 0
+    srv.stop()
+
+
+def test_baseline_preset_serves_naive_path():
+    from tests.util import tiny_pi0_cfg
+
+    cfg = tiny_pi0_cfg()
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg.pretrained_model_path = "(stub)"
+    cfg.max_seq_len = cfg.max_image_text_tokens
+    cfg["use_prefix_kv_cache"] = False
+    srv = ActionServer(cfg, checkpoint_path="random")
+    out = srv.predict(np.zeros((28, 28, 3), np.uint8), "x", [0.0] * 7)
+    assert out.shape == (4, 7)
+    srv.stop()
+
+
+def test_stop_with_inflight_requests_does_not_hang():
+    """stop()'s shutdown sentinel must not be co-batched with live requests
+    (it used to crash the batcher thread and hang every waiter)."""
+    import time as _time
+
+    from tests.util import tiny_pi0_cfg
+
+    cfg = tiny_pi0_cfg()
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg.pretrained_model_path = "(stub)"
+    cfg.max_seq_len = cfg.max_image_text_tokens
+    srv = ActionServer(cfg, checkpoint_path="random", max_batch=4,
+                       batch_window_ms=200.0)
+    srv.warmup()
+    results = {}
+
+    def hit():
+        results["out"] = srv.predict(
+            np.zeros((28, 28, 3), np.uint8), "inflight", [0.0] * 7
+        )
+
+    t = threading.Thread(target=hit, daemon=True)
+    t.start()
+    _time.sleep(0.05)  # request is inside the 200ms batch window
+    srv.stop()         # sentinel lands mid-collection
+    t.join(60)
+    assert not t.is_alive(), "in-flight request hung after stop()"
+    assert results["out"].shape == (4, 7)
