@@ -119,6 +119,18 @@ def main():
         model = OpenVLA(spec)
         params = model.init_params(jax.random.PRNGKey(0), dtype)
         tokenizer = None
+        if args.quantization in ("w8a8", "w4a8"):
+            # tiny model: post-hoc quantization is memory-safe here
+            from blurr_tpu.models.openvla.llama import (
+                quantize_llama_w4a8,
+                quantize_llama_w8a8,
+            )
+
+            qfn = (
+                quantize_llama_w8a8 if args.quantization == "w8a8"
+                else quantize_llama_w4a8
+            )
+            params["llama"] = qfn(params["llama"])
 
     unnorm_key = None
     if norm_stats:

@@ -6,6 +6,10 @@ analytic FLOP count of one forward divided by steady latency (same
 "effective throughput" definition as the reference's profiler-based count,
 scripts/benchmark_pi0.py:297-299). `--checkpoint random` benches random-init
 weights (no checkpoint needed for latency work).
+
+Model/input loading lives in the shared harness (blurr_tpu/benchmarks.py,
+also used by scripts/paper/pi0_microbench.py); this script adds the
+batch-throughput / data-parallel / profiler-trace extensions.
 """
 
 from __future__ import annotations
@@ -14,14 +18,9 @@ import argparse
 import sys
 from pathlib import Path
 
-import numpy as np
-
 REPO_ROOT = Path(__file__).resolve().parents[1]
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
-
-from blurr_tpu.config.core import load_yaml
-from blurr_tpu.paths import config_root
 
 
 def parse_args() -> argparse.Namespace:
@@ -83,85 +82,22 @@ def parse_args() -> argparse.Namespace:
     return parser.parse_args()
 
 
-def _select_dtype(args):
-    import jax.numpy as jnp
-
-    if args.use_bf16 and args.use_fp16:
-        raise ValueError("Specify at most one of --use-bf16 or --use-fp16.")
-    if args.use_bf16 or args.use_fp16:  # fp16 -> bf16 on TPU
-        return jnp.bfloat16
-    return jnp.float32
-
-
-def _load_image(path: str, image_size: int) -> np.ndarray:
-    """uint8 [1, 3, H, W]."""
-    if path and Path(path).exists():
-        from PIL import Image
-
-        img = Image.open(path).convert("RGB").resize((image_size, image_size))
-        arr = np.array(img, dtype=np.uint8)
-    else:
-        arr = np.random.RandomState(0).randint(
-            0, 256, (image_size, image_size, 3), dtype=np.uint8
-        )
-    return arr.transpose(2, 0, 1)[None]
-
-
 def main():
     args = parse_args()
     import jax
     import jax.numpy as jnp
 
-    from blurr_tpu.models.pi0.pizero import PiZeroInference
-    from blurr_tpu.models.pi0.processing import StubTokenizer, VLAProcessor
+    from blurr_tpu import benchmarks as B
     from blurr_tpu.utils.flops import pi0_forward_flops
     from blurr_tpu.utils.monitor import peak_tpu_memory_gb, timed_call
 
-    dtype = _select_dtype(args)
-    cfg_path = Path(args.config)
-    if not cfg_path.is_absolute() and not cfg_path.exists():
-        cfg_path = config_root().parent / args.config
-    cfg = load_yaml(cfg_path)
-
-    model = PiZeroInference(cfg)
-    if str(args.checkpoint).lower() in {"random", "none", ""}:
-        params = model.init_params(jax.random.PRNGKey(0), dtype=dtype)
-        params = model.tie_action_proprio_weights(params)
-    else:
-        from blurr_tpu.models.pi0.checkpoint import (
-            pizero_params_from_torch_checkpoint,
-        )
-
-        params = pizero_params_from_torch_checkpoint(args.checkpoint, dtype=dtype)
-    params = model.enable_action_quantization(params)
-    params = model.enable_vlm_quantization(params)
-
-    try:
-        from transformers import AutoTokenizer
-
-        tokenizer = AutoTokenizer.from_pretrained(
-            cfg["pretrained_model_path"],
-            padding_side=cfg.get("tokenizer_padding_side", "right"),
-        )
-    except Exception:
-        tokenizer = StubTokenizer(image_token_id=cfg["image_token_index"])
-    processor = VLAProcessor(
-        tokenizer,
-        cfg["vision"]["config"]["num_image_tokens"],
-        cfg["max_seq_len"],
-        tokenizer_padding=cfg.get("tokenizer_padding", "max_length"),
-    )
-
-    image = _load_image(args.image, cfg["vision"]["config"]["image_size"])
-    processed = processor(text=[args.prompt], images=image)
-
-    proprio_shape = (1, cfg["cond_steps"], cfg["proprio_dim"])
-    if args.proprio_mode == "random":
-        proprios = jnp.asarray(np.random.RandomState(1).rand(*proprio_shape), dtype)
-    else:
-        proprios = jnp.zeros(proprio_shape, dtype)
-    noise = jax.random.normal(
-        jax.random.PRNGKey(0), (1, cfg["horizon_steps"], cfg["action_dim"]), dtype
+    if args.use_bf16 and args.use_fp16:
+        raise ValueError("Specify at most one of --use-bf16 or --use-fp16.")
+    dtype = B.select_dtype(args.use_bf16, args.use_fp16)  # fp16 -> bf16 on TPU
+    cfg = B.load_cfg(args.config)
+    model, params = B.load_model(cfg, args.checkpoint, dtype)
+    inputs = B.prepare_inputs(
+        cfg, args.prompt, args.image, dtype, proprio_mode=args.proprio_mode
     )
 
     use_cache = not args.no_prefix_kv_cache
@@ -173,10 +109,10 @@ def main():
     def tile(x):
         return jnp.broadcast_to(x, (bsz, *x.shape[1:])) if bsz > 1 else x
 
-    input_ids = tile(processed["input_ids"])
-    attention_mask = tile(processed["attention_mask"])
-    pixel_values = tile(processed["pixel_values"].astype(dtype))
-    proprios = tile(proprios)
+    input_ids = tile(inputs["input_ids"])
+    attention_mask = tile(inputs["attention_mask"])
+    pixel_values = tile(inputs["pixel_values"])
+    proprios = tile(inputs["proprios"])
     noise = jax.random.normal(
         jax.random.PRNGKey(0), (bsz, cfg["horizon_steps"], cfg["action_dim"]), dtype
     )

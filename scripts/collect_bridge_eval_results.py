@@ -32,7 +32,13 @@ def collect(runs_dir: Path):
             run_log = run_dir / "run.log"
             if not run_dir.is_dir() or not run_log.is_file():
                 continue
-            # run dir name: <task>_<date>_<time> -> strip the two stamp parts
+            # run dir name: <task>_<date>_<time> -> strip the two stamp parts.
+            # NOTE (reference parity, collect_bridge_eval_results.py:38-42):
+            # the >=4 guard is the reference's own; single-word task names
+            # keep the stamp, and multi-task hf/prismatic run.logs in this
+            # tree contribute one row with the LAST task's rate. Bridge task
+            # names (widowx_*) always have >=3 underscores, so pi0 rows
+            # aggregate correctly.
             parts = run_dir.name.split("_")
             task_name = "_".join(parts[:-2]) if len(parts) >= 4 else run_dir.name
 

@@ -130,6 +130,8 @@ def _build_model(args, dtype):
         )
         if args.use_oft_action_head != "off":
             oft_head, oft_proj = load_oft_aux_params(str(model_path), dtype)
+        if args.use_oft_proprio == "off":
+            oft_proj = None  # ablate proprio conditioning even when shipped
         if oft_head is not None:
             model = OpenVLAOFT(spec, norm_stats, use_proprio=oft_proj is not None)
         else:
@@ -318,7 +320,7 @@ def main() -> None:
                 action = model.predict_action(
                     params,
                     batch["input_ids"],
-                    batch["pixel_values"].astype(np.float32),
+                    batch["pixel_values"].astype(dtype),  # keep ViT in preset dtype
                     **kwargs,
                     **({"_jitted": jitted} if is_oft else {"_jitted_tokens": jitted}),
                 )

@@ -97,6 +97,9 @@ def parse_args():
                         "the checkpoint run dir's dataset_statistics.json "
                         "when omitted (reference semantics).")
     p.add_argument("--use-bf16", action="store_true", default=True)
+    p.add_argument("--fp32", action="store_true",
+                   help="Force float32 (--use-bf16 defaults on; this is the "
+                        "only way to get an fp32 precision-ablation run).")
     p.add_argument(
         "--image-preproc", type=str, default="octo128", choices=["octo128", "raw"]
     )
@@ -142,7 +145,7 @@ def main() -> None:
     if "{instruction}" not in args.instruction_template:
         raise ValueError("--instruction-template must contain '{instruction}'")
 
-    dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
 
     # bundled Bridge statistics give the default unnorm ranges
     stats_path = (
@@ -302,7 +305,7 @@ def main() -> None:
                 action = model.predict_action(
                     params,
                     batch["input_ids"],
-                    batch["pixel_values"].astype(np.float32),
+                    batch["pixel_values"].astype(dtype),  # keep ViT in preset dtype
                     unnorm_key=unnorm_key,
                     _jitted_tokens=jitted,
                 )

@@ -74,6 +74,7 @@ def main() -> None:
             dtype = jnp.float32 if profile["dtype"] == "fp32" else jnp.bfloat16
             note = "fp16->bf16 (TPU)" if profile["dtype"] == "fp16" else ""
             latency_s = peak_gb = gflops = None
+            tokenizer = None
             try:
                 model_path = Path(model_id).expanduser()
                 if model_path.is_dir():
@@ -84,6 +85,14 @@ def main() -> None:
                     spec = OpenVLASpec()
                     model = OpenVLA(spec)
                     params = openvla_params_from_hf_dir(str(model_path), spec, dtype)
+                    # real snapshot: use the real tokenizer so the measured
+                    # prompt length matches benchmark_hf_vla.py (the stub
+                    # hash tokenizer gives a different token count)
+                    from blurr_tpu.models.openvla.processing import (
+                        load_hf_tokenizer,
+                    )
+
+                    tokenizer = load_hf_tokenizer(str(model_path))
                 elif model_id in ("random-7b", "openvla-7b-random"):
                     spec = OpenVLASpec()
                     if dtype == jnp.float32:
@@ -98,7 +107,9 @@ def main() -> None:
                     params = model.init_params(jax.random.PRNGKey(0), dtype)
 
                 processor = OpenVLAProcessor(
-                    None, image_size=spec.siglip.image_size, fused=spec.use_fused_vision
+                    tokenizer,
+                    image_size=spec.siglip.image_size,
+                    fused=spec.use_fused_vision,
                 )
                 image = np.random.RandomState(0).randint(
                     0, 256, (256, 256, 3), np.uint8

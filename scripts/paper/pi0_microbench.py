@@ -120,6 +120,9 @@ def cmd_first_vs_steady(args: argparse.Namespace) -> None:
             "num_inference_steps": int(cfg["num_inference_steps"]),
             "first_call_ms": None,
             "steady_latency_ms": None,
+            # pre-initialize so DictWriter fieldnames (taken from rows[0])
+            # include it even when the first preset succeeds
+            "note": "",
         }
         def run_one():
             # function scope so a failure frees the params before the next

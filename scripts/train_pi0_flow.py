@@ -140,12 +140,15 @@ def main():
         warmup_steps=warmup,
     )
     tx = optax.masked(optax.adamw(schedule), mask)
-    opt_state = tx.init(params)
 
     mesh = None
     if args.dp * args.tp > 1:
         mesh = make_mesh(data=args.dp, model=args.tp)
         params = shard_params(params, mesh)
+    # init AFTER sharding: adamw mu/nu inherit the params' NamedShardings
+    # (initializing first would materialize a full replicated fp32 moment
+    # tree per device — ~2x model size of wasted HBM on every chip)
+    opt_state = tx.init(params)
 
     def loss_fn(params, batch, noise, t):
         return model.flow_loss(
