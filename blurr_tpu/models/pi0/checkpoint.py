@@ -166,6 +166,15 @@ def _mixture_params_from_torch(state: Dict, prefix: str) -> Dict:
     final_key = prefix + "norm.weight"
     if final_key in state:
         params["final_norm"] = {"scale": _t(state[final_key])}
+    elif prefix + "norm.to_gamma.0.weight" in state:
+        # adaptive final norm (AdaptiveRMSNorm, reference modules.py:78-99):
+        # unstacked to_gamma/to_beta — matches joint.init_mixture_params'
+        # nl=None structure
+        params["final_norm"] = {
+            "to_gamma_w": _t(state[prefix + "norm.to_gamma.0.weight"]).T,
+            "to_gamma_b": _t(state[prefix + "norm.to_gamma.0.bias"]),
+            "to_beta_w": _t(state[prefix + "norm.to_beta.weight"]).T,
+        }
     return params
 
 

@@ -60,6 +60,9 @@ class MixtureSpec:
     use_final_norm: bool = False
     cache: bool = True
     adaptive_mode: Optional[str] = None  # None | "adaLN" | "adaLN-Zero"
+    # per-mixture clamp before quantized matmuls (action_quantization's clip
+    # must not leak into a quantized VLM mixture and vice versa)
+    activation_clip: Optional[float] = None
 
 
 @dataclass(frozen=True)
@@ -204,21 +207,28 @@ def _attention(spec: JointSpec, q, k, v, mask):
     return grouped_attention(q, k, v, mask, spec.softclamp)
 
 
-def _qkv(lp, x, cos, sin, joint: JointSpec):
+def _clip_for(joint: JointSpec, m: "MixtureSpec" = None) -> Optional[float]:
+    """Per-mixture activation clip, falling back to the joint-global one."""
+    if m is not None and m.activation_clip is not None:
+        return m.activation_clip
+    return joint.activation_clip
+
+
+def _qkv(lp, x, cos, sin, joint: JointSpec, m: "MixtureSpec" = None):
     """Project + rope one mixture's normed hidden states.
 
     Returns q [B,NH,S,D] (roped), k [B,KVH,S,D] (roped), v [B,KVH,S,D].
     Weight leaves may be int8-quantized dicts (ops.quant.mm dispatches)."""
     nh, kvh, hd = joint.num_attention_heads, joint.num_key_value_heads, joint.head_dim
-    clip = joint.activation_clip
+    clip = _clip_for(joint, m)
     q = apply_rope(_split_heads(mm(x, lp["q_w"], clip), nh, hd), cos, sin)
     k = apply_rope(_split_heads(mm(x, lp["k_w"], clip), kvh, hd), cos, sin)
     v = _split_heads(mm(x, lp["v_w"], clip), kvh, hd)
     return q, k, v
 
 
-def _mlp(lp, x, joint: JointSpec = None):
-    clip = joint.activation_clip if joint is not None else None
+def _mlp(lp, x, joint: JointSpec = None, m: "MixtureSpec" = None):
+    clip = _clip_for(joint, m) if joint is not None else None
     return mm(geglu(mm(x, lp["gate_w"], clip), mm(x, lp["up_w"], clip)), lp["down_w"], clip)
 
 
@@ -275,7 +285,7 @@ def prefill(
         for n in names:
             m = spec.mixtures[n]
             x = _apply_norm(lps[n]["input_norm"], hs[n], tc_for(n), m, eps)
-            q, k, v = _qkv(lps[n], x, *ropes[n], spec)
+            q, k, v = _qkv(lps[n], x, *ropes[n], spec, m)
             qs.append(q)
             ks.append(k)
             vs.append(v)
@@ -288,12 +298,12 @@ def prefill(
         offset = 0
         for n, s in zip(names, svs):
             m = spec.mixtures[n]
-            a = mm(attn[:, offset : offset + s], lps[n]["o_w"], spec.activation_clip)
+            a = mm(attn[:, offset : offset + s], lps[n]["o_w"], _clip_for(spec, m))
             a = _apply_scale(lps[n], "post_scale", a, tc_for(n), m)
             offset += s
             h = hs[n] + a
             x = _apply_norm(lps[n]["post_norm"], h, tc_for(n), m, eps)
-            mlp_out = _mlp(lps[n], x, spec)
+            mlp_out = _mlp(lps[n], x, spec, m)
             mlp_out = _apply_scale(lps[n], "final_scale", mlp_out, tc_for(n), m)
             h = h + mlp_out
             outs.append(h)
@@ -326,6 +336,8 @@ def decode(
     cache: Tuple[jax.Array, jax.Array],  # ([L,B,KVH,P,D], [L,B,KVH,P,D])
     action_mask: jax.Array,  # bool [B, A, P+A]
     time_cond: Optional[jax.Array] = None,
+    kv_dequant_dtype=None,  # cfg kv_quantization.dtype (reference
+    # kv_cache.py:100-106 dequantizes to a configured fp dtype)
 ) -> jax.Array:
     """One flow-integration step of the action expert.
 
@@ -346,7 +358,7 @@ def decode(
     quantized = k_scale is not None
 
     layer_stack = {k: ap[k] for k in ap if k != "final_norm"}
-    dtype = action_embeds.dtype
+    dtype = kv_dequant_dtype or action_embeds.dtype
 
     def layer(h, xs):
         if quantized:
@@ -356,15 +368,15 @@ def decode(
         else:
             lp, kc, vc = xs
         x = _apply_norm(lp["input_norm"], h, time_cond, m, eps)
-        q, k, v = _qkv(lp, x, cos, sin, spec)
+        q, k, v = _qkv(lp, x, cos, sin, spec, m)
         k_full = jnp.concatenate([kc, k], axis=2)
         v_full = jnp.concatenate([vc, v], axis=2)
         attn = _attention(spec, q, k_full, v_full, action_mask)
-        a = mm(_merge_heads(attn), lp["o_w"], spec.activation_clip)
+        a = mm(_merge_heads(attn), lp["o_w"], _clip_for(spec, m))
         a = _apply_scale(lp, "post_scale", a, time_cond, m)
         h = h + a
         x = _apply_norm(lp["post_norm"], h, time_cond, m, eps)
-        mlp_out = _mlp(lp, x, spec)
+        mlp_out = _mlp(lp, x, spec, m)
         mlp_out = _apply_scale(lp, "final_scale", mlp_out, time_cond, m)
         return h + mlp_out, None
 
@@ -415,7 +427,7 @@ def naive_forward(
         for n in names:
             m = spec.mixtures[n]
             x = _apply_norm(lps[n]["input_norm"], hs[n], tc_for(n), m, eps)
-            q, k, v = _qkv(lps[n], x, *ropes[n], spec)
+            q, k, v = _qkv(lps[n], x, *ropes[n], spec, m)
             qs.append(q)
             ks.append(k)
             vs.append(v)
@@ -430,11 +442,11 @@ def naive_forward(
         outs = []
         for n, s, off in zip(names, svs, offsets):
             m = spec.mixtures[n]
-            a = mm(attn[:, off : off + s], lps[n]["o_w"], spec.activation_clip)
+            a = mm(attn[:, off : off + s], lps[n]["o_w"], _clip_for(spec, m))
             a = _apply_scale(lps[n], "post_scale", a, tc_for(n), m)
             h = hs[n] + a
             x = _apply_norm(lps[n]["post_norm"], h, tc_for(n), m, eps)
-            mlp_out = _mlp(lps[n], x, spec)
+            mlp_out = _mlp(lps[n], x, spec, m)
             mlp_out = _apply_scale(lps[n], "final_scale", mlp_out, tc_for(n), m)
             outs.append(h + mlp_out)
         return tuple(outs), None
@@ -508,16 +520,16 @@ def single_forward(
         else:
             lp = xs
         x = _apply_norm(lp["input_norm"], h, None, m, eps)
-        q, k, v = _qkv(lp, x, cos, sin, spec)
+        q, k, v = _qkv(lp, x, cos, sin, spec, m)
         if use_cache:
             kc = jax.lax.dynamic_update_slice(kc, k, (0, 0, offset, 0))
             vc = jax.lax.dynamic_update_slice(vc, v, (0, 0, offset, 0))
             attn = _attention(spec, q, kc, vc, mask)
         else:
             attn = _attention(spec, q, k, v, mask)
-        h = h + mm(_merge_heads(attn), lp["o_w"], spec.activation_clip)
+        h = h + mm(_merge_heads(attn), lp["o_w"], _clip_for(spec, m))
         x = _apply_norm(lp["post_norm"], h, None, m, eps)
-        h = h + _mlp(lp, x, spec)
+        h = h + _mlp(lp, x, spec, m)
         if use_cache:
             return h, (kc, vc)
         return h, None

@@ -102,15 +102,40 @@ class PiZero:
         vq = cfg.get("vlm_quantization") or {}
         self.vlm_quant_mode = (str(vq.get("mode") or "")).lower() or None
         self.vlm_quant_vision = bool(vq.get("include_vision", False))
-        if self.action_quant_mode in {
-            "int8", "int8_cached", "bnb_int8", "w8a8", "w4a8",
-        }:
-            import dataclasses
+        # kv_quantization.dtype is the DEQUANTIZATION dtype (the fp dtype
+        # cached int8 chunks are restored to — reference kv_cache.py:100-106
+        # and bridge.yaml:46 `dtype: bfloat16`)
+        kv_dtype = (str(kq.get("dtype") or "")).lower().removeprefix("torch.")
+        _KV_DTYPES = {"": None, "bfloat16": jnp.bfloat16,
+                      "float32": jnp.float32, "float16": jnp.bfloat16}
+        if kv_dtype not in _KV_DTYPES:
+            raise ValueError(
+                f"kv_quantization.dtype={kq['dtype']!r} unsupported "
+                f"(bfloat16/float32/float16)"
+            )
+        self.kv_dequant_dtype = _KV_DTYPES[kv_dtype]
+        # activation clips are PER MIXTURE: the action expert's clip must not
+        # leak into a quantized VLM mixture (and vice versa)
+        import dataclasses
 
-            clip = aq.get("activation_clip")
+        def _clip(qcfg, enabled):
+            c = qcfg.get("activation_clip")
+            return float(c) if (enabled and c is not None) else None
+
+        a_clip = _clip(aq, self.action_quant_mode in {
+            "int8", "int8_cached", "bnb_int8", "w8a8", "w4a8",
+        })
+        v_clip = _clip(vq, self.vlm_quant_mode in ("w8a8", "w4a8"))
+        if a_clip is not None or v_clip is not None:
+            mixtures = dict(self.joint_spec.mixtures)
+            for name, c in (("action", a_clip), ("proprio", a_clip),
+                            ("vlm", v_clip)):
+                if c is not None and name in mixtures:
+                    mixtures[name] = dataclasses.replace(
+                        mixtures[name], activation_clip=c
+                    )
             self.joint_spec = dataclasses.replace(
-                self.joint_spec,
-                activation_clip=float(clip) if clip is not None else None,
+                self.joint_spec, mixtures=mixtures
             )
         self.vision_cfg = dict(cfg["vision"]["config"])
         self.projector_cfg = dict(cfg["vision_projector"]["config"])
@@ -431,6 +456,7 @@ class PiZero:
                 cache,
                 action_mask,
                 time_cond,
+                kv_dequant_dtype=self.kv_dequant_dtype,
             )
             vel = self._decode_action(params, hidden)
             return (action + delta_t * vel, t + delta_t), None
@@ -462,7 +488,12 @@ class PiZero:
         x = jax.image.resize(
             x, (frame.shape[0], size, size, 3), method="lanczos3"
         )
-        x = (x / 255.0 - 0.5) / 0.5
+        from blurr_tpu.models.pi0.processing import (
+            IMAGENET_STANDARD_MEAN,
+            IMAGENET_STANDARD_STD,
+        )
+
+        x = (x / 255.0 - IMAGENET_STANDARD_MEAN) / IMAGENET_STANDARD_STD
         pixel_values = jnp.transpose(x, (0, 3, 1, 2)).astype(proprios.dtype)
         return self.infer_action(
             params, input_ids, attention_mask, pixel_values, proprios, noise,
@@ -624,22 +655,53 @@ class PiZero:
         )
         # last position only through the 257k-vocab tied head (the full
         # [B, S, V] projection is ~155 MB + 316 GFLOP of waste; generation
-        # reads logits[:, -1] only)
-        logits = hidden[:, -1:] @ params["embed_tokens"].T
+        # reads logits[:, -1] only). Under right padding the last VALID
+        # position per example is gathered (hidden[:, -1] would read a pad
+        # row — same fix as openvla/llama.greedy_generate).
+        if attention_mask is not None:
+            last_idx = jnp.sum(attention_mask.astype(jnp.int32), axis=-1) - 1
+            h_last = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)
+        else:
+            h_last = hidden[:, -1:]
+        logits = h_last @ params["embed_tokens"].T
         return logits, cache, jnp.int32(q_len)
 
     def infer_text_decode_step(
-        self, params: Dict, token: jax.Array, cache, cache_len: jax.Array
+        self,
+        params: Dict,
+        token: jax.Array,
+        cache,
+        cache_len: jax.Array,
+        attn_valid: Optional[jax.Array] = None,
     ):
-        """One greedy decode step with the preallocated cache."""
+        """One greedy decode step with the preallocated cache.
+
+        ``attn_valid`` ([B, prompt_len] validity) must be passed for batched
+        right-padded prompts: it masks the pad slots' cached K/V out of every
+        decode step and corrects each example's RoPE position to
+        n_valid + generated (pad slots consumed prefill positions).
+        """
         if token.ndim == 1:
             token = token[:, None]
         bsz = token.shape[0]
         embeds = params["embed_tokens"][token]  # [B, 1, H]
-        pos = jnp.broadcast_to(cache_len[None, None] + 1, (bsz, 1)).astype(jnp.int32)
         max_len = cache[0].shape[3]
         cols = jnp.arange(max_len)[None, None, :]
         mask = jnp.broadcast_to(cols <= cache_len, (bsz, 1, max_len))
+        if attn_valid is not None:
+            q_len = attn_valid.shape[1]
+            valid = jnp.pad(
+                attn_valid.astype(bool),
+                ((0, 0), (0, max_len - q_len)),
+                constant_values=True,  # generated columns are always valid
+            )
+            mask = mask & valid[:, None, :]
+            n_pad = q_len - jnp.sum(attn_valid.astype(jnp.int32), axis=-1)  # [B]
+            pos = (cache_len + 1 - n_pad)[:, None].astype(jnp.int32)
+        else:
+            pos = jnp.broadcast_to(
+                cache_len[None, None] + 1, (bsz, 1)
+            ).astype(jnp.int32)
         hidden, cache = joint_lib.single_forward(
             params["joint"],
             self.joint_spec,

@@ -14,9 +14,12 @@ def sinusoidal_pos_emb(
     denominator)."""
     half_dim = dim // 2
     scale = math.log(max_period) / (half_dim - 1)
-    freqs = jnp.exp(jnp.arange(half_dim, dtype=t.dtype) * -scale)
-    args = t[:, None] * freqs[None, :]
-    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    # fp32 island (the reference computes this in model dtype only because
+    # torch upcasts the arange; bf16 arange cannot even represent integers
+    # > 256, corrupting the frequencies for dim > 512)
+    freqs = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -scale)
+    args = t[:, None].astype(jnp.float32) * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1).astype(t.dtype)
 
 
 class GaussianFourierFeatureTransform:

@@ -29,6 +29,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from blurr_tpu.ops.pallas_common import round_up as _round_up
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -86,9 +88,6 @@ def _attn_kernel(
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 @functools.partial(

@@ -33,6 +33,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from blurr_tpu.ops.pallas_common import round_up as _round_up
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -41,9 +43,6 @@ from jax.experimental.pallas import tpu as pltpu
 # caps the token-block size.
 _BLOCK_M = 256
 
-
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
 
 
 def pick_block_layout(n: int) -> tuple:

@@ -21,6 +21,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from blurr_tpu.ops.pallas_common import round_up as _round_up
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -33,9 +35,6 @@ def _kernel(x_ref, wq_ref, s_ref, o_ref, *, out_dtype):
     acc = jnp.dot(x.astype(jnp.bfloat16), wf, preferred_element_type=jnp.float32)
     o_ref[:] = (acc * s).astype(out_dtype)
 
-
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))

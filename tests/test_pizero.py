@@ -232,3 +232,74 @@ def test_adaptive_action_expert_modes(mode):
     a1 = np.asarray(model.infer_action(params, num_inference_steps=1, **inputs))
     a4 = np.asarray(model.infer_action(params, num_inference_steps=4, **inputs))
     assert not np.allclose(a1, a4)
+
+
+def test_text_generation_padded_batch_matches_unpadded():
+    """Right-padded batched text generation must produce the SAME tokens as
+    running the short prompt alone: the last-valid-position gather at
+    prefill, the pad-column mask, and the pad-corrected RoPE positions in
+    decode together make padding invisible (fp32)."""
+    cfg = tiny_pi0_cfg()
+    cfg.mixture.vlm.use_final_norm = True
+    cfg.joint.config.mixture = cfg.mixture
+    cfg.use_lm_head = True
+    model = PiZero(cfg)
+    params = model.init_params(jax.random.PRNGKey(3))
+    inputs = tiny_inputs(cfg)
+    ids = np.asarray(inputs["input_ids"])
+    px = np.asarray(inputs["pixel_values"])
+    q_len = ids.shape[1]
+    n_valid = q_len - 3  # short prompt: 3 pad slots
+    n_steps = 4
+    max_len = q_len + n_steps + 1
+
+    def gen(ids_b, px_b, am_b):
+        logits, cache, cache_len = model.infer_text_prefill(
+            params, jnp.asarray(ids_b), jnp.asarray(px_b), max_len,
+            attention_mask=jnp.asarray(am_b),
+        )
+        tok = jnp.argmax(logits[:, -1, :], axis=-1)
+        toks = [np.asarray(tok)]
+        av = jnp.asarray(am_b)
+        for _ in range(n_steps - 1):
+            tok, cache, cache_len = model.infer_text_decode_step(
+                params, tok, cache, cache_len, attn_valid=av
+            )
+            toks.append(np.asarray(tok))
+        return np.stack(toks, axis=1)  # [B, n_steps]
+
+    # batched: row 0 = full prompt, row 1 = short prompt right-padded
+    ids_short = ids[1:2].copy()
+    ids_short[:, n_valid:] = 0
+    am = np.ones((2, q_len), np.int32)
+    am[1, n_valid:] = 0
+    batch_out = gen(
+        np.concatenate([ids[0:1], ids_short]),
+        np.concatenate([px[0:1], px[1:2]]),
+        am,
+    )
+
+    # the short prompt alone, unpadded (trim to its true length)
+    am_solo = np.ones((1, n_valid), np.int32)
+    solo_out = gen(ids_short[:, :n_valid], px[1:2], am_solo)
+
+    np.testing.assert_array_equal(batch_out[1], solo_out[0])
+
+
+def test_activation_clip_is_per_mixture():
+    """action_quantization.activation_clip must apply to the action/proprio
+    mixtures only — never to a quantized VLM mixture (and
+    kv_quantization.dtype must reject non-int8 values)."""
+    cfg = tiny_pi0_cfg()
+    cfg["action_quantization"] = {"mode": "w8a8", "activation_clip": 2.0}
+    cfg["vlm_quantization"] = {"mode": "w8a8"}
+    model = PiZero(cfg)
+    ms = model.joint_spec.mixtures
+    assert ms["action"].activation_clip == 2.0
+    assert ms["proprio"].activation_clip == 2.0
+    assert ms["vlm"].activation_clip is None
+
+    cfg2 = tiny_pi0_cfg()
+    cfg2["kv_quantization"] = {"mode": "int8", "dtype": "int4"}
+    with pytest.raises(ValueError, match="kv_quantization.dtype"):
+        PiZero(cfg2)
