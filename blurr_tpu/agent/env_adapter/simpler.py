@@ -10,6 +10,7 @@ gripper. Host-side numpy; the heavy image path can optionally run in-graph
 from __future__ import annotations
 
 import json
+import logging
 from pathlib import Path
 from typing import List, Tuple
 
@@ -21,15 +22,17 @@ from blurr_tpu.models.pi0.processing import VLAProcessor
 from blurr_tpu.paths import package_root
 from blurr_tpu.utils.geometry import euler2axangle, mat2euler, quat2mat
 
-try:
-    import cv2
-except ImportError:  # pragma: no cover
-    cv2 = None
+log = logging.getLogger(__name__)
 
 
 def get_image_from_obs(env, obs: dict) -> np.ndarray:
     """RGB frame from a ManiSkill2 obs dict (SimplerEnv layout), or a plain
     {'image': HxWx3} dict from the fake env."""
+    # fake-env fast path FIRST: it must work whether or not simpler_env is
+    # installed (simpler_env's helper would dereference robot_uid/camera
+    # dicts the fake env does not have)
+    if isinstance(obs.get("image"), np.ndarray):
+        return obs["image"]
     try:
         from simpler_env.utils.env.observation_utils import (
             get_image_from_maniskill2_obs_dict,
@@ -37,8 +40,6 @@ def get_image_from_obs(env, obs: dict) -> np.ndarray:
 
         return get_image_from_maniskill2_obs_dict(env, obs)
     except ImportError:
-        if "image" in obs and isinstance(obs["image"], np.ndarray):
-            return obs["image"]
         # ManiSkill2-shaped dict without simpler_env installed
         cams = obs["image"]
         cam = next(iter(cams.values()))
@@ -62,9 +63,14 @@ def _load_tokenizer(pretrained_model_path: str):
         return AutoTokenizer.from_pretrained(
             pretrained_model_path, padding_side="right"
         )
-    except Exception:
+    except Exception as exc:
         from blurr_tpu.models.pi0.processing import StubTokenizer
 
+        log.warning(
+            "Tokenizer load failed for %r (%s); using the hash-based stub "
+            "tokenizer — FINE for smoke/latency runs, MEANINGLESS for real "
+            "checkpoints.", pretrained_model_path, exc,
+        )
         return StubTokenizer()
 
 

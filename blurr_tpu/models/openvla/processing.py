@@ -26,16 +26,11 @@ def build_prompt(instruction: str) -> str:
 def process_image(image: np.ndarray, image_size: int = 224, fused: bool = True) -> np.ndarray:
     """uint8 HxWx3 -> float [1, 6 (or 3), S, S]: resized then normalized per
     backbone (DINOv2 channels first, SigLIP channels second)."""
-    try:
-        import cv2
+    from blurr_tpu.utils.image import lanczos_resize_uint8
 
-        resized = cv2.resize(image, (image_size, image_size), interpolation=cv2.INTER_LANCZOS4)
-    except ImportError:
-        from PIL import Image
-
-        resized = np.array(
-            Image.fromarray(image).resize((image_size, image_size), Image.LANCZOS)
-        )
+    resized = lanczos_resize_uint8(
+        np.ascontiguousarray(image, np.uint8), image_size, image_size
+    )
     x = resized.astype(np.float32) / 255.0
     dino = (x - IMAGENET_MEAN) / IMAGENET_STD
     sig = (x - SIGLIP_MEAN) / SIGLIP_STD

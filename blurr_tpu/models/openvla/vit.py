@@ -65,8 +65,18 @@ def init_vit_params(rng: jax.Array, spec: ViTSpec, dtype=jnp.float32) -> Dict:
     params = {
         "patch_w": dense(next(keys), p * p * c, (p * p * c, d)),
         "patch_b": jnp.zeros((d,), dtype),
+        # register models (timm no_embed_class) store a patches-only pos
+        # table; plain towers cover [cls] + patches. vit_forward dispatches
+        # on the row count, so bridged checkpoints of either layout work.
         "pos_embed": dense(
-            next(keys), d, ((1 if spec.cls_token else 0) + spec.num_patches, d)
+            next(keys),
+            d,
+            (
+                spec.num_patches
+                if spec.reg_tokens
+                else (1 if spec.cls_token else 0) + spec.num_patches,
+                d,
+            ),
         ),
         "layers": {
             "ln1_w": jnp.ones((nl, d), dtype),
@@ -93,13 +103,9 @@ def init_vit_params(rng: jax.Array, spec: ViTSpec, dtype=jnp.float32) -> Dict:
     return params
 
 
-def _patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
-    b, c, h, w = pixel_values.shape
-    nh, nw = h // patch_size, w // patch_size
-    x = jnp.transpose(pixel_values, (0, 2, 3, 1))
-    x = x.reshape(b, nh, patch_size, nw, patch_size, c)
-    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
-    return x.reshape(b, nh * nw, patch_size * patch_size * c)
+# one patch-flatten implementation repo-wide: the (pi, pj, c) ordering must
+# stay matched to both checkpoint bridges' conv-as-matmul weight reshape
+from blurr_tpu.models.pi0.siglip import patchify as _patchify  # noqa: E402
 
 
 def vit_forward(
@@ -113,16 +119,43 @@ def vit_forward(
 
     h = _patchify(pixel_values, spec.patch_size) @ params["patch_w"] + params["patch_b"]
     b = h.shape[0]
-    if spec.cls_token:
-        cls = jnp.broadcast_to(params["cls_token"], (b, 1, d)).astype(h.dtype)
-        h = jnp.concatenate([cls, h], axis=1)
-    h = h + params["pos_embed"][None].astype(h.dtype)
-    if spec.reg_tokens:
-        # timm: register tokens appended after pos-embed, before blocks
-        reg = jnp.broadcast_to(
-            params["reg_tokens"], (b, spec.reg_tokens, d)
-        ).astype(h.dtype)
-        h = jnp.concatenate([h[:, :1], reg, h[:, 1:]], axis=1) if spec.cls_token else jnp.concatenate([reg, h], axis=1)
+    pos = params["pos_embed"]
+    if pos.shape[0] == spec.num_patches:
+        # timm no_embed_class layout (register models, e.g.
+        # vit_large_patch14_reg4_dinov2): pos table covers PATCHES only —
+        # added before the prefix tokens, which get no position embedding
+        # (timm's dinov2 converter folds the cls pos row into cls_token).
+        # Prefix order is (cls, reg, patches) like timm's _pos_embed.
+        h = h + pos[None].astype(h.dtype)
+        prefix = []
+        if spec.cls_token:
+            prefix.append(
+                jnp.broadcast_to(params["cls_token"], (b, 1, d)).astype(h.dtype)
+            )
+        if spec.reg_tokens:
+            prefix.append(
+                jnp.broadcast_to(
+                    params["reg_tokens"], (b, spec.reg_tokens, d)
+                ).astype(h.dtype)
+            )
+        if prefix:
+            h = jnp.concatenate(prefix + [h], axis=1)
+    else:
+        # embed-class layout: pos table covers [cls] + patches
+        if spec.cls_token:
+            cls = jnp.broadcast_to(params["cls_token"], (b, 1, d)).astype(h.dtype)
+            h = jnp.concatenate([cls, h], axis=1)
+        h = h + pos[None].astype(h.dtype)
+        if spec.reg_tokens:
+            # register tokens appended after pos-embed, before blocks
+            reg = jnp.broadcast_to(
+                params["reg_tokens"], (b, spec.reg_tokens, d)
+            ).astype(h.dtype)
+            h = (
+                jnp.concatenate([h[:, :1], reg, h[:, 1:]], axis=1)
+                if spec.cls_token
+                else jnp.concatenate([reg, h], axis=1)
+            )
 
     layers = params["layers"]  # already truncated to effective_num_layers
 

@@ -85,9 +85,16 @@ class PaliGemmaConfig:
     ):
         self.ignore_index = ignore_index
         self.image_token_index = image_token_index
-        self.pad_token_id = pad_token_id
         self.vision_config = SiglipVisionConfig(**(vision_config or {}))
-        self.text_config = GemmaConfig(**(text_config or {}), pad_token_id=pad_token_id)
+        # transformers-serialized text_config dicts already contain
+        # pad_token_id; the explicit top-level value wins (else TypeError:
+        # multiple values for keyword)
+        text_config = dict(text_config or {})
+        if pad_token_id is None:
+            pad_token_id = text_config.get("pad_token_id")
+        text_config.pop("pad_token_id", None)
+        self.pad_token_id = pad_token_id
+        self.text_config = GemmaConfig(**text_config, pad_token_id=pad_token_id)
         self.vocab_size = self.text_config.vocab_size
         self.projection_dim = projection_dim
         self.hidden_size = hidden_size

@@ -160,11 +160,19 @@ class PaliGemmaForConditionalGeneration:
         logits, cache, cache_len = prefill(params, input_ids, pixel_values, max_len)
         tok = jnp.argmax(logits[:, -1], axis=-1)
         out = [np.asarray(tok)]
+        done = (out[-1] == eos_token_id) if eos_token_id is not None else None
         for _ in range(max_new_tokens - 1):
-            if eos_token_id is not None and int(out[-1][0]) == eos_token_id:
+            # per-row early stop: break only when EVERY row has emitted EOS;
+            # finished rows keep repeating EOS (matches generate_fused)
+            if done is not None and done.all():
                 break
             tok, cache, cache_len = step(params, tok, cache, cache_len)
-            out.append(np.asarray(tok))
+            nxt = np.asarray(tok)
+            if done is not None:
+                nxt = np.where(done, eos_token_id, nxt)
+                done = done | (nxt == eos_token_id)
+                tok = jnp.asarray(nxt)
+            out.append(nxt)
         return np.stack(out, axis=1)  # [B, T]
 
     def generate_fused(
@@ -269,9 +277,15 @@ class GemmaForCausalLM:
         step = self._jitted("decode", lambda: jax.jit(self.decode_step))
         tok = jnp.argmax(logits[:, -1], axis=-1)
         out = [np.asarray(tok)]
+        done = (out[-1] == eos_token_id) if eos_token_id is not None else None
         for _ in range(max_new_tokens - 1):
-            if eos_token_id is not None and int(out[-1][0]) == eos_token_id:
+            if done is not None and done.all():  # per-row early stop
                 break
             tok, cache, cache_len = step(params, tok, cache, cache_len)
-            out.append(np.asarray(tok))
+            nxt = np.asarray(tok)
+            if done is not None:
+                nxt = np.where(done, eos_token_id, nxt)
+                done = done | (nxt == eos_token_id)
+                tok = jnp.asarray(nxt)
+            out.append(nxt)
         return np.stack(out, axis=1)

@@ -53,16 +53,11 @@ class PaliGemmaProcessor:
     def __init__(self, tokenizer, num_image_tokens: int, image_size: int):
         self.image_seq_length = num_image_tokens
         self.image_size = image_size
-        tokenizer.add_special_tokens(
-            {"additional_special_tokens": [self.IMAGE_TOKEN]}
+        from blurr_tpu.models.pi0.processing import setup_paligemma_tokenizer
+
+        self.image_token_id = setup_paligemma_tokenizer(
+            tokenizer, self.IMAGE_TOKEN
         )
-        tokenizer.add_tokens(
-            [f"<loc{i:04d}>" for i in range(1024)]
-            + [f"<seg{i:03d}>" for i in range(128)]
-        )
-        self.image_token_id = tokenizer.convert_tokens_to_ids(self.IMAGE_TOKEN)
-        tokenizer.add_bos_token = False
-        tokenizer.add_eos_token = False
         self.tokenizer = tokenizer
 
     def __call__(

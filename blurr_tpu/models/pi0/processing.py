@@ -32,6 +32,21 @@ def process_images(images: jnp.ndarray) -> jnp.ndarray:
     return (x / 255.0 - IMAGENET_STANDARD_MEAN) / IMAGENET_STANDARD_STD
 
 
+
+def setup_paligemma_tokenizer(tokenizer, image_token: str = "<image>") -> int:
+    """Apply the PaliGemma tokenizer-mutation protocol (add <image> special
+    token, 1024 <loc>/128 <seg> extended-vocab tokens, disable auto BOS/EOS
+    — reference processing.py:80-93). Returns the <image> token id. Shared
+    by VLAProcessor and PaliGemmaProcessor so the two cannot drift."""
+    tokenizer.add_special_tokens({"additional_special_tokens": [image_token]})
+    extra = [f"<loc{i:04d}>" for i in range(1024)]
+    extra += [f"<seg{i:03d}>" for i in range(128)]
+    tokenizer.add_tokens(extra)
+    tokenizer.add_bos_token = False
+    tokenizer.add_eos_token = False
+    return tokenizer.convert_tokens_to_ids(image_token)
+
+
 class VLAProcessor:
     """Prompt/image processor for PaliGemma-format VLAs.
 
@@ -54,15 +69,9 @@ class VLAProcessor:
         self.max_seq_len = max_seq_len
         self.tokenizer_padding = tokenizer_padding
 
-        tokenizer.add_special_tokens(
-            {"additional_special_tokens": [self.IMAGE_TOKEN]}
+        self.image_token_id = setup_paligemma_tokenizer(
+            tokenizer, self.IMAGE_TOKEN
         )
-        extra = [f"<loc{i:04d}>" for i in range(1024)]
-        extra += [f"<seg{i:03d}>" for i in range(128)]
-        tokenizer.add_tokens(extra)
-        self.image_token_id = tokenizer.convert_tokens_to_ids(self.IMAGE_TOKEN)
-        tokenizer.add_bos_token = False
-        tokenizer.add_eos_token = False
         self.tokenizer = tokenizer
 
     def __call__(

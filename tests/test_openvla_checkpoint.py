@@ -45,7 +45,9 @@ def synth_hf_snapshot(tmp_path, spec):
         d, inter = vs.hidden_size, vs.intermediate_size
         state[prefix + "patch_embed.proj.weight"] = t(d, 3, vs.patch_size, vs.patch_size)
         state[prefix + "patch_embed.proj.bias"] = t(d)
-        n_pos = vs.num_patches + (1 if cls_reg else 0)
+        # timm reg4 models (no_embed_class) store a PATCHES-ONLY pos table;
+        # the cls pos row is folded into cls_token by timm's converter
+        n_pos = vs.num_patches
         state[prefix + "pos_embed"] = t(1, n_pos, d)
         if cls_reg:
             state[prefix + "cls_token"] = t(1, 1, d)
