@@ -75,3 +75,74 @@ def test_golden_actions_quantized(mode, golden_a00, golden_sum):
     a = np.asarray(model.infer_action(params, **tiny_inputs(cfg)))
     np.testing.assert_allclose(a[0, 0], golden_a00, atol=0.02)
     np.testing.assert_allclose(float(a.sum()), golden_sum, rtol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# Decode-path goldens: OpenVLA (llama) and MiniVLA-architecture (qwen2:
+# qkv biases + tied lm_head) greedy token ids for fixed seeds. Computed on
+# CPU with jax_default_matmul_precision='highest' (same recipe as above).
+# Token ids are integers, so equality is exact on a given platform; compare
+# leniently (allow <=1 differing position) to absorb borderline argmax flips
+# across matmul precisions.
+# ---------------------------------------------------------------------------
+
+GOLDEN_OPENVLA_TOKENS = [11923, 28118, 7764, 21461, 27902, 12060, 29229]
+GOLDEN_QWEN_TOKENS = [46, 67, 68, 68, 68, 68, 28]
+
+
+def _token_golden_check(got, want):
+    got, want = np.asarray(got).ravel(), np.asarray(want)
+    assert got.shape == want.shape
+    n_diff = int((got != want).sum())
+    assert n_diff <= 1, f"decode drift: {got.tolist()} vs {want.tolist()}"
+
+
+def test_golden_openvla_decode_tokens():
+    import jax.numpy as jnp
+
+    from blurr_tpu.models.openvla.model import EMPTY_TOKEN, OpenVLA, OpenVLASpec
+
+    spec = OpenVLASpec.tiny()
+    model = OpenVLA(spec)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    px = rng.randn(1, 6, 28, 28).astype(np.float32)
+    ids = np.concatenate(
+        [[[1]], rng.randint(2, 100, (1, 6)), [[EMPTY_TOKEN]]], axis=1
+    ).astype(np.int32)
+    toks = np.asarray(
+        model.predict_action_tokens(params, jnp.asarray(ids), jnp.asarray(px))
+    )
+    _token_golden_check(toks, GOLDEN_OPENVLA_TOKENS)
+
+
+def test_golden_qwen2_decode_tokens():
+    """Locks the Qwen2 features (bias adds, tied-head logits, theta 1e6)."""
+    import jax.numpy as jnp
+
+    from blurr_tpu.models.openvla.llama import LlamaSpec
+    from blurr_tpu.models.openvla.model import EMPTY_TOKEN, OpenVLA, OpenVLASpec
+    from blurr_tpu.models.openvla.vit import ViTSpec
+
+    spec = OpenVLASpec(
+        llama=LlamaSpec(vocab_size=96, hidden_size=64, intermediate_size=128,
+                        num_layers=2, num_heads=4, num_kv_heads=2,
+                        rope_theta=1_000_000.0, eps=1e-6, qkv_bias=True,
+                        tie_word_embeddings=True),
+        siglip=ViTSpec(hidden_size=48, intermediate_size=96, num_layers=2,
+                       num_heads=2, image_size=28, feature_layer=-1),
+        use_fused_vision=False,
+    )
+    model = OpenVLA(spec)
+    params = model.init_params(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(0)
+    rng.randn(1, 6, 28, 28)  # keep the stream aligned with the generator
+    rng.randint(2, 100, (1, 6))
+    px = rng.randn(1, 3, 28, 28).astype(np.float32)
+    ids = np.concatenate(
+        [[[1]], rng.randint(2, 90, (1, 5)), [[EMPTY_TOKEN % 96]]], axis=1
+    ).astype(np.int32)
+    toks = np.asarray(
+        model.predict_action_tokens(params, jnp.asarray(ids), jnp.asarray(px))
+    )
+    _token_golden_check(toks, GOLDEN_QWEN_TOKENS)
