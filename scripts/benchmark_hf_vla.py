@@ -29,7 +29,8 @@ def parse_args():
         "--model-id",
         type=str,
         default="random",
-        help="HF snapshot dir, or 'random' (tiny) / 'random-7b' (full dims).",
+        help="HF snapshot dir, or 'random' (tiny) / 'random-7b' (full "
+             "dims) / 'random-minivla' (Qwen2.5-0.5B prismatic dims).",
     )
     p.add_argument(
         "--prompt",
@@ -92,6 +93,27 @@ def main():
 
             params["llama"] = quantize_llama_w4a8(params["llama"])
         tokenizer = load_hf_tokenizer(str(model_path))
+    elif args.model_id in ("random-minivla", "minivla-random"):
+        # MiniVLA-class prismatic: SigLIP-only vision + Qwen2.5-0.5B-
+        # architecture LM (biases, tied lm_head) at full dims
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from eval_prismatic_vla_simpler import minivla_spec
+
+        spec = minivla_spec()
+        model = OpenVLA(spec)
+        params = model.init_params(jax.random.PRNGKey(0), dtype)
+        tokenizer = None
+        if args.quantization in ("w8a8", "w4a8"):
+            from blurr_tpu.models.openvla.llama import (
+                quantize_llama_w4a8,
+                quantize_llama_w8a8,
+            )
+
+            qfn = (
+                quantize_llama_w8a8 if args.quantization == "w8a8"
+                else quantize_llama_w4a8
+            )
+            params["llama"] = qfn(params["llama"])
     elif args.model_id in ("random-7b", "openvla-7b-random"):
         spec = OpenVLASpec()
         model = OpenVLA(spec)
