@@ -24,6 +24,7 @@ export HF_HOME TRANSFORMERS_CACHE MS2_REAL2SIM_ASSET_DIR \
 
 EPISODES="${EPISODES:-100}"
 VIDEOS="${VIDEOS:-0}"
+CONFIG="${CONFIG:-config/eval/bridge.yaml}"  # tiny smoke: config/eval/bridge_tiny.yaml
 
 # the four WidowX Bridge tasks, under both presets
 TASKS=(
@@ -37,7 +38,7 @@ PRESETS=(baseline blurr)
 run_eval() {  # $1=preset $2=task
   python -u "$ROOT/scripts/eval_pi0_simpler.py" \
     --preset "$1" \
-    --config config/eval/bridge.yaml \
+    --config "$CONFIG" \
     --task "$2" \
     --checkpoint "$CHECKPOINT" \
     --n-eval-episode "$EPISODES" \
