@@ -21,6 +21,26 @@ python scripts/collect_bridge_eval_results.py >/dev/null && echo "collector OK"
 python scripts/demo_paligemma_text.py --max-new-tokens 4 --fused >/dev/null \
   && echo "text demo OK"
 
+echo "==== paper harness chain (sweep -> scrape -> LaTeX) ===="
+SWEEP_DIR="$(mktemp -d)"
+python scripts/paper/horizon_sweep_simpler.py --checkpoint random \
+  --config config/eval/bridge_tiny.yaml --steps 1 2 \
+  --tasks fake_widowx_carrot_on_plate --episodes 1 \
+  --out-root "$SWEEP_DIR/runs" --out-csv "$SWEEP_DIR/sweep.csv" >/dev/null
+python scripts/paper/summarize_results.py horizon-sweep \
+  --csv "$SWEEP_DIR/sweep.csv" > "$SWEEP_DIR/sweep.tex" \
+  && grep -q "tabular" "$SWEEP_DIR/sweep.tex" && echo "paper chain OK"
+
+echo "==== prismatic + train smokes ===="
+python scripts/eval_prismatic_vla_simpler.py --checkpoint random \
+  --task fake_widowx_carrot_on_plate --n-eval-episode 1 --max-steps 2 \
+  --log-dir "$SWEEP_DIR/prism" 2>/dev/null | grep -q "Success rate" \
+  && echo "eval_prismatic OK"
+python scripts/train_pi0_flow.py --config config/eval/bridge_tiny.yaml \
+  --steps 2 --batch-size 2 --save-dir "" 2>&1 | grep -q "Done. final loss" \
+  && echo "train OK"
+rm -rf "$SWEEP_DIR"
+
 echo "==== driver contracts ===="
 python -c "
 import __graft_entry__ as g
