@@ -116,4 +116,14 @@ def make_env(task: str):
             logging.getLogger(__name__).warning(
                 "simpler_env not installed; using FakeSimplerEnv for task %s", task
             )
+        except Exception as exc:
+            # installed but broken (headless containers: missing Vulkan/GL,
+            # broken sapien) — degrade LOUDLY rather than crash the eval
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simpler_env.make(%r) failed (%s: %s); falling back to "
+                "FakeSimplerEnv — success rates are NOT real-sim results.",
+                task, type(exc).__name__, exc,
+            )
     return FakeSimplerEnv(task)

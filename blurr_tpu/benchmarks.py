@@ -33,11 +33,21 @@ class BenchResult:
 
 
 def preset_toggles(name: str) -> Dict[str, Any]:
-    """Named preset table (reference pi0_microbench.py:331-349)."""
+    """Named preset table (reference pi0_microbench.py:331-349). Accepts the
+    same presets/aliases as scripts/eval_pi0_simpler.py so any eval
+    configuration can be paired with a microbench measurement."""
     name = name.strip().lower()
     if name in {"baseline", "vanilla"}:
         return {
             "use_prefix_kv_cache": False,
+            "use_bf16": False,
+            "use_fp16": False,
+            "use_torch_compile": False,
+            "num_inference_steps": 10,
+        }
+    if name in {"prefix_cache", "cached"}:
+        return {
+            "use_prefix_kv_cache": True,
             "use_bf16": False,
             "use_fp16": False,
             "use_torch_compile": False,

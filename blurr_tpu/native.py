@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import logging
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -21,6 +22,7 @@ _NATIVE_DIR = Path(__file__).resolve().parents[1] / "native"
 _LIB_PATH = _NATIVE_DIR / "libblurr_native.so"
 _lib = None
 _load_failed = False
+_build_lock = threading.Lock()
 
 
 def _build() -> bool:
@@ -41,9 +43,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not _LIB_PATH.exists() and not _build():
-        _load_failed = True
-        return None
+    with _build_lock:  # one make / one dlopen per process
+        if _lib is not None or _load_failed:
+            return _lib
+        # ALWAYS run make: the Makefile's source prerequisite makes it an
+        # incremental no-op when fresh, and rebuilds after preprocess.cpp
+        # edits (an exists() check would silently load a stale .so)
+        if not _build() and not _LIB_PATH.exists():
+            _load_failed = True
+            return None
+        return _load()
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.lanczos4_resize_u8.argtypes = [

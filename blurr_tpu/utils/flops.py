@@ -140,9 +140,12 @@ def openvla_forward_flops(model_spec, prompt_len: int, batch: int = 1) -> int:
     prefill_len = 1 + n_patches + prompt_len
     nl = s.llama.num_layers
     prefill = nl * llama_layer_flops(s.llama, prefill_len, prefill_len)
+    # greedy_generate: the FIRST token comes from the prefill's last hidden
+    # state; the scan then runs action_dim - 1 single-token steps. lm_head
+    # is applied action_dim times total (llama.py greedy_generate).
     decode = sum(
         nl * llama_layer_flops(s.llama, 1, prefill_len + i + 1)
-        for i in range(s.action_dim)
+        for i in range(s.action_dim - 1)
     )
-    lm_head = (1 + s.action_dim) * _mm(1, ldim, s.llama.vocab_size)
+    lm_head = s.action_dim * _mm(1, ldim, s.llama.vocab_size)
     return vision + proj + batch * (prefill + decode + lm_head)

@@ -76,26 +76,30 @@ def main() -> None:
     out_csv = Path(args.out_csv).expanduser().resolve()
     out_csv.parent.mkdir(parents=True, exist_ok=True)
 
-    rows = []
-    for steps in args.steps:
-        for task in args.tasks:
-            log_dir = out_root / f"steps{steps}" / task
-            log_dir.mkdir(parents=True, exist_ok=True)
-            launch(args, steps, task, log_dir)
-            scraped = scrape_log(log_dir / "run.log")
-            if scraped["success_rate"] is None:
-                raise RuntimeError(f"Failed to parse success rate from {log_dir}")
-            rows.append(
-                dict(steps=steps, task=task, episodes=scraped["episodes"],
-                     success_rate=scraped["success_rate"], log_dir=str(log_dir))
-            )
-
+    # write the CSV INCREMENTALLY: the grid is hours of SimplerEnv episodes,
+    # and a single failed run must not discard every completed eval's row
     with out_csv.open("w", newline="", encoding="utf-8") as f:
         writer = csv.DictWriter(
             f, fieldnames=["steps", "task", "episodes", "success_rate", "log_dir"]
         )
         writer.writeheader()
-        writer.writerows(rows)
+        f.flush()
+        for steps in args.steps:
+            for task in args.tasks:
+                log_dir = out_root / f"steps{steps}" / task
+                log_dir.mkdir(parents=True, exist_ok=True)
+                launch(args, steps, task, log_dir)
+                scraped = scrape_log(log_dir / "run.log")
+                if scraped["success_rate"] is None:
+                    raise RuntimeError(
+                        f"Failed to parse success rate from {log_dir}"
+                    )
+                writer.writerow(
+                    dict(steps=steps, task=task, episodes=scraped["episodes"],
+                         success_rate=scraped["success_rate"],
+                         log_dir=str(log_dir))
+                )
+                f.flush()
     print(f"\nWrote: {out_csv}\n")
 
 

@@ -26,7 +26,13 @@ PAPER_GFLOPS = {
 
 
 def _read_avg_success(path: Path) -> float:
-    return float(json.loads(path.read_text()).get("avg_success", 0.0))
+    payload = json.loads(path.read_text())
+    if "avg_success" not in payload:
+        raise KeyError(
+            f"{path} has no 'avg_success' key (expected an "
+            f"eval_*_simpler summary.json); keys: {sorted(payload)[:8]}"
+        )
+    return float(payload["avg_success"])
 
 
 def main() -> None:

@@ -76,7 +76,8 @@ def summarize_prompt_sweep(path: Path) -> str:
 def summarize_first_vs_steady(path: Path) -> str:
     rows = [
         [
-            row["preset"], row["dtype"],
+            row["preset"].replace("_", r"\_"),  # LaTeX-safe preset aliases
+            row["dtype"].replace("_", r"\_"),
             "Y" if row["torch_compile"].lower() == "true" else "N",
             _fmt(row.get("first_call_ms"), 1),
             _fmt(row.get("steady_latency_ms"), 1),
