@@ -34,8 +34,8 @@ python scripts/paper/summarize_results.py horizon-sweep \
 echo "==== prismatic + train smokes ===="
 python scripts/eval_prismatic_vla_simpler.py --checkpoint random \
   --task fake_widowx_carrot_on_plate --n-eval-episode 1 --max-steps 2 \
-  --log-dir "$SWEEP_DIR/prism" 2>/dev/null | grep -q "Success rate" \
-  && echo "eval_prismatic OK"
+  --log-dir "$SWEEP_DIR/prism" >/dev/null 2>&1
+grep -q "Success rate" "$SWEEP_DIR/prism/run.log" && echo "eval_prismatic OK"
 python scripts/train_pi0_flow.py --config config/eval/bridge_tiny.yaml \
   --steps 2 --batch-size 2 --save-dir "" 2>&1 | grep -q "Done. final loss" \
   && echo "train OK"
