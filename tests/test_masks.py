@@ -66,3 +66,22 @@ def test_additive_from_bool_format():
     a = np.asarray(add)[0, 0]
     assert (a[np.asarray(full)[0]] == 0).all()
     assert (a[~np.asarray(full)[0]] == np.finfo(np.float32).min).all()
+
+
+def test_full_mask_randomized_lengths():
+    """Property sweep: the in-graph mask matches the numpy reference for 40
+    random (image_text_len, n_proprio, n_action, batch) combinations."""
+    rng = np.random.RandomState(0)
+    for _ in range(40):
+        max_it = int(rng.randint(3, 24))
+        n_p = int(rng.randint(1, 3))
+        n_a = int(rng.randint(1, 6))
+        bsz = int(rng.randint(1, 4))
+        am = np.zeros((bsz, max_it), np.int32)
+        for b in range(bsz):
+            am[b, : rng.randint(1, max_it + 1)] = 1
+        want = reference_full_mask(am, max_it, n_p, n_a)
+        got = np.asarray(
+            mask_lib.pi0_full_mask(jnp.asarray(am), max_it, n_p, n_a)
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"{max_it},{n_p},{n_a}")

@@ -311,3 +311,39 @@ def test_w4a8_groupwise_beats_per_channel_on_outlier_rows():
 
     qw = quantize_weight_w4a8(jnp.asarray(w), group_size=128)
     assert qw["s"].shape == (2, 64)  # two 128-row groups
+
+
+def test_w4a8_random_shapes_property():
+    """Property sweep: the packed-int4 matmul tracks the fp reference over
+    random (M, K, N) shapes, including non-multiple-of-128 N and K values
+    that exercise both group sizes."""
+    import jax
+
+    from blurr_tpu.ops.quant import mm, quantize_weight_w4a8
+
+    rng = np.random.RandomState(1)
+    for m, k, n in [(1, 256, 96), (3, 512, 384), (8, 1024, 640),
+                    (2, 768, 1408), (5, 256, 130)]:
+        x = jnp.asarray(rng.randn(1, m, k).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.05)
+        ref = np.asarray(x @ w)
+        out = np.asarray(mm(x, quantize_weight_w4a8(w)))
+        assert out.shape == ref.shape, (m, k, n)
+        denom = np.abs(ref).mean() + 1e-6
+        rel = np.abs(out - ref).mean() / denom
+        assert rel < 0.15, (m, k, n, rel)  # 15-level quantizer tolerance
+
+
+def test_w8a8_random_shapes_property():
+    import jax
+
+    from blurr_tpu.ops.quant import mm, quantize_weight_w8a8
+
+    rng = np.random.RandomState(2)
+    for m, k, n in [(1, 64, 48), (7, 200, 136), (4, 96, 512), (2, 640, 80)]:
+        x = jnp.asarray(rng.randn(1, m, k).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.05)
+        ref = np.asarray(x @ w)
+        out = np.asarray(mm(x, quantize_weight_w8a8(w)))
+        denom = np.abs(ref).mean() + 1e-6
+        assert np.abs(out - ref).mean() / denom < 0.03, (m, k, n)
