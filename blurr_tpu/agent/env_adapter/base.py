@@ -1,40 +1,52 @@
-"""Normalization helpers shared by env adapters (parity surface: reference
-src/agent/env_adapter/base.py:8-49)."""
+"""(De)normalization math shared by env adapters.
+
+Semantics follow reference src/agent/env_adapter/base.py:8-49 exactly —
+including the asymmetric eps placement: the forward bound-normalization
+divides by (max - min + eps), but the inverse multiplies by the UN-padded
+(max - min), so a round trip is off by the eps ratio. Locked by
+tests/test_eval_e2e.py's round-trip test; do not "fix" without breaking
+checkpoint compatibility (trained policies absorbed this convention).
+"""
 
 import numpy as np
 
+_EPS = 1e-8
+
+
+def bound_normalize(data, lo, hi, clip_min=-1.0, clip_max=1.0, eps=_EPS):
+    """Map [lo, hi] -> [-1, 1] (p01/p99 bounds), clipped to the clip range."""
+    span = hi - lo + eps
+    return np.clip((data - lo) * (2.0 / span) - 1.0, clip_min, clip_max)
+
+
+def bound_denormalize(data, lo, hi, clip_min=-1.0, clip_max=1.0, eps=_EPS):
+    """Inverse of :func:`bound_normalize` (note: no eps on the span here —
+    reference convention, see module docstring)."""
+    frac = (data - clip_min) / (clip_max - clip_min)
+    return frac * (hi - lo) + lo
+
+
+def gaussian_normalize(data, mean, std, eps=_EPS):
+    return (data - mean) / (std + eps)
+
+
+def gaussian_denormalize(data, mean, std, eps=_EPS):
+    return data * (std + eps) + mean
+
 
 class BaseEnvAdapter:
-    def normalize_bound(
-        self,
-        data: np.ndarray,
-        data_min: np.ndarray,
-        data_max: np.ndarray,
-        clip_min: float = -1,
-        clip_max: float = 1,
-        eps: float = 1e-8,
-    ) -> np.ndarray:
-        ndata = 2 * (data - data_min) / (data_max - data_min + eps) - 1
-        return np.clip(ndata, clip_min, clip_max)
+    """Method-style access used by the Simpler/EDR adapters."""
 
-    def denormalize_bound(
-        self,
-        data: np.ndarray,
-        data_min: np.ndarray,
-        data_max: np.ndarray,
-        clip_min: float = -1,
-        clip_max: float = 1,
-        eps: float = 1e-8,
-    ) -> np.ndarray:
-        clip_range = clip_max - clip_min
-        return (data - clip_min) / clip_range * (data_max - data_min) + data_min
+    def normalize_bound(self, data, data_min, data_max, clip_min=-1,
+                        clip_max=1, eps=_EPS):
+        return bound_normalize(data, data_min, data_max, clip_min, clip_max, eps)
 
-    def normalize_gaussian(
-        self, data: np.ndarray, mean: np.ndarray, std: np.ndarray, eps: float = 1e-8
-    ) -> np.ndarray:
-        return (data - mean) / (std + eps)
+    def denormalize_bound(self, data, data_min, data_max, clip_min=-1,
+                          clip_max=1, eps=_EPS):
+        return bound_denormalize(data, data_min, data_max, clip_min, clip_max, eps)
 
-    def denormalize_gaussian(
-        self, data: np.ndarray, mean: np.ndarray, std: np.ndarray, eps: float = 1e-8
-    ) -> np.ndarray:
-        return data * (std + eps) + mean
+    def normalize_gaussian(self, data, mean, std, eps=_EPS):
+        return gaussian_normalize(data, mean, std, eps)
+
+    def denormalize_gaussian(self, data, mean, std, eps=_EPS):
+        return gaussian_denormalize(data, mean, std, eps)
