@@ -31,6 +31,34 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join a multi-host TPU pod slice via ``jax.distributed.initialize``.
+
+    On Cloud TPU VMs all arguments are auto-discovered from the metadata
+    server (pass None); elsewhere supply them explicitly. After this,
+    ``jax.devices()`` spans the pod and ``make_mesh`` lays the mesh over
+    ICI within hosts and DCN across them (keep the 'model' axis within a
+    host: GSPMD routes TP collectives over ICI, DP grad psum over DCN).
+    Returns the process index. Single-process (n=1) is a no-op.
+    """
+    if num_processes in (None, 1) and coordinator_address is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return 0  # single-process / non-pod environment
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index()
+
+
 def _mixture_rules() -> Dict[str, P]:
     """TP layout for one Gemma-format mixture: shard attention Q heads and
     the MLP intermediate over 'model'. K/V projections stay replicated — the

@@ -50,6 +50,10 @@ def parse_args():
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--save-dir", type=str, default="")
     p.add_argument("--resume", type=str, default="")
+    p.add_argument("--multihost", action="store_true",
+                   help="Join a multi-host pod slice via "
+                        "jax.distributed.initialize (auto-discovery on "
+                        "Cloud TPU VMs) before building the mesh.")
     p.add_argument("--log-every", type=int, default=5)
     return p.parse_args()
 
@@ -79,6 +83,14 @@ def synthetic_batch(cfg, bsz, rng):
 def main():
     args = parse_args()
     logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(message)s")
+    if args.multihost:
+        # must run before any other jax use (backend initialization)
+        from blurr_tpu.parallel.mesh import init_multihost
+
+        rank = init_multihost()
+        import jax as _jax
+
+        log.info("multihost: process %d of %d", rank, _jax.process_count())
     import jax
     import jax.numpy as jnp
     import optax
