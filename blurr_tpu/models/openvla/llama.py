@@ -55,6 +55,16 @@ class LlamaSpec:
         return self.hidden_size // self.num_heads
 
 
+def _maybe_add_bias_leaves(layers: Dict, spec: LlamaSpec, dtype) -> None:
+    """Attach zero-init Qwen2 attention-bias leaves when the spec asks."""
+    if spec.qkv_bias:
+        nl, nh, kvh, hd = (spec.num_layers, spec.num_heads,
+                           spec.num_kv_heads, spec.head_dim)
+        layers["q_b"] = jnp.zeros((nl, nh * hd), dtype)
+        layers["k_b"] = jnp.zeros((nl, kvh * hd), dtype)
+        layers["v_b"] = jnp.zeros((nl, kvh * hd), dtype)
+
+
 def llama_rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     """Llama semantics: normalize in fp32, downcast, THEN scale by w."""
     dtype = x.dtype
@@ -87,10 +97,7 @@ def init_llama_params(rng: jax.Array, spec: LlamaSpec, dtype=jnp.float32) -> Dic
         },
         "final_norm": jnp.ones((h,), dtype),
     }
-    if spec.qkv_bias:
-        params["layers"]["q_b"] = jnp.zeros((nl, nh * hd), dtype)
-        params["layers"]["k_b"] = jnp.zeros((nl, kvh * hd), dtype)
-        params["layers"]["v_b"] = jnp.zeros((nl, kvh * hd), dtype)
+    _maybe_add_bias_leaves(params["layers"], spec, dtype)
     if not spec.tie_word_embeddings:
         params["lm_head"] = jax.random.normal(
             next(keys), (h, spec.vocab_size), dtype
@@ -208,10 +215,7 @@ def init_llama_params_w8a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) 
             "s": jnp.full((spec.vocab_size,), h**-0.5 / 127.0, jnp.float32),
         },
     }
-    if spec.qkv_bias:
-        params["layers"]["q_b"] = jnp.zeros((nl, nh * hd), dtype)
-        params["layers"]["k_b"] = jnp.zeros((nl, kvh * hd), dtype)
-        params["layers"]["v_b"] = jnp.zeros((nl, kvh * hd), dtype)
+    _maybe_add_bias_leaves(params["layers"], spec, dtype)
     return params
 
 
@@ -345,10 +349,7 @@ def init_llama_params_w4a8(rng: jax.Array, spec: LlamaSpec, dtype=jnp.bfloat16) 
         # see init_llama_params_w8a8 on tied-embedding specs
         "lm_head": _w4_head(next(keys), h, spec.vocab_size),
     }
-    if spec.qkv_bias:
-        params["layers"]["q_b"] = jnp.zeros((nl, nh * hd), dtype)
-        params["layers"]["k_b"] = jnp.zeros((nl, kvh * hd), dtype)
-        params["layers"]["v_b"] = jnp.zeros((nl, kvh * hd), dtype)
+    _maybe_add_bias_leaves(params["layers"], spec, dtype)
     return params
 
 

@@ -162,14 +162,6 @@ class ActionServer:
 
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _resize(image: np.ndarray, size: int) -> np.ndarray:
-        """Shared cv2 > native C++ > jax.image ladder (utils/image.py) —
-        same pixels as SimplerAdapter._resize."""
-        from blurr_tpu.utils.image import lanczos_resize_uint8
-
-        return lanczos_resize_uint8(image, size, size)
-
     def warmup(self) -> float:
         """Compile the step for EVERY batch bucket (1, 2, 4, ... max_batch)
         with dummy requests; returns seconds taken. Without this, the first
@@ -212,7 +204,11 @@ class ActionServer:
             raise ValueError(f"image must be HxWx3 uint8, got {image.shape}")
         size = self.cfg["vision"]["config"]["image_size"]
         if image.shape[:2] != (size, size):
-            image = self._resize(image, size)
+            from blurr_tpu.utils.image import lanczos_resize_uint8
+
+            # shared cv2 > native C++ > jax.image ladder — same pixels as
+            # the env adapters
+            image = lanczos_resize_uint8(image, size, size)
         chw = np.ascontiguousarray(image.transpose(2, 0, 1))[None]
         with self._tok_lock:
             cached = self._tok_cache.get(instruction)

@@ -34,6 +34,12 @@ from blurr_tpu.paths import repo_root
 
 log = logging.getLogger("eval_prismatic_vla_simpler")
 
+# token-id ceiling for action de-tokenization (discretized =
+# action_token_vocab - token_id): the REAL tokenizer vocab, not the padded
+# embedding rows. Known paddings: llama-2 32064 -> 32000, Qwen2/2.5
+# 151936 -> 151643.
+TOKENIZER_VOCAB_BY_EMBED_ROWS = {32064: 32000, 151936: 151643}
+
 
 def minivla_spec(vocab_size: int = 32064):
     """MiniVLA-style prismatic spec: SigLIP-only vision + the Qwen2.5-0.5B
@@ -188,12 +194,6 @@ def main() -> None:
             if isinstance(act, dict) and "q01" in act and "q99" in act:
                 norm_stats[key] = {"action": act}
 
-    # token-id ceiling for action de-tokenization (discretized =
-    # action_token_vocab - token_id): the REAL tokenizer vocab, not the
-    # padded embedding rows. Known paddings: llama-2 32064 -> 32000,
-    # Qwen2/2.5 151936 -> 151643.
-    _TOKENIZER_VOCAB = {32064: 32000, 151936: 151643}
-
     spec = minivla_spec()
     if state is not None and "llm_backbone.llm.model.embed_tokens.weight" in state:
         vocab = int(state["llm_backbone.llm.model.embed_tokens.weight"].shape[0])
@@ -202,8 +202,8 @@ def main() -> None:
         spec = minivla_spec(vocab_size=vocab)
         has_bias = any(k.endswith("self_attn.q_proj.bias") for k in state)
         tied = "llm_backbone.llm.lm_head.weight" not in state
-        act_vocab = _TOKENIZER_VOCAB.get(vocab, vocab)
-        if vocab not in _TOKENIZER_VOCAB:
+        act_vocab = TOKENIZER_VOCAB_BY_EMBED_ROWS.get(vocab, vocab)
+        if vocab not in TOKENIZER_VOCAB_BY_EMBED_ROWS:
             log.warning(
                 "Unknown vocab padding for embedding rows=%d; assuming the "
                 "action-token ceiling equals it (override with the spec if "
