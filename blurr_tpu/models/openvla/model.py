@@ -63,6 +63,28 @@ class OpenVLASpec:
             self.siglip.hidden_size
 
     @staticmethod
+    def from_snapshot_dir(path) -> "OpenVLASpec":
+        """Spec for an HF snapshot dir: a ``blurr_spec.json`` sidecar (our
+        own format — nested dataclass fields) overrides the default
+        OpenVLA-7B dims. Lets non-7B variants and synthetic test snapshots
+        flow through the same CLI path."""
+        import json
+        from pathlib import Path
+
+        from blurr_tpu.models.openvla.vit import ViTSpec
+
+        p = Path(path) / "blurr_spec.json"
+        if not p.exists():
+            return OpenVLASpec()
+        d = json.loads(p.read_text())
+        kw = dict(d)
+        for key, cls in (("llama", LlamaSpec), ("dinov2", ViTSpec),
+                         ("siglip", ViTSpec)):
+            if key in kw:
+                kw[key] = cls(**kw[key])
+        return OpenVLASpec(**kw)
+
+    @staticmethod
     def tiny() -> "OpenVLASpec":
         """Layer-reduced spec for tests/smoke benches."""
         return OpenVLASpec(

@@ -80,7 +80,7 @@ def main():
     model_path = Path(args.model_id).expanduser()
     norm_stats = None
     if model_path.is_dir():
-        spec = OpenVLASpec()
+        spec = OpenVLASpec.from_snapshot_dir(model_path)
         norm_stats = load_norm_stats(str(model_path))
         model = OpenVLA(spec, norm_stats)
         params = openvla_params_from_hf_dir(str(model_path), spec, dtype)

@@ -119,7 +119,7 @@ def _build_model(args, dtype):
             openvla_params_from_hf_dir,
         )
 
-        spec = OpenVLASpec()
+        spec = OpenVLASpec.from_snapshot_dir(model_path)
         dataset_stats = load_norm_stats(str(model_path)) or {}
         cfg_stats_path = model_path / "config.json"
         if cfg_stats_path.exists():

@@ -82,7 +82,7 @@ def main() -> None:
                         openvla_params_from_hf_dir,
                     )
 
-                    spec = OpenVLASpec()
+                    spec = OpenVLASpec.from_snapshot_dir(model_path)
                     model = OpenVLA(spec)
                     params = openvla_params_from_hf_dir(str(model_path), spec, dtype)
                     # real snapshot: use the real tokenizer so the measured

@@ -211,3 +211,48 @@ def test_async_pipeline_requires_act_steps(tmp_path):
 
     agent = EvalAgent(cfg)
     assert agent.async_pipeline is False  # auto-disabled with a warning
+
+
+def test_eval_hf_vla_cli_snapshot_dir_e2e(tmp_path, monkeypatch, capsys):
+    """Full eval_hf_vla_simpler CLI against a SYNTHETIC HF snapshot dir:
+    exercises the directory branch end-to-end — blurr_spec.json sidecar,
+    safetensors bridge, dataset-statistics injection, fake env loop,
+    summary.json contract."""
+    import dataclasses
+    import json
+    import sys
+
+    from blurr_tpu.models.openvla.model import OpenVLASpec
+    from tests.test_openvla_checkpoint import synth_hf_snapshot
+
+    spec = OpenVLASpec.tiny()
+    snap = tmp_path / "snapshot"
+    snap.mkdir()
+    synth_hf_snapshot(snap, spec)
+
+    def vit_json(v):
+        return {k: getattr(v, k) for k in (
+            "hidden_size", "intermediate_size", "num_layers", "num_heads",
+            "image_size", "cls_token", "reg_tokens", "layerscale",
+            "feature_layer")}
+
+    (snap / "blurr_spec.json").write_text(json.dumps({
+        "llama": dataclasses.asdict(spec.llama),
+        "dinov2": vit_json(spec.dinov2),
+        "siglip": vit_json(spec.siglip),
+        "use_fused_vision": True,
+    }))
+
+    import scripts.eval_hf_vla_simpler as cli
+
+    log_dir = tmp_path / "run"
+    argv = ["eval_hf_vla_simpler.py", "--model-id", str(snap),
+            "--preset", "blurr", "--task", "fake_widowx_carrot_on_plate",
+            "--n-eval-episode", "1", "--max-steps", "2",
+            "--log-dir", str(log_dir)]
+    monkeypatch.setattr(sys, "argv", argv)
+    cli.main()
+    run_log = (log_dir / "run.log").read_text()
+    assert "Success rate:" in run_log
+    summary = json.loads((log_dir / "summary.json").read_text())
+    assert "avg_success" in summary and "per_task_success" in summary
