@@ -133,7 +133,20 @@ def _build_model(args, dtype):
         if args.use_oft_proprio == "off":
             oft_proj = None  # ablate proprio conditioning even when shipped
         if oft_head is not None:
-            model = OpenVLAOFT(spec, norm_stats, use_proprio=oft_proj is not None)
+            # chunk length derives from the head's own input width (the
+            # reference reconstructs the head shape-driven; the flattened
+            # input is chunk_len * action_dim * llama_hidden)
+            per_tok = spec.action_dim * spec.llama.hidden_size
+            in_dim = int(oft_head["fc1_w"].shape[0])
+            chunk_len = max(1, in_dim // per_tok)
+            if chunk_len * per_tok != in_dim:
+                log.warning(
+                    "OFT head input width %d is not a multiple of "
+                    "action_dim*hidden=%d; using chunk_len=%d.",
+                    in_dim, per_tok, chunk_len,
+                )
+            model = OpenVLAOFT(spec, norm_stats, chunk_len=chunk_len,
+                               use_proprio=oft_proj is not None)
         else:
             model = OpenVLA(spec, norm_stats)
         params = openvla_params_from_hf_dir(

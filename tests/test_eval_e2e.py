@@ -256,3 +256,79 @@ def test_eval_hf_vla_cli_snapshot_dir_e2e(tmp_path, monkeypatch, capsys):
     assert "Success rate:" in run_log
     summary = json.loads((log_dir / "summary.json").read_text())
     assert "avg_success" in summary and "per_task_success" in summary
+
+
+def test_eval_hf_vla_cli_oft_snapshot_e2e(tmp_path, monkeypatch):
+    """eval_hf_vla_simpler CLI with OFT aux checkpoints in the snapshot:
+    parallel-decoding head + proprio projector load shape-driven (incl.
+    chunk_len derived from the head's input width) and the closed loop
+    completes."""
+    import dataclasses
+    import json
+    import sys
+
+    import torch
+
+    from blurr_tpu.models.openvla.model import OpenVLASpec
+    from tests.test_openvla_checkpoint import synth_hf_snapshot
+
+    spec = OpenVLASpec.tiny()
+    snap = tmp_path / "snapshot"
+    snap.mkdir()
+    synth_hf_snapshot(snap, spec)
+
+    def vit_json(v):
+        return {k: getattr(v, k) for k in (
+            "hidden_size", "intermediate_size", "num_layers", "num_heads",
+            "image_size", "cls_token", "reg_tokens", "layerscale",
+            "feature_layer")}
+
+    (snap / "blurr_spec.json").write_text(json.dumps({
+        "llama": dataclasses.asdict(spec.llama),
+        "dinov2": vit_json(spec.dinov2),
+        "siglip": vit_json(spec.siglip),
+        "use_fused_vision": True,
+    }))
+
+    # OFT aux files: chunk_len=2 head (in = 2 * action_dim * hidden)
+    rng = np.random.RandomState(5)
+    t = lambda *s: torch.tensor(rng.randn(*s).astype(np.float32) * 0.05)
+    chunk_len, hidden = 2, spec.llama.hidden_size
+    n_tok = chunk_len * spec.action_dim
+    in_dim = n_tok * hidden
+    head = {
+        "module.model.layer_norm1.weight": t(in_dim),
+        "module.model.layer_norm1.bias": t(in_dim),
+        "module.model.fc1.weight": t(hidden, in_dim),
+        "module.model.fc1.bias": t(hidden),
+        "module.model.layer_norm2.weight": t(hidden),
+        "module.model.layer_norm2.bias": t(hidden),
+        "module.model.fc2.weight": t(n_tok, hidden),
+        "module.model.fc2.bias": t(n_tok),
+    }
+    for i in range(2):
+        head[f"module.model.mlp_resnet_blocks.{i}.ffn.0.weight"] = t(hidden)
+        head[f"module.model.mlp_resnet_blocks.{i}.ffn.0.bias"] = t(hidden)
+        head[f"module.model.mlp_resnet_blocks.{i}.ffn.1.weight"] = t(hidden, hidden)
+        head[f"module.model.mlp_resnet_blocks.{i}.ffn.1.bias"] = t(hidden)
+    torch.save(head, snap / "action_head--1000_checkpoint.pt")
+    torch.save({
+        "module.model.fc1.weight": t(hidden, 8),
+        "module.model.fc1.bias": t(hidden),
+        "module.model.fc2.weight": t(hidden, hidden),
+        "module.model.fc2.bias": t(hidden),
+    }, snap / "proprio_projector--1000_checkpoint.pt")
+
+    import scripts.eval_hf_vla_simpler as cli
+
+    log_dir = tmp_path / "run_oft"
+    argv = ["eval_hf_vla_simpler.py", "--model-id", str(snap),
+            "--preset", "blurr", "--task", "fake_widowx_carrot_on_plate",
+            "--n-eval-episode", "1", "--max-steps", "2",
+            "--log-dir", str(log_dir)]
+    monkeypatch.setattr(sys, "argv", argv)
+    cli.main()
+    run_log = (log_dir / "run.log").read_text()
+    assert "Success rate:" in run_log
+    summary = json.loads((log_dir / "summary.json").read_text())
+    assert summary.get("use_oft_action_head") in ("auto", "on", True)
