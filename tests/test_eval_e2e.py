@@ -332,3 +332,52 @@ def test_eval_hf_vla_cli_oft_snapshot_e2e(tmp_path, monkeypatch):
     assert "Success rate:" in run_log
     summary = json.loads((log_dir / "summary.json").read_text())
     assert summary.get("use_oft_action_head") in ("auto", "on", True)
+
+
+def test_verify_checkpoint_cli(tmp_path, monkeypatch, capsys):
+    """verify_checkpoint.py reports a clean match for a bridge-format .pt
+    and flags an injected shape mismatch."""
+    import sys
+
+    import torch
+
+    from blurr_tpu.config.core import load_yaml
+    from blurr_tpu.paths import config_root
+    from tests.test_checkpoint_bridge import synth_torch_state
+
+    # build the synthetic state from the SAME config the CLI will check
+    cfg = load_yaml(config_root() / "eval" / "bridge_tiny.yaml")
+    state = synth_torch_state(cfg)
+    path = tmp_path / "ok.pt"
+    torch.save({"model": state}, path)
+
+    import importlib
+
+    cli = importlib.import_module("scripts.verify_checkpoint")
+
+    # tiny config lives in the package config tree
+    monkeypatch.setattr(sys, "argv", [
+        "verify_checkpoint.py", "--checkpoint", str(path),
+        "--kind", "pi0", "--config", "config/eval/bridge_tiny.yaml",
+    ])
+    try:
+        rc = cli.main()
+    except SystemExit as e:  # clean run may sys.exit(0)
+        rc = e.code
+    out = capsys.readouterr().out
+    assert rc in (0, None)
+    assert "matches the config" in out
+
+    # corrupt one tensor's shape -> must be reported
+    state_bad = dict(state)
+    state_bad["action_decoder.weight"] = torch.zeros(3, 3)
+    bad = tmp_path / "bad.pt"
+    torch.save({"model": state_bad}, bad)
+    monkeypatch.setattr(sys, "argv", [
+        "verify_checkpoint.py", "--checkpoint", str(bad),
+        "--kind", "pi0", "--config", "config/eval/bridge_tiny.yaml",
+    ])
+    with pytest.raises(SystemExit) as exc:
+        cli.main()
+    assert exc.value.code not in (0, None)
+    assert "mismatch" in capsys.readouterr().out.lower()
