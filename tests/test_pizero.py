@@ -303,3 +303,23 @@ def test_activation_clip_is_per_mixture():
     cfg2["kv_quantization"] = {"mode": "int8", "dtype": "int4"}
     with pytest.raises(ValueError, match="kv_quantization.dtype"):
         PiZero(cfg2)
+
+
+def test_use_flash_attn_toggle_equivalence():
+    """cfg.use_flash_attn=True routes attention through the Pallas kernel
+    (interpret mode on CPU) and must produce the same actions as the XLA
+    path to kernel tolerance — the reference's SDPA toggle analogue."""
+    cfg = tiny_pi0_cfg()
+    base = PiZero(cfg)
+    params = base.tie_action_proprio_weights(
+        base.init_params(jax.random.PRNGKey(0))
+    )
+    inputs = tiny_inputs(cfg)
+    a_xla = np.asarray(base.infer_action(params, **inputs))
+
+    cfg2 = tiny_pi0_cfg()
+    cfg2.joint.config.use_flash_attn = True
+    flash_model = PiZero(cfg2)
+    assert flash_model.joint_spec.attn_impl == "pallas"
+    a_flash = np.asarray(flash_model.infer_action(params, **inputs))
+    np.testing.assert_allclose(a_flash, a_xla, atol=5e-3)
