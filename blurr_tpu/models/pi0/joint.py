@@ -86,6 +86,7 @@ class JointSpec:
     def from_config(cfg: dict) -> "JointSpec":
         mixtures = {}
         for name, m in cfg["mixture"].items():
+            clip = m.get("activation_clip")
             mixtures[name] = MixtureSpec(
                 hidden_size=m["hidden_size"],
                 intermediate_size=m["intermediate_size"],
@@ -93,6 +94,7 @@ class JointSpec:
                 use_final_norm=bool(m.get("use_final_norm", False)),
                 cache=bool(m.get("cache", True)),
                 adaptive_mode=m.get("adaptive_mode") or None,
+                activation_clip=float(clip) if clip is not None else None,
             )
         return JointSpec(
             num_hidden_layers=cfg["num_hidden_layers"],
@@ -403,11 +405,20 @@ def naive_forward(
     full_mask: jax.Array,  # bool [B, T, T]
     time_cond: Optional[jax.Array] = None,
     return_all: bool = False,
+    prefix_time_cond: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Forward all mixtures jointly with the full block mask (the reference's
     infer_action_naive / flow-matching-training path). Returns the action
     mixture's final-normed hidden states ([B, A, Ha]), or all mixtures' last
     hidden states when ``return_all`` (training/diagnostics).
+
+    ``prefix_time_cond`` conditions the NON-action adaptive mixtures when
+    given: the reference's no_append flow loop caches vlm/proprio K/V on the
+    first denoising step and freezes them for the rest (joint_model.py
+    :180-197), so an adaptive proprio mixture stays conditioned on the t=0
+    time embedding while the action branch advances — callers replicating
+    that loop pass the t=0 embedding here (training passes nothing: one
+    shared conditioning, no caching).
     """
     names = list(embeds.keys())
     eps = spec.rms_norm_eps
@@ -419,7 +430,11 @@ def naive_forward(
     ropes = {n: mixture_rope(spec.mixtures[n], spec, position_ids[n]) for n in names}
 
     def tc_for(n):
-        return time_cond if spec.mixtures[n].adaptive_mode else None
+        if not spec.mixtures[n].adaptive_mode:
+            return None
+        if n != "action" and prefix_time_cond is not None:
+            return prefix_time_cond
+        return time_cond
 
     def full_layer(carry, lps):
         hs = dict(zip(names, carry))

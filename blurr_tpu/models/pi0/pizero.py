@@ -18,11 +18,14 @@ validity vector instead of the reference's host-side [B,1,S,S] float masks.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+log = logging.getLogger(__name__)
 
 from blurr_tpu.models.pi0 import joint as joint_lib
 from blurr_tpu.models.pi0.joint import JointSpec
@@ -112,6 +115,12 @@ class PiZero:
             raise ValueError(
                 f"kv_quantization.dtype={kq['dtype']!r} unsupported "
                 f"(bfloat16/float32/float16)"
+            )
+        if kv_dtype == "float16":
+            log.warning(
+                "kv_quantization.dtype=float16 -> bfloat16 on TPU (fp16 has "
+                "no native TPU support; dequantized KV chunks get bf16 "
+                "numerics, not fp16)"
             )
         self.kv_dequant_dtype = _KV_DTYPES[kv_dtype]
         # activation clips are PER MIXTURE: the action expert's clip must not
@@ -530,6 +539,12 @@ class PiZero:
 
         delta_t = 1.0 / steps
         dtype = noise.dtype
+        # the reference's naive loop caches the prefix K/V on the first flow
+        # step, so adaptive vlm/proprio mixtures stay conditioned on t=0 for
+        # the whole integration (pizero.py:595-601, joint_model.py:180-197)
+        prefix_tc = None
+        if s.adaptive_mode:
+            prefix_tc = self._time_embedding(jnp.zeros((bsz,), dtype)).astype(dtype)
 
         def flow_step(carry, _):
             action, t = carry
@@ -547,6 +562,7 @@ class PiZero:
                 {"vlm": vlm_pos, "proprio": proprio_pos, "action": action_pos},
                 full_mask,
                 time_cond,
+                prefix_time_cond=prefix_tc,
             )
             vel = self._decode_action(params, hidden)
             return (action + delta_t * vel, t + delta_t), None

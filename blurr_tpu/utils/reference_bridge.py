@@ -207,6 +207,92 @@ def bridge_joint(ref_joint_model) -> dict:
     }
 
 
+_REF_TARGETS = {
+    "SiglipVisionModel": "src.model.paligemma.siglip.SiglipVisionModel",
+    "PaliGemmaMultiModalProjector": (
+        "src.model.paligemma.siglip.PaliGemmaMultiModalProjector"
+    ),
+    "JointModel": "src.model.vla.joint_model.JointModel",
+}
+
+
+import re
+
+_NUMERIC_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _to_plain(obj):
+    """Deep-convert a blurr Config / mapping tree into plain dicts.
+
+    YAML 1.1 leaves ``1e-6``-style scalars as STRINGS (no dot before the
+    exponent); the blurr side coerces at use sites, but the reference torch
+    modules consume config values raw — so numeric-looking strings are
+    converted here."""
+    if hasattr(obj, "items"):
+        return {k: _to_plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_to_plain(v) for v in obj]
+    if isinstance(obj, str) and _NUMERIC_RE.match(obj):
+        f = float(obj)
+        return int(f) if f.is_integer() and "e" not in obj.lower() and "." not in obj else f
+    return obj
+
+
+def ref_cfg_from_blurr(cfg) -> DotDict:
+    """Convert a blurr Pi-0 config (bridge.yaml schema, blurr ``_target_``s)
+    into the reference PiZero's expected config: same keys, ``_target_``
+    remapped to the reference's class paths, and the ``use_quantize`` /
+    ``use_lora`` flags the reference modules read unconditionally
+    (mixture.py:86-87,157-160) defaulted to False."""
+    plain = _to_plain(cfg)
+    for section in ("vision", "vision_projector", "joint"):
+        tgt = plain[section]["_target_"].rsplit(".", 1)[-1]
+        plain[section]["_target_"] = _REF_TARGETS[tgt]
+    jc = plain["joint"]["config"]
+    jc.setdefault("use_quantize", False)
+    jc.setdefault("use_lora", False)
+    for m in jc["mixture"].values():
+        m.setdefault("use_quantize", False)
+        m.setdefault("use_lora", False)
+    return DotDict(plain)
+
+
+def build_ref_pizero(cfg):
+    """Instantiate the reference ``PiZero`` from a blurr config dict."""
+    ns = load_reference()
+    return ns.pizero.PiZero(ref_cfg_from_blurr(cfg)).eval()
+
+
+def bridge_pizero(ref_model) -> dict:
+    """reference ``PiZero`` -> the full blurr_tpu parameter pytree
+    (models/pi0/pizero.py init_params layout)."""
+    return {
+        "embed_tokens": t2n(ref_model.embed_tokens.weight),
+        "siglip": bridge_siglip(ref_model.vision_tower),
+        "projector": {
+            "w": t2n(ref_model.multi_modal_projector.linear.weight).T,
+            "b": t2n(ref_model.multi_modal_projector.linear.bias),
+        },
+        "joint": bridge_joint(ref_model.joint_model),
+        "action_encoder": {
+            "w1": t2n(ref_model.action_encoder.linear_1.weight).T,
+            "b1": t2n(ref_model.action_encoder.linear_1.bias),
+            "w2": t2n(ref_model.action_encoder.linear_2.weight).T,
+            "b2": t2n(ref_model.action_encoder.linear_2.bias),
+            "w3": t2n(ref_model.action_encoder.linear_3.weight).T,
+            "b3": t2n(ref_model.action_encoder.linear_3.bias),
+        },
+        "proprio_encoder": {
+            "w": t2n(ref_model.proprio_encoder.weight).T,
+            "b": t2n(ref_model.proprio_encoder.bias),
+        },
+        "action_decoder": {
+            "w": t2n(ref_model.action_decoder.weight).T,
+            "b": t2n(ref_model.action_decoder.bias),
+        },
+    }
+
+
 def bridge_siglip(ref_vision_model) -> dict:
     """reference ``SiglipVisionModel`` -> blurr siglip param pytree
     (models/pi0/siglip.py layout: conv-as-matmul patch embed with (pi, pj, c)

@@ -107,7 +107,12 @@ def tiny_inputs(cfg, rng_seed=0, batch=2, n_text=3):
     for b in range(batch):
         n_valid = s_img + 1 + n_text + b  # image + bos + text (varying length)
         ids[b, :s_img] = cfg.image_token_index
-        ids[b, s_img : n_valid] = rng.randint(3, cfg.vocab_size - 1, n_valid - s_img)
+        text = rng.randint(3, cfg.vocab_size - 1, n_valid - s_img)
+        # the random text span must not collide with the image token id:
+        # VLAProcessor guarantees image tokens are a strict prefix, and the
+        # reference's embed-merge scatter crashes on spurious mid-text ones
+        text[text == cfg.image_token_index] = 3
+        ids[b, s_img : n_valid] = text
         mask[b, :n_valid] = 1
     img_size = cfg.vision.config.image_size
     pixels = rng.rand(batch, 3, img_size, img_size).astype(np.float32) * 2 - 1
