@@ -35,7 +35,11 @@ def main():
     from blurr_tpu.config.core import load_yaml
     from blurr_tpu.models.pi0.pizero import PiZero
     from blurr_tpu.paths import config_root
-    from blurr_tpu.utils.monitor import peak_tpu_memory_gb, timed_call
+    from blurr_tpu.utils.monitor import (
+        compiled_hbm_gb,
+        peak_tpu_memory_gb,
+        timed_call,
+    )
 
     cfg = load_yaml(config_root() / "eval" / "bridge.yaml")
     cfg["num_inference_steps"] = 1  # blurr preset
@@ -95,7 +99,10 @@ def main():
         ),
     )
 
-    step = jax.jit(model.infer_action)
+    # AOT-compile once: the compiled program is both timed and inspected for
+    # its exact HBM footprint (device.memory_stats() is empty on axon)
+    step = jax.jit(model.infer_action).lower(*args).compile()
+    hbm = compiled_hbm_gb(step)
     p50, mean, _ = timed_call(step, *args, warmup=5, iters=30)
     p50_ms = p50 * 1000
 
@@ -106,9 +113,11 @@ def main():
         "vs_baseline": round(REFERENCE_BLURR_MS / p50_ms, 3),
     }
     print(json.dumps(result))
+    peak = hbm.get("peak_gb") or peak_tpu_memory_gb()
     print(
         f"# mean={mean*1000:.2f} ms, hz={1.0/p50:.1f}, init={init_s:.1f}s, "
-        f"peak_hbm={peak_tpu_memory_gb():.2f} GB",
+        f"peak_hbm={peak:.2f} GB (args={hbm.get('argument_gb', 0):.2f} "
+        f"out={hbm.get('output_gb', 0):.3f} temp={hbm.get('temp_gb', 0):.2f})",
         file=sys.stderr,
     )
 

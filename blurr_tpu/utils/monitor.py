@@ -31,6 +31,58 @@ def peak_tpu_memory_gb(device=None) -> float:
 log_allocated_gpu_memory = log_allocated_tpu_memory
 
 
+def compiled_hbm_gb(compiled) -> dict:
+    """HBM footprint of a compiled XLA program from its buffer assignment.
+
+    ``compiled`` is the result of ``jax.jit(f).lower(*args).compile()`` (which
+    is itself callable with the same args). Unlike ``device.memory_stats()``
+    — which returns ``{}`` over the axon TPU tunnel — the analysis is exact
+    and available everywhere: it reports the argument (weights + inputs),
+    output, and temp/scratch bytes XLA reserved for the program, the VRAM
+    axis of the reference's benchmark tables (reference
+    scripts/benchmark_pi0.py:283-300, README.md:228-231).
+    """
+    try:
+        ma = compiled.memory_analysis()
+    except Exception:
+        ma = None
+    if ma is None:
+        return {}
+
+    def get(name):
+        return float(getattr(ma, name, 0) or 0)
+
+    total = get("peak_memory_in_bytes")
+    if not total:
+        total = (
+            get("argument_size_in_bytes")
+            + get("output_size_in_bytes")
+            + get("temp_size_in_bytes")
+            - get("alias_size_in_bytes")
+        )
+    gib = 1024**3
+    return {
+        "peak_gb": total / gib,
+        "argument_gb": get("argument_size_in_bytes") / gib,
+        "output_gb": get("output_size_in_bytes") / gib,
+        "temp_gb": get("temp_size_in_bytes") / gib,
+        "alias_gb": get("alias_size_in_bytes") / gib,
+    }
+
+
+def program_peak_hbm_gb(fn, *args, **kwargs) -> float:
+    """Peak HBM of ``jit(fn)(*args)``: lowers + compiles and reads the buffer
+    assignment. Falls back to 0.0 if analysis is unavailable."""
+    import jax
+
+    jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+    try:
+        compiled = jitted.lower(*args, **kwargs).compile()
+    except Exception:
+        return 0.0
+    return compiled_hbm_gb(compiled).get("peak_gb", 0.0)
+
+
 def log_execution_time(logger=None):
     """Decorator logging wall-clock of a call."""
 

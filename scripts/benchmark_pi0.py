@@ -89,7 +89,11 @@ def main():
 
     from blurr_tpu import benchmarks as B
     from blurr_tpu.utils.flops import pi0_forward_flops
-    from blurr_tpu.utils.monitor import peak_tpu_memory_gb, timed_call
+    from blurr_tpu.utils.monitor import (
+        compiled_hbm_gb,
+        peak_tpu_memory_gb,
+        timed_call,
+    )
 
     if args.use_bf16 and args.use_fp16:
         raise ValueError("Specify at most one of --use-bf16 or --use-fp16.")
@@ -102,7 +106,7 @@ def main():
 
     use_cache = not args.no_prefix_kv_cache
     fn = model.infer_action if use_cache else model.infer_action_naive
-    step = jax.jit(fn)
+    jitted = jax.jit(fn)
 
     bsz = max(1, args.batch_size)
 
@@ -136,11 +140,15 @@ def main():
     )
     from blurr_tpu.utils.profiling import maybe_trace
 
+    # AOT-compile so the exact per-program HBM footprint is available from
+    # XLA's buffer assignment (memory_stats() is empty over the axon tunnel)
+    step = jitted.lower(*call_args).compile()
+    hbm = compiled_hbm_gb(step)
     with maybe_trace(args.profile_dir):
         avg_latency, _, _ = timed_call(
             step, *call_args, warmup=args.warmup, iters=args.iters
         )
-    peak_mem = peak_tpu_memory_gb()
+    peak_mem = hbm.get("peak_gb") or peak_tpu_memory_gb()
 
     gflops = None
     if not args.skip_flops:

@@ -86,3 +86,21 @@ def test_main_rank_only_runs_on_rank0():
         return 42
 
     assert f() == 42  # single-process == rank 0
+
+
+def test_compiled_hbm_analysis():
+    """memory_analysis-based HBM reporting: args + outputs accounted exactly
+    for a trivial program (the axon tunnel's memory_stats() returns {}, so
+    this path is what bench.py / benchmark_pi0.py report)."""
+    import jax
+
+    from blurr_tpu.utils.monitor import compiled_hbm_gb, program_peak_hbm_gb
+
+    x = jnp.ones((1024, 1024), jnp.float32)  # 4 MiB
+    y = jnp.ones((1024, 1024), jnp.float32)
+    compiled = jax.jit(lambda a, b: a @ b).lower(x, y).compile()
+    stats = compiled_hbm_gb(compiled)
+    assert stats["argument_gb"] == 8 / 1024  # two 4 MiB args
+    assert stats["output_gb"] == 4 / 1024
+    assert stats["peak_gb"] >= 12 / 1024
+    assert program_peak_hbm_gb(lambda a, b: a @ b, x, y) == stats["peak_gb"]
