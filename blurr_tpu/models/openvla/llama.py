@@ -410,14 +410,19 @@ def greedy_generate(
         attn_valid.astype(bool), ((0, 0), (0, max_len - s)), constant_values=True
     )[:, None, :]
 
+    n_valid = jnp.sum(attn_valid.astype(jnp.int32), axis=-1)  # [B]
+
     def step(carry, i):
         tok, cache = carry
         emb = params["embed_tokens"][tok][:, None, :].astype(prompt_embeds.dtype)
-        offset = s + i  # static prompt length s (same-length batch; ragged
-        # prompts would need per-example write offsets — not supported)
-        pos = jnp.broadcast_to(
-            jnp.asarray(offset, jnp.int32)[None, None], (b, 1)
-        )
+        # cache WRITES land at the static column s + i for every example (a
+        # fixed-shape dynamic_update_slice), but RoPE positions are
+        # per-example: generated token i continues at n_valid + i, so a
+        # right-padded prompt gets no positional gap. The pad columns between
+        # n_valid and s stay masked via valid_cols, so relative distances are
+        # consistent within each example.
+        offset = s + i
+        pos = (n_valid + i)[:, None].astype(jnp.int32)  # [B, 1]
         cols = jnp.arange(max_len)[None, None, :]
         m = jnp.broadcast_to(cols <= offset, (b, 1, max_len)) & valid_cols
         h, cache = forward(

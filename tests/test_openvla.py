@@ -194,3 +194,52 @@ def test_greedy_generate_ignores_padded_prompt_positions():
     t_b = np.asarray(greedy_generate(params, spec, jnp.asarray(emb_b),
                                      jnp.asarray(valid), num_new_tokens=5))
     np.testing.assert_array_equal(t_a, t_b)
+
+
+def test_greedy_generate_ragged_batch_matches_unbatched():
+    """Mixed-length (right-padded) batch decodes must equal per-example
+    unpadded decodes: decode RoPE positions are per-example (n_valid + i),
+    not the padded prompt length, so shorter prompts see no positional gap."""
+    import jax
+    import jax.numpy as jnp
+
+    from blurr_tpu.models.openvla.llama import (
+        LlamaSpec,
+        greedy_generate,
+        init_llama_params,
+    )
+
+    spec = LlamaSpec(
+        num_layers=2, hidden_size=64, intermediate_size=128, num_heads=4,
+        num_kv_heads=4, vocab_size=128,
+    )
+    params = init_llama_params(jax.random.PRNGKey(1), spec, jnp.float32)
+    rng = np.random.RandomState(7)
+    lens = [8, 5, 3]
+    s_max = max(lens)
+    embs = [rng.randn(1, n, 64).astype(np.float32) * 0.3 for n in lens]
+
+    # batched: right-pad to s_max; max_len must be shared
+    batch = np.zeros((len(lens), s_max, 64), np.float32)
+    valid = np.zeros((len(lens), s_max), np.int32)
+    for i, (n, e) in enumerate(zip(lens, embs)):
+        batch[i, :n] = e[0]
+        valid[i, :n] = 1
+    n_new = 6
+    toks_batched = np.asarray(
+        greedy_generate(
+            params, spec, jnp.asarray(batch), jnp.asarray(valid), n_new
+        )
+    )
+
+    for i, (n, e) in enumerate(zip(lens, embs)):
+        toks_single = np.asarray(
+            greedy_generate(
+                params,
+                spec,
+                jnp.asarray(e),
+                jnp.ones((1, n), jnp.int32),
+                n_new,
+            )
+        )
+        np.testing.assert_array_equal(toks_batched[i], toks_single[0], err_msg=f"prompt len {n}")
