@@ -245,7 +245,12 @@ class EvalAgent:
                 if self.async_pipeline and i == 0:
                     # dispatch the NEXT chunk from the post-first-sub-step
                     # obs; the TPU computes while the remaining act_steps-1
-                    # sub-steps run (actions land act_steps-1 steps stale)
+                    # sub-steps run (actions land act_steps-1 steps stale).
+                    # Refresh the instruction FIRST (cheap) so a mid-episode
+                    # instruction switch conditions the prefetched chunk —
+                    # without this, long-horizon switching tasks would run
+                    # one extra chunk on the stale instruction
+                    instruction = env.get_language_instruction()
                     inputs = env_adapter.preprocess(env, obs, instruction)
                     pending = self._dispatch(inputs)
             if pending is not None and not truncated:

@@ -99,6 +99,14 @@ def merge_peft_adapter_into_llama(
         per.setdefault(proj, {}).setdefault(i, {})[ab] = v
 
     layers = dict(llama_params["layers"])
+    if _adapter_already_merged(layers, name_map, per, scale):
+        log.info(
+            "Base weights already contain the LoRA adapter (projection "
+            "coefficient ~1); skipping merge to avoid double-applying it "
+            "(OFT snapshots may ship pre-merged base weights alongside "
+            "lora_adapter/)."
+        )
+        return llama_params
     merged_count = 0
     for proj, by_layer in per.items():
         ours = name_map.get(proj)
@@ -116,6 +124,38 @@ def merge_peft_adapter_into_llama(
     out = dict(llama_params)
     out["layers"] = layers
     return out
+
+
+def _adapter_already_merged(
+    layers: Dict, name_map: Dict, per: Dict, scale: float, n_check: int = 4
+) -> bool:
+    """Detect whether the base weights already contain the adapter deltas.
+
+    For each sampled (projection, layer) factor, the scalar projection of the
+    base weight onto the adapter delta, ``<W, d> / <d, d>``, is ~0 when W is
+    independent of the delta and ~1 when W = W_base + d (some OFT snapshots
+    ship merged base weights WITH the ``lora_adapter/`` directory; re-merging
+    would silently double the delta and corrupt the actions). Zero-delta
+    factors (fresh B=0 adapters) are ignored — merging those is a no-op.
+    """
+    coeffs = []
+    for proj in sorted(per):
+        ours = name_map.get(proj)
+        if ours is None or ours not in layers:
+            continue
+        for i in sorted(per[proj]):
+            if len(coeffs) >= n_check:
+                break
+            ab = per[proj][i]
+            if "A" not in ab or "B" not in ab:
+                continue
+            delta = scale * (ab["B"] @ ab["A"]).T
+            denom = float((delta * delta).sum())
+            if denom < 1e-12:
+                continue
+            w = np.asarray(layers[ours][i], np.float32)
+            coeffs.append(float((w * delta).sum()) / denom)
+    return bool(coeffs) and (sum(coeffs) / len(coeffs)) > 0.5
 
 
 def maybe_merge_lora_adapter(llama_params: Dict, model_dir: str, dtype=jnp.bfloat16) -> Dict:

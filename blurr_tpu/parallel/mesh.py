@@ -13,12 +13,15 @@ and DP for throughput benchmarking.
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Sequence
 
 import numpy as np
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+log = logging.getLogger(__name__)
 
 
 def make_mesh(
@@ -48,7 +51,18 @@ def init_multihost(
     if num_processes in (None, 1) and coordinator_address is None:
         try:
             jax.distributed.initialize()
-        except Exception:
+        except Exception as exc:
+            # a genuine pod-join failure must be visible: silently degrading
+            # would run N independent single-host trainings all writing the
+            # same save dir
+            log.warning(
+                "jax.distributed.initialize() auto-discovery failed (%s); "
+                "continuing single-process (process_count=%d). If this host "
+                "is part of a pod slice, pass coordinator_address/"
+                "num_processes/process_id explicitly.",
+                exc,
+                jax.process_count(),
+            )
             return 0  # single-process / non-pod environment
     else:
         jax.distributed.initialize(

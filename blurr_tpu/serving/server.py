@@ -154,6 +154,7 @@ class ActionServer:
         self.max_batch = max(1, int(max_batch))
         self.batch_window_s = batch_window_ms / 1000.0
         self._queue: "queue.Queue[_PendingRequest]" = queue.Queue()
+        self._closed = False
         self._batcher: Optional[threading.Thread] = None
         if self.max_batch > 1:
             self._batcher = threading.Thread(target=self._batch_loop,
@@ -236,9 +237,19 @@ class ActionServer:
                 )
                 self._req_idx += 1
                 return np.asarray(actions[0], np.float32)
+        if self._closed:
+            raise RuntimeError("ActionServer is shut down")
         pending = _PendingRequest(inputs)
         self._queue.put(pending)
-        pending.event.wait()
+        # bounded waits: a request that raced stop()'s shutdown sentinel (or
+        # a dead batcher thread) must not hang its client forever
+        while not pending.event.wait(timeout=1.0):
+            if self._closed or (
+                self._batcher is not None and not self._batcher.is_alive()
+            ):
+                raise RuntimeError(
+                    "ActionServer shut down while the request was queued"
+                )
         if pending.error is not None:
             raise pending.error
         return pending.result
@@ -324,6 +335,7 @@ class ActionServer:
             pass  # socket closed by stop()
 
     def stop(self) -> None:
+        self._closed = True  # reject new predicts before the sentinel lands
         if self._sock is not None:
             self._sock.close()
         if self._batcher is not None:

@@ -123,3 +123,48 @@ def test_pool64_w4a8_preset_loads():
     assert cfg.vlm_quantization.mode == "w4a8"
     assert cfg.action_quantization.mode == "w4a8"
     assert cfg.max_seq_len == 96 and cfg.vision.config.num_image_tokens == 64
+
+
+def test_per_mixture_activation_clip_from_yaml(tmp_path):
+    """A YAML setting mixture.<name>.activation_clip must reach the
+    MixtureSpec (config-schema round-trip; the clip gates quantized matmuls
+    per mixture)."""
+    import yaml as _yaml
+
+    from blurr_tpu.config.core import load_yaml
+    from blurr_tpu.models.pi0.joint import JointSpec
+
+    cfg = {
+        "num_hidden_layers": 2,
+        "num_attention_heads": 2,
+        "num_key_value_heads": 1,
+        "head_dim": 8,
+        "mixture": {
+            "vlm": {"hidden_size": 16, "intermediate_size": 32,
+                    "activation_clip": 2.5},
+            "action": {"hidden_size": 16, "intermediate_size": 32},
+        },
+    }
+    p = tmp_path / "joint.yaml"
+    p.write_text(_yaml.safe_dump(cfg))
+    spec = JointSpec.from_config(load_yaml(p))
+    assert spec.mixtures["vlm"].activation_clip == 2.5
+    assert spec.mixtures["action"].activation_clip is None
+
+
+def test_kv_dtype_float16_warns_and_maps_to_bf16(caplog):
+    import logging
+
+    import jax.numpy as jnp
+
+    from blurr_tpu.models.pi0.pizero import PiZero
+    from tests.util import tiny_pi0_cfg
+
+    cfg = tiny_pi0_cfg(
+        kv_quantization={"mode": "int8", "dtype": "float16",
+                         "activation_clip": 1.0}
+    )
+    with caplog.at_level(logging.WARNING, logger="blurr_tpu.models.pi0.pizero"):
+        model = PiZero(cfg)
+    assert model.kv_dequant_dtype == jnp.bfloat16
+    assert "float16" in caplog.text and "bfloat16" in caplog.text

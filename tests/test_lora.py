@@ -73,3 +73,46 @@ def test_peft_adapter_merge(tmp_path):
         np.asarray(llama["layers"]["q_w"][1]),
         rtol=1e-6,
     )
+
+
+def test_peft_double_merge_guard(tmp_path, caplog):
+    """Merging into a snapshot whose base weights already contain the adapter
+    must be skipped (pre-merged OFT snapshots ship lora_adapter/ alongside
+    merged base weights; re-merging would double the delta)."""
+    import logging
+
+    import torch
+
+    L, h, out = 2, 8, 8
+    rng = np.random.RandomState(5)
+    llama = {"layers": {"q_w": jnp.asarray(rng.randn(L, h, out).astype(np.float32))}}
+
+    r, alpha = 2, 4
+    A = rng.randn(r, h).astype(np.float32)
+    B = rng.randn(out, r).astype(np.float32)
+    adapter_dir = tmp_path / "lora_adapter"
+    adapter_dir.mkdir()
+    (adapter_dir / "adapter_config.json").write_text(
+        json.dumps({"r": r, "lora_alpha": alpha})
+    )
+    torch.save(
+        {
+            "base_model.model.language_model.model.layers.0.self_attn.q_proj.lora_A.weight": torch.tensor(A),
+            "base_model.model.language_model.model.layers.0.self_attn.q_proj.lora_B.weight": torch.tensor(B),
+        },
+        adapter_dir / "adapter_model.bin",
+    )
+    merged = merge_peft_adapter_into_llama(llama, str(adapter_dir), jnp.float32)
+    delta = (alpha / r) * (B @ A).T
+    np.testing.assert_allclose(
+        np.asarray(merged["layers"]["q_w"][0]),
+        np.asarray(llama["layers"]["q_w"][0]) + delta,
+        rtol=1e-5, atol=1e-5,
+    )
+    # second merge on the already-merged tree: skipped, tree unchanged
+    with caplog.at_level(logging.INFO, logger="blurr_tpu.ops.lora"):
+        merged2 = merge_peft_adapter_into_llama(merged, str(adapter_dir), jnp.float32)
+    assert "skipping merge" in caplog.text
+    np.testing.assert_array_equal(
+        np.asarray(merged2["layers"]["q_w"]), np.asarray(merged["layers"]["q_w"])
+    )

@@ -223,3 +223,22 @@ def test_stop_with_inflight_requests_does_not_hang():
     t.join(60)
     assert not t.is_alive(), "in-flight request hung after stop()"
     assert results["out"].shape == (4, 7)
+
+
+def test_predict_after_stop_raises_not_hangs():
+    """A predict() issued after stop() must fail fast: the batcher thread is
+    gone, so without the closed-flag/liveness checks the client would block
+    on its event forever."""
+    from tests.util import tiny_pi0_cfg
+
+    cfg = tiny_pi0_cfg()
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg.pretrained_model_path = "(stub)"
+    cfg.max_seq_len = cfg.max_image_text_tokens
+    srv = ActionServer(cfg, checkpoint_path="random", max_batch=4,
+                       batch_window_ms=10.0)
+    srv.warmup()
+    srv.stop()
+    with pytest.raises(RuntimeError, match="shut down"):
+        srv.predict(np.zeros((28, 28, 3), np.uint8), "late", [0.0] * 7)
