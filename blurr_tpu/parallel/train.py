@@ -44,10 +44,50 @@ def make_train_step(model: PiZero, learning_rate: float = 1e-4):
     return step
 
 
+def make_optax_train_step(model: PiZero, tx):
+    """The REAL training step: optax GradientTransformation (e.g.
+    ``optax.masked(optax.adamw(schedule), mask)``) with in-step noise/flow-time
+    sampling (beta flow-time, cfg ``flow_sampling: beta``). This is the step
+    scripts/train_pi0_flow.py runs and the driver's multichip dryrun
+    validates — sharded params imply sharded adamw moments via GSPMD."""
+    import optax
+
+    def loss_fn(params, batch, noise, t):
+        return model.flow_loss(
+            params,
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch["pixel_values"],
+            batch["proprios"],
+            batch["actions"],
+            t,
+            noise,
+        )
+
+    @jax.jit
+    def step(params, opt_state, batch, key):
+        k1, k2 = jax.random.split(key)
+        noise = jax.random.normal(k1, batch["actions"].shape, jnp.float32)
+        t = jax.random.beta(k2, 1.5, 1.0, (batch["actions"].shape[0],))
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, noise, t)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
 def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
-    """Compile + execute ONE sharded training step on tiny shapes over an
+    """Compile + execute the FULL multi-chip contract on tiny shapes over an
     ``n_devices`` mesh (driver contract: validates the multi-chip path
-    without real chips, using virtual CPU devices)."""
+    without real chips, using virtual CPU devices):
+
+    1. one sharded training step with the REAL optimizer path — masked optax
+       adamw with sharded moments (the step scripts/train_pi0_flow.py runs);
+    2. one TP+DP-sharded ``infer_action`` — the product's serving path.
+
+    Returns {"loss": float, "infer_ok": bool}.
+    """
     import os
 
     import numpy as np
@@ -117,18 +157,48 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
             ),
             bsh,
         ),
-        "t": jax.device_put(jnp.asarray(rng.rand(bsz), jnp.float32), bsh),
-        "x0": jax.device_put(
-            jnp.asarray(
-                rng.randn(bsz, cfg.horizon_steps, cfg.action_dim), jnp.float32
-            ),
-            bsh,
-        ),
     }
 
+    import optax
+
+    from blurr_tpu.models.pi0.trainable import action_expert_mask
+
     with mesh:
-        step = make_train_step(model)
-        params, loss = step(params, batch)
+        # real optimizer path: masked adamw with warmup-cosine schedule; the
+        # opt state is initialized AFTER sharding so the moments inherit the
+        # params' NamedShardings (scripts/train_pi0_flow.py:154-163)
+        tx = optax.masked(
+            optax.adamw(
+                optax.warmup_cosine_decay_schedule(1e-6, 1e-4, 2, 10, 1e-6)
+            ),
+            action_expert_mask(params),
+        )
+        opt_state = tx.init(params)
+        step = make_optax_train_step(model, tx)
+        params, opt_state, loss = step(
+            params, opt_state, batch, jax.random.PRNGKey(0)
+        )
         jax.block_until_ready(loss)
     assert jnp.isfinite(loss), f"non-finite loss: {loss}"
-    return float(loss)
+
+    # 2) TP+DP-sharded inference on the SAME mesh (the product's core path)
+    noise = jax.device_put(
+        jnp.asarray(
+            rng.randn(bsz, cfg.horizon_steps, cfg.action_dim), jnp.float32
+        ),
+        bsh,
+    )
+    with mesh:
+        infer = jax.jit(model.infer_action)
+        actions = infer(
+            params,
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch["pixel_values"],
+            batch["proprios"],
+            noise,
+        )
+        jax.block_until_ready(actions)
+    infer_ok = bool(jnp.all(jnp.isfinite(actions)))
+    assert infer_ok, "non-finite sharded inference output"
+    return {"loss": float(loss), "infer_ok": infer_ok}

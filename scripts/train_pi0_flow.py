@@ -162,28 +162,12 @@ def main():
     # tree per device — ~2x model size of wasted HBM on every chip)
     opt_state = tx.init(params)
 
-    def loss_fn(params, batch, noise, t):
-        return model.flow_loss(
-            params,
-            batch["input_ids"],
-            batch["attention_mask"],
-            batch["pixel_values"],
-            batch["proprios"],
-            batch["actions"],
-            t,
-            noise,
-        )
+    # the shared step (beta flow-time sampling + masked optax update); the
+    # driver's multichip dryrun exercises this same function on an 8-device
+    # virtual mesh (blurr_tpu/parallel/train.py:dryrun_multichip)
+    from blurr_tpu.parallel.train import make_optax_train_step
 
-    @jax.jit
-    def train_step(params, opt_state, batch, key):
-        k1, k2 = jax.random.split(key)
-        noise = jax.random.normal(k1, batch["actions"].shape, jnp.float32)
-        t = jax.random.beta(k2, 1.5, 1.0, (batch["actions"].shape[0],))
-        # beta flow-time sampling (cfg flow_sampling: beta)
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, noise, t)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    train_step = make_optax_train_step(model, tx)
 
     nrng = np.random.RandomState(args.seed)
     data = None

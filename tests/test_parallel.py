@@ -67,8 +67,9 @@ def test_train_step_decreases_loss(model_and_params):
 
 
 def test_dryrun_multichip_8():
-    loss = dryrun_multichip(8)
-    assert np.isfinite(loss)
+    out = dryrun_multichip(8)
+    assert np.isfinite(out["loss"])
+    assert out["infer_ok"]  # TP+DP-sharded infer_action on the 8-device mesh
 
 
 def test_trainable_masks(model_and_params):
