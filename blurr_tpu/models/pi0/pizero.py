@@ -135,6 +135,12 @@ class PiZero:
             "int8", "int8_cached", "bnb_int8", "w8a8", "w4a8",
         })
         v_clip = _clip(vq, self.vlm_quant_mode in ("w8a8", "w4a8"))
+        # the action/proprio encoders and action decoder are quantized with
+        # the ACTION clip (reference enable_action_quantization quantizes
+        # them with the same Int8QuantConfig, pizero.py:290-301); mm() only
+        # applies the clip to quantized weight dicts, so passing it for the
+        # unquantized case is a no-op
+        self.encoder_activation_clip = a_clip
         if a_clip is not None or v_clip is not None:
             mixtures = dict(self.joint_spec.mixtures)
             for name, c in (("action", a_clip), ("proprio", a_clip),
@@ -253,14 +259,13 @@ class PiZero:
             params["action_encoder"], ("w1", "w2", "w3"),
             cache_fp_weight=self.action_quant_cache_fp,
         )
-        params["proprio_encoder"] = quantize_dense_int8(
-            params["proprio_encoder"], ("w",),
-            cache_fp_weight=self.action_quant_cache_fp,
-        )
-        params["action_decoder"] = quantize_dense_int8(
-            params["action_decoder"], ("w",),
-            cache_fp_weight=self.action_quant_cache_fp,
-        )
+        # proprio_encoder and action_decoder deliberately stay fp: the
+        # reference's quantize_module_int8 only swaps CHILD Linears
+        # (int8_linear.py:95-103), and those two are bare nn.Linear modules
+        # with no children — so its calls on them (pizero.py:299-302) are
+        # no-ops. Keeping them fp matches the reference numerically, and the
+        # tiny [proprio_dim, H] / [H, action_dim] weights are irrelevant to
+        # bandwidth anyway.
         return params
 
     def enable_vlm_quantization(self, params: Dict) -> Dict:
@@ -357,7 +362,7 @@ class PiZero:
         from blurr_tpu.ops.quant import mm
 
         p = params["proprio_encoder"]
-        return mm(proprios, p["w"], self.joint_spec.activation_clip) + p["b"]
+        return mm(proprios, p["w"], self.encoder_activation_clip) + p["b"]
 
     def _encode_action(
         self, params: Dict, action: jax.Array, time_emb: Optional[jax.Array]
@@ -367,7 +372,7 @@ class PiZero:
         concat)."""
         from blurr_tpu.ops.quant import mm
 
-        clip = self.joint_spec.activation_clip
+        clip = self.encoder_activation_clip
         ae = params["action_encoder"]
         emb = mm(action, ae["w1"], clip) + ae["b1"]
         if self.spec.adaptive_mode is None:
@@ -387,7 +392,7 @@ class PiZero:
         from blurr_tpu.ops.quant import mm
 
         ad = params["action_decoder"]
-        return mm(hidden, ad["w"], self.joint_spec.activation_clip) + ad["b"]
+        return mm(hidden, ad["w"], self.encoder_activation_clip) + ad["b"]
 
     # ------------------------------------------------------------------
     # Inference

@@ -226,3 +226,175 @@ class TestE2EActions:
             jnp.asarray(t2n(noise)),
         )
         close(out_mine, t2n(out_ref))
+
+
+class TestQuantizedE2E:
+    """Quantized-path parity: both stacks quantize the SAME bridged fp32
+    weights with their own int8 pipelines (reference
+    src/model/quantization/int8_linear.py + kv_cache.py vs ops/quant.py),
+    then integrate actions — proving the quantization pipelines match, not
+    just the fp math."""
+
+    @pytest.mark.parametrize("cache_fp", [False, True])
+    def test_int8_action_quant(self, cache_fp):
+        overrides = {
+            "action_quantization": {
+                "mode": "int8",
+                "activation_clip": 1.0,
+                "cache_fp_weight": cache_fp,
+            }
+        }
+        cfg = tiny_pi0_cfg(**overrides)
+        ref_model = build_ref_pizero(cfg)
+        randomize_(ref_model, seed=11)
+        ref_model.tie_action_proprio_weights()
+        mine = PiZero(cfg)
+        params = jax.tree.map(jnp.asarray, bridge_pizero(ref_model))
+        params = mine.tie_action_proprio_weights(params)
+
+        ref_model.enable_action_quantization()
+        params = mine.enable_action_quantization(params)
+
+        inp = tiny_inputs(cfg, rng_seed=6)
+        tin = torch_inputs(inp)
+        _, prefix, action_m, vlm_pos, prop_pos, act_pos = ref_mask_bundle(
+            ref_model, tin["attention_mask"]
+        )
+        bsz = tin["input_ids"].shape[0]
+        torch.manual_seed(99)
+        noise = torch.randn(bsz, cfg["horizon_steps"], cfg["action_dim"])
+        torch.manual_seed(99)
+        out_ref = ref_model.infer_action(
+            tin["input_ids"], tin["pixel_values"], prefix, action_m,
+            vlm_pos, prop_pos, act_pos, tin["proprios"],
+        )
+        out_mine = mine.infer_action(
+            params, inp["input_ids"], inp["attention_mask"],
+            inp["pixel_values"], inp["proprios"], jnp.asarray(t2n(noise)),
+        )
+        close(out_mine, t2n(out_ref), atol=5e-4, rtol=5e-4)
+
+    def test_int8_kv_cache(self):
+        overrides = {
+            "kv_quantization": {
+                "mode": "int8",
+                "activation_clip": 1.0,
+                "dtype": "bfloat16",
+            }
+        }
+        cfg = tiny_pi0_cfg(**overrides)
+        # the reference's JointModel reads kv_quantization from ITS config
+        # (joint_model.py:320); the shipped YAMLs only define it top-level,
+        # so wire it through explicitly for the torch side
+        cfg["joint"]["config"]["kv_quantization"] = dict(cfg["kv_quantization"])
+        ref_model = build_ref_pizero(cfg)
+        randomize_(ref_model, seed=13)
+        mine = PiZero(cfg)
+        assert mine.kv_quant_mode == "int8"
+        params = jax.tree.map(jnp.asarray, bridge_pizero(ref_model))
+
+        inp = tiny_inputs(cfg, rng_seed=8)
+        tin = torch_inputs(inp)
+        _, prefix, action_m, vlm_pos, prop_pos, act_pos = ref_mask_bundle(
+            ref_model, tin["attention_mask"]
+        )
+        bsz = tin["input_ids"].shape[0]
+        # confirm the torch side actually built int8 caches
+        kv = ref_model.joint_model.build_mixture_caches()
+        assert kv["vlm"].quant_mode == "int8"
+        torch.manual_seed(77)
+        noise = torch.randn(bsz, cfg["horizon_steps"], cfg["action_dim"])
+        torch.manual_seed(77)
+        out_ref = ref_model.infer_action(
+            tin["input_ids"], tin["pixel_values"], prefix, action_m,
+            vlm_pos, prop_pos, act_pos, tin["proprios"],
+        )
+        out_mine = mine.infer_action(
+            params, inp["input_ids"], inp["attention_mask"],
+            inp["pixel_values"], inp["proprios"], jnp.asarray(t2n(noise)),
+        )
+        close(out_mine, t2n(out_ref), atol=5e-4, rtol=5e-4)
+
+
+class TestTextGeneration:
+    @staticmethod
+    def _ref_infer_text(ref_model, input_ids, pixel_values, attention_mask, kv):
+        """The reference's infer_text body (pizero.py:616-650), with the mask
+        builder inlined: the vendored build_causal_mask_and_position_ids_for_text
+        references an undefined ``bsz`` (pizero.py:406/413 — a latent bug that
+        makes the shipped text demo path crash), so the 3-line mask/position
+        construction is replicated here verbatim and everything else drives
+        the reference's real modules."""
+        q_len = input_ids.size(1)
+        bsz = attention_mask.size(0)
+        inputs_embeds = ref_model._forward_siglip_and_text_embedding(
+            input_ids, pixel_values
+        )
+        if kv.num_items() == 0:
+            causal_mask = torch.zeros(bsz, 1, q_len, q_len)
+            position_ids = attention_mask.cumsum(-1).masked_fill_(
+                (attention_mask == 0), 1
+            )
+        else:
+            kv_len = kv.num_items() + q_len
+            causal_mask = torch.zeros(bsz, 1, q_len, kv_len)
+            position_ids = attention_mask.cumsum(-1)[:, -1:]
+        hidden = ref_model.joint_model(
+            attention_mask=causal_mask,
+            position_ids_all={"vlm": position_ids},
+            embeds_all={"vlm": inputs_embeds},
+            kv_caches={"vlm": kv},
+            cache_mode="append",
+            final_layer_post_attn_skip_names=[],
+        )["vlm"]
+        return {"logits": ref_model.lm_head(hidden)}
+
+    def test_infer_text_prefill_and_decode(self):
+        """PaliGemma text path vs the reference's infer_text compute:
+        prefill logits at the last prompt position, then two greedy decode
+        steps through the preallocated cache."""
+        cfg = tiny_pi0_cfg(use_lm_head=True)
+        cfg["mixture"]["vlm"]["use_final_norm"] = True
+        cfg["joint"]["config"]["mixture"] = cfg["mixture"]
+        ref_model = build_ref_pizero(cfg)
+        randomize_(ref_model, seed=17)
+        ref_model.lm_head.weight = ref_model.embed_tokens.weight  # keep tied
+        mine = PiZero(cfg)
+        params = jax.tree.map(jnp.asarray, bridge_pizero(ref_model))
+
+        inp = tiny_inputs(cfg, rng_seed=9)
+        # no-padding prompt (the reference text path assumes none)
+        S = int(np.asarray(inp["attention_mask"]).sum(1).min())
+        ids = inp["input_ids"][:, :S]
+        am = jnp.ones_like(ids)
+        tin_ids = torch.tensor(np.asarray(ids), dtype=torch.long)
+        tin_am = torch.tensor(np.asarray(am), dtype=torch.long)
+        px_t = torch.tensor(np.asarray(inp["pixel_values"]))
+
+        kv = ref_model.build_text_cache()
+        out = self._ref_infer_text(ref_model, tin_ids, px_t, tin_am, kv)
+        ref_logits_last = t2n(out["logits"][:, -1])
+
+        MAXLEN = S + 3
+        logits1, cache, clen = mine.infer_text_prefill(
+            params, ids, inp["pixel_values"], MAXLEN
+        )
+        close(logits1[:, 0], ref_logits_last, atol=2e-4, rtol=2e-4)
+
+        tok_ref = out["logits"][:, -1].argmax(-1)
+        tok_mine = jnp.argmax(logits1[:, 0], axis=-1)
+        np.testing.assert_array_equal(np.asarray(tok_mine), t2n(tok_ref))
+
+        for step in range(2):
+            tin_am = torch.cat([tin_am, torch.ones_like(tin_am[:, :1])], dim=1)
+            out = self._ref_infer_text(
+                ref_model, tok_ref[:, None], px_t, tin_am, kv
+            )
+            tok_mine, cache, clen = mine.infer_text_decode_step(
+                params, tok_mine, cache, clen
+            )
+            ref_next = out["logits"][:, -1].argmax(-1)
+            np.testing.assert_array_equal(
+                np.asarray(tok_mine), t2n(ref_next), err_msg=f"decode step {step}"
+            )
+            tok_ref = ref_next
