@@ -39,7 +39,11 @@ class PaliGemmaForConditionalGeneration:
             num_key_value_heads=tc.num_key_value_heads,
             head_dim=tc.head_dim,
             rms_norm_eps=tc.rms_norm_eps,
-            use_softclamp=True,
+            # Gemma-1 applies NO attention soft-clamp: the reference's
+            # standalone GemmaAttention computes plain scaled-dot-product
+            # (gemma.py:92-107), unlike its VLA mixture path which clamps at
+            # 50 (joint_model.py:272-288, the pi0 training-time semantics)
+            use_softclamp=False,
             mixtures={
                 "vlm": MixtureSpec(
                     hidden_size=tc.hidden_size,

@@ -274,6 +274,7 @@ def prefill(
     names = list(embeds.keys())
     eps = spec.rms_norm_eps
     svs = [embeds[n].shape[1] for n in names]
+    nl = spec.num_hidden_layers
 
     hs = {n: scale_embeds(embeds[n]) for n in names}
     ropes = {n: mixture_rope(spec.mixtures[n], spec, position_ids[n]) for n in names}
@@ -281,7 +282,8 @@ def prefill(
     def tc_for(n):
         return time_cond if spec.mixtures[n].adaptive_mode else None
 
-    def full_layer(carry, lps):
+    def full_layer(carry, xs):
+        layer_idx, lps = xs
         hs = dict(zip(names, carry))
         qs, ks, vs = [], [], []
         for n in names:
@@ -294,34 +296,44 @@ def prefill(
         q = jnp.concatenate(qs, axis=2)
         k = jnp.concatenate(ks, axis=2)
         v = jnp.concatenate(vs, axis=2)
-        attn = _attention(spec, q, k, v, prefix_mask)
-        attn = _merge_heads(attn)
-        outs = []
-        offset = 0
-        for n, s in zip(names, svs):
-            m = spec.mixtures[n]
-            a = mm(attn[:, offset : offset + s], lps[n]["o_w"], _clip_for(spec, m))
-            a = _apply_scale(lps[n], "post_scale", a, tc_for(n), m)
-            offset += s
-            h = hs[n] + a
-            x = _apply_norm(lps[n]["post_norm"], h, tc_for(n), m, eps)
-            mlp_out = _mlp(lps[n], x, spec, m)
-            mlp_out = _apply_scale(lps[n], "final_scale", mlp_out, tc_for(n), m)
-            h = h + mlp_out
-            outs.append(h)
-        return tuple(outs), (k, v)
 
-    # Uniform scan over ALL layers: slicing the stacked weight tree into a
-    # head/last split would materialize a near-full copy of the parameters
-    # inside the jit (measured ~11 ms on v5e for the 3B stack); the last
-    # layer's discarded attention+MLP costs ~1/L of the prefill instead. The
-    # reference's final_layer_post_attn_skip semantics still hold: the
-    # caller only consumes the K/V cache.
+        def attn_mlp(carry):
+            attn = _attention(spec, q, k, v, prefix_mask)
+            attn = _merge_heads(attn)
+            outs = []
+            offset = 0
+            for n, s in zip(names, svs):
+                m = spec.mixtures[n]
+                a = mm(attn[:, offset : offset + s], lps[n]["o_w"], _clip_for(spec, m))
+                a = _apply_scale(lps[n], "post_scale", a, tc_for(n), m)
+                offset += s
+                h = hs[n] + a
+                x = _apply_norm(lps[n]["post_norm"], h, tc_for(n), m, eps)
+                mlp_out = _mlp(lps[n], x, spec, m)
+                mlp_out = _apply_scale(lps[n], "final_scale", mlp_out, tc_for(n), m)
+                h = h + mlp_out
+                outs.append(h)
+            return tuple(outs)
+
+        # the LAST layer's attention+MLP output is discarded by every caller
+        # (reference final_layer_post_attn_skip_names, joint_model.py
+        # :344,380-383) — only its K/V matter. A cond skips that compute
+        # without slicing the stacked weight tree (which would materialize a
+        # near-full parameter copy inside the jit, measured ~11 ms on v5e);
+        # measured −0.15 ms on the production S=277 prefill
+        # (docs/results/stage_budget_v5e.md).
+        new_carry = jax.lax.cond(
+            layer_idx < nl - 1, attn_mlp, lambda c: c, carry
+        )
+        return new_carry, (k, v)
+
     stacked = {
         n: {k: v for k, v in params[n].items() if k != "final_norm"} for n in names
     }
     carry = tuple(hs[n] for n in names)
-    _, (k_all, v_all) = jax.lax.scan(full_layer, carry, stacked)
+    _, (k_all, v_all) = jax.lax.scan(
+        full_layer, carry, (jnp.arange(nl), stacked)
+    )
     return k_all, v_all
 
 

@@ -116,6 +116,7 @@ def load_reference() -> types.SimpleNamespace:
         kv_cache=importlib.import_module("src.model.kv_cache"),
         pg_modules=importlib.import_module("src.model.paligemma.modules"),
         siglip=importlib.import_module("src.model.paligemma.siglip"),
+        gemma=importlib.import_module("src.model.paligemma.gemma"),
         quant=importlib.import_module("src.model.quantization.int8_linear"),
         geometry=importlib.import_module("src.utils.geometry"),
         model_utils=importlib.import_module("src.model.utils"),
