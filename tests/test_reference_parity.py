@@ -51,6 +51,14 @@ ref = load_reference()
 torch = ref.torch
 torch.set_grad_enabled(False)
 
+
+@pytest.fixture(autouse=True)
+def _seed_torch_global():
+    """Several tests draw inputs (and GaussianFourier's projection) from the
+    GLOBAL torch RNG; pin it per-test so results are order-independent (the
+    tight fp32 tolerances can trip on unlucky large draws otherwise)."""
+    torch.manual_seed(0)
+
 from blurr_tpu.models.pi0 import joint as joint_lib  # noqa: E402
 from blurr_tpu.models.pi0.joint import JointSpec, MixtureSpec  # noqa: E402
 from blurr_tpu.models.pi0.siglip import (  # noqa: E402
@@ -723,7 +731,9 @@ class TestAuxModules:
         mine = GaussianFourierFeatureTransform(4, embed_dim=8)
         mine.b = A(mod.b)  # bridge the fixed projection
         v = torch.randn(3, 4)
-        close(mine(A(v)), t2n(mod(v)), atol=2e-5, rtol=2e-5)
+        # args reach ~2*pi*|v|*|b| ~ 60 with scale-10 features: torch/XLA sin
+        # range reduction differs by a few ulp there, so tolerance is looser
+        close(mine(A(v)), t2n(mod(v)), atol=1e-4, rtol=1e-4)
 
     def test_adaptive_rms_norm(self):
         from blurr_tpu.ops.norms import adaptive_rms_norm
