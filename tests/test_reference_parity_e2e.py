@@ -398,3 +398,32 @@ class TestTextGeneration:
                 np.asarray(tok_mine), t2n(ref_next), err_msg=f"decode step {step}"
             )
             tok_ref = ref_next
+
+
+def test_infer_action_cond_steps_2():
+    """Multi-token proprio history (cond_steps=2): the block layout, masks,
+    position ids, and cache concatenation must all follow."""
+    cfg = tiny_pi0_cfg(cond_steps=2)
+    ref_model = build_ref_pizero(cfg)
+    randomize_(ref_model, seed=31)
+    mine = PiZero(cfg)
+    params = jax.tree.map(jnp.asarray, bridge_pizero(ref_model))
+
+    inp = tiny_inputs(cfg, rng_seed=12)
+    tin = torch_inputs(inp)
+    _, prefix, action_m, vlm_pos, prop_pos, act_pos = ref_mask_bundle(
+        ref_model, tin["attention_mask"]
+    )
+    bsz = tin["input_ids"].shape[0]
+    torch.manual_seed(444)
+    noise = torch.randn(bsz, cfg["horizon_steps"], cfg["action_dim"])
+    torch.manual_seed(444)
+    out_ref = ref_model.infer_action(
+        tin["input_ids"], tin["pixel_values"], prefix, action_m,
+        vlm_pos, prop_pos, act_pos, tin["proprios"],
+    )
+    out_mine = mine.infer_action(
+        params, inp["input_ids"], inp["attention_mask"],
+        inp["pixel_values"], inp["proprios"], jnp.asarray(t2n(noise)),
+    )
+    close(out_mine, t2n(out_ref))
