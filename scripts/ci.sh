@@ -15,6 +15,9 @@ python scripts/benchmark_pi0.py --config config/eval/bridge_tiny.yaml \
 python scripts/eval_pi0_simpler.py --preset blurr --config config/eval/bridge_tiny.yaml \
   --task fake_widowx_carrot_on_plate --checkpoint random --n-eval-episode 1 \
   | grep -E "Success rate" >/dev/null && echo "eval_pi0_simpler OK"
+python scripts/eval_pi0_simpler.py --preset blurr --config config/eval/fractal_tiny.yaml \
+  --task fake_google_robot_pick_coke_can --checkpoint random --n-eval-episode 1 \
+  | grep -E "Success rate" >/dev/null && echo "eval_pi0_fractal (EDR adapter) OK"
 python scripts/benchmark_hf_vla.py --model-id random --warmup 1 --iters 2 \
   --skip-flops | grep "Average latency"
 python scripts/collect_bridge_eval_results.py >/dev/null && echo "collector OK"

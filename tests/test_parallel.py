@@ -107,3 +107,29 @@ def test_openvla_tp_sharded_inference_matches():
     with mesh:
         out = np.asarray(jax.jit(model.predict_action_tokens)(sharded, ids, img))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_tp_sharding_reduces_per_device_weight_bytes(model_and_params):
+    """Compile-level multi-chip perf evidence (no hardware needed): the TP=2
+    program's per-device argument footprint must be materially below the
+    replicated single-device program's — the mixture Q/MLP weights, embed
+    table, and SigLIP layers split over the 'model' axis, which is what
+    halves the weight-bandwidth floor on a real 2-chip slice."""
+    from blurr_tpu.utils.monitor import compiled_hbm_gb
+
+    model, params = model_and_params
+    inputs = tiny_inputs(model.cfg)
+
+    single = jax.jit(model.infer_action).lower(params, **inputs).compile()
+    s1 = compiled_hbm_gb(single)
+
+    mesh = make_mesh(data=1, model=2)
+    sharded = shard_params(params, mesh)
+    with mesh:
+        tp = jax.jit(model.infer_action).lower(sharded, **inputs).compile()
+        s2 = compiled_hbm_gb(tp)
+    assert s1.get("argument_gb", 0) > 0
+    # per-device argument bytes: sharded leaves contribute half; replicated
+    # leaves (norms, K/V, small encoders) keep the ratio above 0.5
+    ratio = s2["argument_gb"] / s1["argument_gb"]
+    assert ratio < 0.85, f"TP=2 args/device ratio {ratio:.3f} (expected < 0.85)"
