@@ -127,16 +127,20 @@ def merge_peft_adapter_into_llama(
 
 
 def _adapter_already_merged(
-    layers: Dict, name_map: Dict, per: Dict, scale: float, n_check: int = 4
+    layers: Dict, name_map: Dict, per: Dict, scale: float, n_check: int = 6
 ) -> bool:
     """Detect whether the base weights already contain the adapter deltas.
 
     For each sampled (projection, layer) factor, the scalar projection of the
-    base weight onto the adapter delta, ``<W, d> / <d, d>``, is ~0 when W is
-    independent of the delta and ~1 when W = W_base + d (some OFT snapshots
-    ship merged base weights WITH the ``lora_adapter/`` directory; re-merging
-    would silently double the delta and corrupt the actions). Zero-delta
-    factors (fresh B=0 adapters) are ignored — merging those is a no-op.
+    base weight onto the adapter delta, ``c = <W, d> / <d, d>``, is ~1 when
+    W = W_base + d (some OFT snapshots ship merged base weights WITH the
+    ``lora_adapter/`` directory; re-merging would silently double the delta
+    and corrupt the actions) and ~0 ± (|W|/|d|)·cos(W, d) when unmerged.
+    Because that unmerged noise term is UNBOUNDED for small deltas mildly
+    aligned with W, "merged" requires EVERY sampled coefficient to sit in a
+    narrow band around 1 — a scattered or offset set of coefficients (the
+    unmerged signature) keeps the merge enabled. Zero-delta factors (fresh
+    B=0 adapters) are ignored — merging those is a no-op.
     """
     coeffs = []
     for proj in sorted(per):
@@ -155,7 +159,10 @@ def _adapter_already_merged(
                 continue
             w = np.asarray(layers[ours][i], np.float32)
             coeffs.append(float((w * delta).sum()) / denom)
-    return bool(coeffs) and (sum(coeffs) / len(coeffs)) > 0.5
+    if not coeffs:
+        return False
+    log.debug("adapter projection coefficients: %s", coeffs)
+    return all(0.6 < c < 1.4 for c in coeffs)
 
 
 def maybe_merge_lora_adapter(llama_params: Dict, model_dir: str, dtype=jnp.bfloat16) -> Dict:

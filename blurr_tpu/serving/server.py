@@ -56,13 +56,18 @@ def recv_msg(sock: socket.socket) -> Optional[dict]:
 class _PendingRequest:
     """One enqueued request awaiting a batched device step."""
 
-    __slots__ = ("inputs", "event", "result", "error")
+    __slots__ = ("inputs", "event", "result", "error", "claimed")
 
     def __init__(self, inputs):
         self.inputs = inputs
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[Exception] = None
+        # set by the batcher the moment it dequeues the request: a claimed
+        # request WILL complete (its batch is computing), so the client must
+        # keep waiting even through stop(); only unclaimed requests are
+        # abandoned on shutdown
+        self.claimed = False
 
 
 def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
@@ -242,11 +247,20 @@ class ActionServer:
         pending = _PendingRequest(inputs)
         self._queue.put(pending)
         # bounded waits: a request that raced stop()'s shutdown sentinel (or
-        # a dead batcher thread) must not hang its client forever
+        # a dead batcher thread) must not hang its client forever. A CLAIMED
+        # request is in a computing batch and will complete (possibly after a
+        # multi-second compile), so it keeps waiting.
         while not pending.event.wait(timeout=1.0):
-            if self._closed or (
+            batcher_dead = (
                 self._batcher is not None and not self._batcher.is_alive()
-            ):
+            )
+            if pending.claimed:
+                if batcher_dead:  # died mid-batch without setting events
+                    raise RuntimeError(
+                        "ActionServer batcher died while computing the request"
+                    )
+                continue
+            if self._closed or batcher_dead:
                 raise RuntimeError(
                     "ActionServer shut down while the request was queued"
                 )
@@ -262,6 +276,7 @@ class ActionServer:
             first = self._queue.get()
             if first is None:  # shutdown sentinel
                 return
+            first.claimed = True
             batch = [first]
             shutdown = False
             deadline = time.monotonic() + self.batch_window_s
@@ -276,6 +291,7 @@ class ActionServer:
                 if item is None:  # shutdown sentinel mid-collection
                     shutdown = True
                     break
+                item.claimed = True
                 batch.append(item)
             self._run_batch(batch)
             if shutdown:

@@ -135,15 +135,25 @@ def t2n(t) -> np.ndarray:
     return t.detach().to("cpu", copy=True).float().numpy()
 
 
-def _stack_linear(layers, path: str) -> np.ndarray:
-    """Stack one linear across layers, transposing [out,in] -> [in,out]."""
-    mats = []
-    for layer in layers:
-        mod = layer
-        for part in path.split("."):
-            mod = getattr(mod, part)
-        mats.append(t2n(mod.weight).T)
-    return np.stack(mats)
+def _walk(module, path: str):
+    for part in path.split("."):
+        module = getattr(module, part)
+    return module
+
+
+def stack_linear(layers, path: str) -> np.ndarray:
+    """Stack one linear across layers, transposing [out,in] -> [in,out]
+    (works for ANY torch module list — the reference's, or HF transformers'
+    in the backbone-parity tests)."""
+    return np.stack([t2n(_walk(l, path).weight).T for l in layers])
+
+
+def stack_vec(layers, path: str, attr: str = "weight") -> np.ndarray:
+    """Stack one vector parameter (norm scale / bias) across layers."""
+    return np.stack([t2n(getattr(_walk(l, path), attr)) for l in layers])
+
+
+_stack_linear = stack_linear  # internal alias
 
 
 def _norm_params_from(mod, adaptive: bool) -> dict:

@@ -75,10 +75,7 @@ def xla_ffn(x, gate_w, up_w, down_w):
     return (jax.nn.gelu(g, approximate=True) * u) @ down_w
 
 
-def mk(shape, dtype=jnp.bfloat16, scale=0.02):
-    n = int(np.prod(shape))
-    flat = (jnp.arange(n, dtype=jnp.float32) % 101 - 50) * (scale / 50)
-    return flat.reshape(shape).astype(dtype)
+from experiments.fastinit import iota_weights as mk
 
 
 def main():

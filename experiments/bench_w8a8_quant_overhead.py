@@ -26,10 +26,7 @@ from blurr_tpu.utils.monitor import timed_call
 S = 280  # padded 277
 
 
-def mk(shape, dtype=jnp.bfloat16, scale=0.02):
-    n = int(np.prod(shape))
-    flat = (jnp.arange(n, dtype=jnp.float32) % 101 - 50) * (scale / 50)
-    return flat.reshape(shape).astype(dtype)
+from experiments.fastinit import iota_weights as mk
 
 
 def bench(name, fn, *args, iters=50):

@@ -31,3 +31,18 @@ def fake_params(model, dtype=jnp.bfloat16, scale=0.02):
         return flat.reshape(leaf.shape).astype(leaf.dtype)
 
     return jax.tree.map(mk, shapes)
+
+
+def iota_weights(shape, dtype=jnp.bfloat16, scale=0.02):
+    """Deterministic %101 iota-pattern tensor (the shared fake-weight recipe
+    for standalone experiment arrays; fake_params covers whole param trees).
+    Keeping ONE definition keeps cross-experiment numbers comparable."""
+    n = 1
+    for s in shape:
+        n *= s
+    flat = (jnp.arange(n, dtype=jnp.float32) % 101 - 50) * (scale / 50)
+    return flat.reshape(shape).astype(dtype)
+
+
+def tree_bytes(tree) -> int:
+    return sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(tree))

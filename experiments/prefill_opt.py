@@ -38,10 +38,7 @@ def main():
     cfg = load_yaml(config_root() / "eval" / "bridge.yaml")
     spec = JointSpec.from_config(dict(cfg["joint"]["config"]))
 
-    def mk(shape, dtype=jnp.bfloat16, scale=0.02):
-        n = int(np.prod(shape))
-        flat = (jnp.arange(n, dtype=jnp.float32) % 101 - 50) * (scale / 50)
-        return flat.reshape(shape).astype(dtype)
+    from experiments.fastinit import iota_weights as mk
 
     shapes = jax.eval_shape(
         lambda: joint_lib.init_joint_params(jax.random.PRNGKey(0), spec, jnp.bfloat16)
@@ -62,9 +59,10 @@ def main():
 
     def bench(name, fn, *args, iters=20):
         t0 = time.time()
-        t, _, _ = timed_call(jax.jit(fn), *args, warmup=3, iters=iters)
+        jitted = jax.jit(fn)  # ONE program: timed and evaluated below
+        t, _, _ = timed_call(jitted, *args, warmup=3, iters=iters)
         print(f"{name:<46s} {t*1e3:7.3f} ms   [{time.time()-t0:.0f}s]", flush=True)
-        return t * 1e3, jax.jit(fn)(*args)
+        return t * 1e3, jitted(*args)
 
     # 1) baseline
     base_ms, (k0, v0) = bench(

@@ -31,13 +31,9 @@ from blurr_tpu.models.pi0.siglip import projector_forward, siglip_forward
 from blurr_tpu.ops import masks as mask_lib
 from blurr_tpu.paths import config_root
 from blurr_tpu.utils.monitor import timed_call
-from experiments.fastinit import fake_params
+from experiments.fastinit import fake_params, tree_bytes
 
 HBM_GBPS = 819.0  # v5e HBM bandwidth
-
-
-def tree_bytes(tree) -> int:
-    return sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(tree))
 
 
 def floor_ms(nbytes: int) -> float:
@@ -159,7 +155,9 @@ def main():
     print(f"\naccounted (merge+prefill+decode): {accounted:.2f} ms "
           f"vs full {full_ms:.2f} ms -> residual {full_ms-accounted:.2f} ms")
 
-    out = Path(__file__).resolve().parents[1] / "docs/results/stage_budget_v5e.md"
+    # write the raw table to a scratch file; the curated analysis doc
+    # (stage_budget_v5e.md) is maintained by hand on top of these numbers
+    out = Path(__file__).resolve().parents[1] / "docs/results/stage_budget_v5e_raw.md"
     with open(out, "w") as f:
         f.write(
             "# Pi-0 BLURR-preset stage budget (v5e, batch 1, bf16, 1 flow step)\n\n"

@@ -25,13 +25,9 @@ from blurr_tpu.models.pi0.pizero import PiZero
 from blurr_tpu.ops import masks as mask_lib
 from blurr_tpu.paths import config_root
 from blurr_tpu.utils.monitor import timed_call
-from experiments.fastinit import fake_params
+from experiments.fastinit import fake_params, tree_bytes
 
 HBM_GBPS = 819.0
-
-
-def tree_bytes(tree) -> int:
-    return sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(tree))
 
 
 def main():

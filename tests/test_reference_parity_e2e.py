@@ -118,9 +118,8 @@ class TestE2EActions:
         ref_model, mine, params, cfg = build_pair(seed=1)
         inp = tiny_inputs(cfg, rng_seed=2)
         tin = torch_inputs(inp)
-        full, *_rest, vlm_pos, prop_pos, act_pos = (
-            ref_mask_bundle(ref_model, tin["attention_mask"])[i]
-            for i in (0, 1, 3, 4, 5)
+        full, _, _, vlm_pos, prop_pos, act_pos = ref_mask_bundle(
+            ref_model, tin["attention_mask"]
         )
         bsz = tin["input_ids"].shape[0]
         torch.manual_seed(321)
@@ -149,9 +148,8 @@ class TestE2EActions:
         ref_model, mine, params, cfg = build_pair(seed=2)
         inp = tiny_inputs(cfg, rng_seed=3)
         tin = torch_inputs(inp)
-        full, *_r, vlm_pos, prop_pos, act_pos = (
-            ref_mask_bundle(ref_model, tin["attention_mask"])[i]
-            for i in (0, 1, 3, 4, 5)
+        full, _, _, vlm_pos, prop_pos, act_pos = ref_mask_bundle(
+            ref_model, tin["attention_mask"]
         )
         bsz = tin["input_ids"].shape[0]
         rng = np.random.RandomState(9)
@@ -200,9 +198,8 @@ class TestE2EActions:
 
         inp = tiny_inputs(cfg, rng_seed=4)
         tin = torch_inputs(inp)
-        full, *_r, vlm_pos, prop_pos, act_pos = (
-            ref_mask_bundle(ref_model, tin["attention_mask"])[i]
-            for i in (0, 1, 3, 4, 5)
+        full, _, _, vlm_pos, prop_pos, act_pos = ref_mask_bundle(
+            ref_model, tin["attention_mask"]
         )
         bsz = tin["input_ids"].shape[0]
         torch.manual_seed(555)

@@ -26,6 +26,8 @@ from blurr_tpu.models.paligemma.model import GemmaForCausalLM  # noqa: E402
 from blurr_tpu.utils.reference_bridge import (  # noqa: E402
     DotDict,
     load_reference,
+    stack_linear,
+    stack_vec as _stack_vec,
     t2n,
 )
 
@@ -67,22 +69,10 @@ def bridge_gemma(ref_lm) -> dict:
     layers = list(ref_lm.model.layers)
 
     def stack(path):
-        mats = []
-        for layer in layers:
-            mod = layer
-            for part in path.split("."):
-                mod = getattr(mod, part)
-            mats.append(t2n(mod.weight).T)
-        return jnp.asarray(np.stack(mats))
+        return jnp.asarray(stack_linear(layers, path))
 
     def stack_vec(path):
-        out = []
-        for layer in layers:
-            mod = layer
-            for part in path.split("."):
-                mod = getattr(mod, part)
-            out.append(t2n(mod.weight))
-        return jnp.asarray(np.stack(out))
+        return jnp.asarray(_stack_vec(layers, path))
 
     return {
         "embed_tokens": jnp.asarray(t2n(ref_lm.model.embed_tokens.weight)),
