@@ -186,3 +186,69 @@ def test_normalization_roundtrip_parity():
         mine.denormalize_gaussian(data, mean, std),
         ref.denormalize_gaussian(data, mean, std),
     )
+
+
+class TestPreprocessImagePath:
+    def test_full_preprocess_pixel_exact(self, monkeypatch):
+        """The whole preprocess pipeline — cv2 LANCZOS4 resize, prompt
+        tokenization, pixel normalization, proprio bound-normalization —
+        must produce identical tensors for the same raw observation."""
+        from blurr_tpu.models.pi0.processing import (
+            StubTokenizer,
+            VLAProcessor as MyProcessor,
+        )
+
+        ref_proc_mod = importlib.import_module("src.model.vla.processing")
+
+        ref, mine = _make_pair(
+            ref_simpler.BridgeSimplerAdapter,
+            my_simpler.BridgeSimplerAdapter,
+            "bridge_statistics.json",
+            "bound",
+        )
+        rot = np.array([[0, 0, 1.0], [0, 1.0, 0], [-1.0, 0, 0]])
+        ref.default_rot = rot
+        mine.default_rot = rot
+        for a in (ref, mine):
+            a.image_size = (32, 32)
+            a.proprio_normalization_type = "bound"
+        ref.processor = ref_proc_mod.VLAProcessor(
+            StubTokenizer(), num_image_tokens=3, max_seq_len=12
+        )
+        mine.processor = MyProcessor(
+            StubTokenizer(), num_image_tokens=3, max_seq_len=12
+        )
+
+        rng = np.random.RandomState(6)
+        frame = rng.randint(0, 256, (48, 64, 3), dtype=np.uint8)
+        monkeypatch.setattr(
+            ref_simpler, "get_image_from_maniskill2_obs_dict",
+            lambda env, obs: frame,
+        )
+        monkeypatch.setattr(
+            my_simpler, "get_image_from_obs", lambda env, obs: frame
+        )
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        obs = {"agent": {"eef_pos": np.concatenate([rng.randn(3), q, [0.4]])}}
+
+        out_ref = ref.preprocess(None, obs, "pick up the fork")
+        out_mine = mine.preprocess(None, obs, "pick up the fork")
+
+        np.testing.assert_array_equal(
+            np.asarray(out_mine["input_ids"]), np.asarray(out_ref["input_ids"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_mine["attention_mask"]),
+            np.asarray(out_ref["attention_mask"]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_mine["pixel_values"]),
+            out_ref["pixel_values"].numpy(),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_mine["proprios"]),
+            out_ref["proprios"].numpy(),
+            atol=1e-6,
+        )
