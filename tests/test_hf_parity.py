@@ -154,3 +154,121 @@ def test_qwen2_arch_matches_transformers():
         qkv_bias=True, tie_word_embeddings=True,
     )
     run_case(hf, spec, seed=1)
+
+
+def bridge_dinov2(hf_model, n_layers):
+    """HF Dinov2Model -> blurr ViTSpec param tree (fused qkv, [in,out])."""
+    emb = hf_model.embeddings
+    conv = t2n(emb.patch_embeddings.projection.weight)  # [D, C, p, p]
+    d = conv.shape[0]
+    layers = list(hf_model.encoder.layer)[:n_layers]
+
+    return {
+        "patch_w": jnp.asarray(conv.transpose(2, 3, 1, 0).reshape(-1, d)),
+        "patch_b": jnp.asarray(t2n(emb.patch_embeddings.projection.bias)),
+        "pos_embed": jnp.asarray(t2n(emb.position_embeddings)[0]),
+        "cls_token": jnp.asarray(t2n(emb.cls_token)),
+        "layers": {
+            "ln1_w": jnp.asarray(np.stack([t2n(l.norm1.weight) for l in layers])),
+            "ln1_b": jnp.asarray(np.stack([t2n(l.norm1.bias) for l in layers])),
+            "ln2_w": jnp.asarray(np.stack([t2n(l.norm2.weight) for l in layers])),
+            "ln2_b": jnp.asarray(np.stack([t2n(l.norm2.bias) for l in layers])),
+            "qkv_w": jnp.asarray(
+                np.stack(
+                    [
+                        np.concatenate(
+                            [
+                                t2n(l.attention.attention.query.weight).T,
+                                t2n(l.attention.attention.key.weight).T,
+                                t2n(l.attention.attention.value.weight).T,
+                            ],
+                            axis=-1,
+                        )
+                        for l in layers
+                    ]
+                )
+            ),
+            "qkv_b": jnp.asarray(
+                np.stack(
+                    [
+                        np.concatenate(
+                            [
+                                t2n(l.attention.attention.query.bias),
+                                t2n(l.attention.attention.key.bias),
+                                t2n(l.attention.attention.value.bias),
+                            ]
+                        )
+                        for l in layers
+                    ]
+                )
+            ),
+            "out_w": jnp.asarray(
+                np.stack([t2n(l.attention.output.dense.weight).T for l in layers])
+            ),
+            "out_b": jnp.asarray(
+                np.stack([t2n(l.attention.output.dense.bias) for l in layers])
+            ),
+            "fc1_w": jnp.asarray(
+                np.stack([t2n(l.mlp.fc1.weight).T for l in layers])
+            ),
+            "fc1_b": jnp.asarray(np.stack([t2n(l.mlp.fc1.bias) for l in layers])),
+            "fc2_w": jnp.asarray(
+                np.stack([t2n(l.mlp.fc2.weight).T for l in layers])
+            ),
+            "fc2_b": jnp.asarray(np.stack([t2n(l.mlp.fc2.bias) for l in layers])),
+            "ls1": jnp.asarray(
+                np.stack([t2n(l.layer_scale1.lambda1) for l in layers])
+            ),
+            "ls2": jnp.asarray(
+                np.stack([t2n(l.layer_scale2.lambda1) for l in layers])
+            ),
+        },
+    }
+
+
+@pytest.mark.parametrize("feature_layer,total_layers", [(-1, 2), (-2, 3)])
+def test_dinov2_vit_matches_transformers(feature_layer, total_layers):
+    """The generic ViT (cls token, LayerScale, exact GELU — the DINOv2 tower
+    of OpenVLA's fused backbone) matches HF Dinov2Model block outputs,
+    including the prismatic feature_layer=-2 penultimate-block read."""
+    from blurr_tpu.models.openvla.vit import ViTSpec, vit_forward
+
+    torch = transformers.modeling_utils.torch
+    torch.set_grad_enabled(False)
+    cfg = transformers.Dinov2Config(
+        hidden_size=64,
+        num_hidden_layers=total_layers,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=28,
+        patch_size=14,
+        layerscale_value=1e-5,
+        hidden_act="gelu",
+    )
+    hf = transformers.Dinov2Model(cfg).eval()
+    g = torch.Generator().manual_seed(3)
+    for p in hf.parameters():
+        p.data = torch.randn(p.shape, generator=g) * 0.1
+
+    spec = ViTSpec(
+        hidden_size=64,
+        intermediate_size=128,
+        num_layers=total_layers,
+        num_heads=4,
+        patch_size=14,
+        image_size=28,
+        cls_token=True,
+        layerscale=True,
+        feature_layer=feature_layer,
+    )
+    params = bridge_dinov2(hf, spec.effective_num_layers)
+
+    rng = np.random.RandomState(7)
+    px = rng.randn(2, 3, 28, 28).astype(np.float32)
+    out_hf = hf(torch.tensor(px), output_hidden_states=True).hidden_states
+    # hidden_states[k] = output AFTER block k (index 0 = embeddings);
+    # feature_layer=-1 -> after last block, -2 -> after penultimate
+    want = t2n(out_hf[total_layers + feature_layer + 1])[:, 1:]  # drop cls
+
+    got = np.asarray(vit_forward(params, jnp.asarray(px), spec))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
