@@ -18,7 +18,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from blurr_tpu.utils.reference_bridge import REFERENCE_ROOT, reference_available
+from blurr_tpu.utils.reference_bridge import reference_available
 
 if not reference_available():  # pragma: no cover
     pytest.skip("reference tree not available", allow_module_level=True)
