@@ -17,7 +17,11 @@ from blurr_tpu.models.pi0.pizero import PiZeroInference
 from blurr_tpu.models.pi0.processing import StubTokenizer, VLAProcessor
 from blurr_tpu.paths import config_root
 from blurr_tpu.utils.flops import pi0_forward_flops
-from blurr_tpu.utils.monitor import peak_tpu_memory_gb, timed_call
+from blurr_tpu.utils.monitor import (
+    compiled_hbm_gb,
+    peak_tpu_memory_gb,
+    timed_call,
+)
 
 
 @dataclasses.dataclass
@@ -149,7 +153,6 @@ def prepare_inputs(cfg, prompt: str, image_path: str, dtype, proprio_mode="zeros
 def bench(model, params, inputs, *, use_prefix_kv_cache: bool, warmup: int,
           iters: int, skip_flops: bool) -> BenchResult:
     fn = model.infer_action if use_prefix_kv_cache else model.infer_action_naive
-    step = jax.jit(fn)
     args = (
         params,
         inputs["input_ids"],
@@ -158,6 +161,10 @@ def bench(model, params, inputs, *, use_prefix_kv_cache: bool, warmup: int,
         inputs["proprios"],
         inputs["noise"],
     )
+    # AOT-compile once: the compiled program is both timed and inspected for
+    # its exact HBM footprint (memory_stats() is empty over the axon tunnel)
+    step = jax.jit(fn).lower(*args).compile()
+    hbm = compiled_hbm_gb(step)
     latency, _, _ = timed_call(step, *args, warmup=warmup, iters=iters)
     gflops = None
     if not skip_flops:
@@ -165,7 +172,7 @@ def bench(model, params, inputs, *, use_prefix_kv_cache: bool, warmup: int,
         gflops = total / latency / 1e9
     return BenchResult(
         latency_ms=latency * 1000.0,
-        peak_reserved_gb=peak_tpu_memory_gb(),
+        peak_reserved_gb=hbm.get("peak_gb") or peak_tpu_memory_gb(),
         gflops=gflops,
     )
 

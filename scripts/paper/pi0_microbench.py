@@ -175,24 +175,31 @@ def cmd_steps_sweep(args: argparse.Namespace) -> None:
             if not args.no_prefix_kv_cache
             else model.infer_action_naive
         )
-        step_fn = jax.jit(
-            lambda p, i, a, x, pr, nz, s=int(steps): fn(
-                p, i, a, x, pr, nz, num_inference_steps=s
-            )
-        )
         from blurr_tpu.utils.flops import pi0_forward_flops
-        from blurr_tpu.utils.monitor import peak_tpu_memory_gb, timed_call
+        from blurr_tpu.utils.monitor import (
+            compiled_hbm_gb,
+            peak_tpu_memory_gb,
+            timed_call,
+        )
 
-        latency, _, _ = timed_call(
-            step_fn,
+        call_args = (
             params,
             inputs["input_ids"],
             inputs["attention_mask"],
             inputs["pixel_values"],
             inputs["proprios"],
             inputs["noise"],
-            warmup=args.warmup,
-            iters=args.iters,
+        )
+        # AOT-compile so the exact per-program HBM footprint is reported
+        # (memory_stats() is empty over the axon tunnel)
+        step_fn = jax.jit(
+            lambda p, i, a, x, pr, nz, s=int(steps): fn(
+                p, i, a, x, pr, nz, num_inference_steps=s
+            )
+        ).lower(*call_args).compile()
+        hbm = compiled_hbm_gb(step_fn)
+        latency, _, _ = timed_call(
+            step_fn, *call_args, warmup=args.warmup, iters=args.iters,
         )
         gflops = None
         if not args.skip_flops:
@@ -211,7 +218,7 @@ def cmd_steps_sweep(args: argparse.Namespace) -> None:
                 "torch_compile": True,
                 "use_prefix_kv_cache": bool(not args.no_prefix_kv_cache),
                 "latency_ms": round(latency * 1000.0, 4),
-                "peak_reserved_gb": round(peak_tpu_memory_gb(), 4),
+                "peak_reserved_gb": round(hbm.get("peak_gb") or peak_tpu_memory_gb(), 4),
                 "gflops": None if gflops is None else round(gflops, 4),
                 "note": "",
             }
