@@ -383,7 +383,9 @@ def greedy_generate(
     params: Dict,
     spec: LlamaSpec,
     prompt_embeds: jax.Array,  # [B, S, H]
-    attn_valid: jax.Array,  # [B, S] validity (right padding assumed absent)
+    attn_valid: jax.Array,  # [B, S] validity; right-padded ragged prompts are
+    # supported: per-example decode positions continue at n_valid and pad
+    # columns stay masked throughout prefill + decode.
     num_new_tokens: int,
     max_len: Optional[int] = None,
 ) -> jax.Array:

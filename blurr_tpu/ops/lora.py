@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Dict, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -100,7 +100,7 @@ def merge_peft_adapter_into_llama(
 
     layers = dict(llama_params["layers"])
     if _adapter_already_merged(layers, name_map, per, scale):
-        log.info(
+        log.warning(
             "Base weights already contain the LoRA adapter (projection "
             "coefficient ~1); skipping merge to avoid double-applying it "
             "(OFT snapshots may ship pre-merged base weights alongside "
@@ -142,23 +142,38 @@ def _adapter_already_merged(
     unmerged signature) keeps the merge enabled. Zero-delta factors (fresh
     B=0 adapters) are ignored — merging those is a no-op.
     """
-    coeffs = []
-    for proj in sorted(per):
-        ours = name_map.get(proj)
-        if ours is None or ours not in layers:
-            continue
-        for i in sorted(per[proj]):
-            if len(coeffs) >= n_check:
+    # Round-robin across projection types AND stride across layers so the
+    # sample is not dominated by one projection's earliest layers (a merged
+    # head with an unmerged tail, or vice versa, must be sampled at both
+    # ends to be classified correctly).
+    candidates: List[Tuple[str, int]] = []
+    projs = [p for p in sorted(per) if name_map.get(p) in layers]
+    per_proj_layers = {
+        p: sorted(i for i, ab in per[p].items() if "A" in ab and "B" in ab)
+        for p in projs
+    }
+    rank = 0
+    while len(candidates) < n_check and any(per_proj_layers.values()):
+        for p in projs:
+            lst = per_proj_layers[p]
+            if not lst:
+                continue
+            # alternate front/back of the layer range per visit
+            i = lst.pop(0) if rank % 2 == 0 else lst.pop(-1)
+            candidates.append((p, i))
+            if len(candidates) >= n_check:
                 break
-            ab = per[proj][i]
-            if "A" not in ab or "B" not in ab:
-                continue
-            delta = scale * (ab["B"] @ ab["A"]).T
-            denom = float((delta * delta).sum())
-            if denom < 1e-12:
-                continue
-            w = np.asarray(layers[ours][i], np.float32)
-            coeffs.append(float((w * delta).sum()) / denom)
+        rank += 1
+    coeffs = []
+    for proj, i in candidates:
+        ours = name_map[proj]
+        ab = per[proj][i]
+        delta = scale * (ab["B"] @ ab["A"]).T
+        denom = float((delta * delta).sum())
+        if denom < 1e-12:
+            continue
+        w = np.asarray(layers[ours][i], np.float32)
+        coeffs.append(float((w * delta).sum()) / denom)
     if not coeffs:
         return False
     log.debug("adapter projection coefficients: %s", coeffs)

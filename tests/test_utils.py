@@ -100,6 +100,8 @@ def test_compiled_hbm_analysis():
     y = jnp.ones((1024, 1024), jnp.float32)
     compiled = jax.jit(lambda a, b: a @ b).lower(x, y).compile()
     stats = compiled_hbm_gb(compiled)
+    if not stats:  # memory_analysis unavailable on this backend/version
+        pytest.skip("compiled.memory_analysis() unavailable; fallback path")
     assert stats["argument_gb"] == 8 / 1024  # two 4 MiB args
     assert stats["output_gb"] == 4 / 1024
     assert stats["peak_gb"] >= 12 / 1024
