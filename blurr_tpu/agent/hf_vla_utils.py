@@ -47,12 +47,22 @@ def center_crop_and_resize_back(
 
 
 def binarize_gripper_action(
-    value: float, action_stats: Optional[Dict[str, Any]] = None
+    value: float,
+    action_stats: Optional[Dict[str, Any]] = None,
+    *,
+    variant: str = "hf",
 ) -> float:
-    """Gripper binarization with mask-aware thresholding (reference :337-354)."""
+    """Gripper binarization with mask-aware thresholding (reference
+    eval_hf_vla_simpler.py:337-354). ``variant="prismatic"`` reproduces the
+    reference's prismatic eval script, which differs in ONE branch: when the
+    gripper dim is masked OFF it thresholds on sign (value <= 0 -> -1)
+    instead of the [0,1]-aware 0.5 threshold
+    (reference eval_prismatic_vla_simpler.py:71-84)."""
     mask = action_stats.get("mask") if action_stats else None
     if isinstance(mask, (list, tuple)) and len(mask) >= 7:
         if not bool(mask[6]):
+            if variant == "prismatic":
+                return -1.0 if value <= 0.0 else 1.0
             if 0.0 <= value <= 1.0:
                 return -1.0 if value <= 0.5 else 1.0
             return -1.0 if value <= 0.0 else 1.0
@@ -64,7 +74,10 @@ def binarize_gripper_action(
 
 
 def bridge_action_to_simpler(
-    action: np.ndarray, *, action_stats: Optional[Dict[str, Any]] = None
+    action: np.ndarray,
+    *,
+    action_stats: Optional[Dict[str, Any]] = None,
+    variant: str = "hf",
 ) -> np.ndarray:
     """Bridge 7-DoF [dx,dy,dz,rpy,gripper_open] -> Simpler
     [dx,dy,dz,rotvec,gripper{-1,1}] (reference :357-397)."""
@@ -80,7 +93,7 @@ def bridge_action_to_simpler(
     out = np.zeros((7,), np.float32)
     out[:3] = a[:3]
     out[3:6] = np.asarray(axis, np.float32) * float(angle)
-    out[6] = binarize_gripper_action(float(a[6]), action_stats)
+    out[6] = binarize_gripper_action(float(a[6]), action_stats, variant=variant)
     return out
 
 
@@ -135,6 +148,23 @@ def normalize_proprio(
     if clip:
         out = np.clip(out, -1.0, 1.0)
     return out.astype(np.float32)
+
+
+def infer_center_crop_default(model_path) -> bool:
+    """Auto center-crop heuristic (reference :291-315): a training run that
+    used image augmentations stores an ``_name_or_path`` containing
+    'image_aug' in the raw config.json; missing/corrupt config -> False."""
+    import json
+    from pathlib import Path
+
+    cfg_path = Path(model_path) / "config.json"
+    if not cfg_path.is_file():
+        return False
+    try:
+        raw = json.load(open(cfg_path))
+    except Exception:
+        return False
+    return "image_aug" in str(raw.get("_name_or_path", "")).lower()
 
 
 # NOTE on precedence: config.json norm_stats WIN over dataset_statistics

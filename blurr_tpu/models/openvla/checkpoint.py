@@ -233,20 +233,29 @@ def load_norm_stats(path: str) -> Optional[Dict]:
     return None
 
 
-def infer_unnorm_key(norm_stats: Dict, requested: Optional[str] = None) -> str:
-    """Reference logic (benchmark_hf_vla.py:217-231): honor an explicit key;
-    prefer 'bridge_orig'; else the sole key; else error."""
+def infer_unnorm_key(
+    norm_stats: Dict,
+    requested: Optional[str] = None,
+    dataset_stats: Optional[Dict] = None,
+) -> Optional[str]:
+    """Reference logic (eval_hf_vla_simpler.py:270-288 + the explicit-key
+    validation of benchmark_hf_vla.py:228-231): honor an explicit key
+    (erroring when absent); prefer 'bridge_orig'; else the first
+    dataset-statistics key also in norm_stats; else the first norm_stats key
+    (json insertion order); else None."""
     if requested:
         if requested in norm_stats:
             return requested
         raise KeyError(f"unnorm_key {requested!r} not in norm_stats")
     if "bridge_orig" in norm_stats:
         return "bridge_orig"
-    if len(norm_stats) == 1:
+    if dataset_stats:
+        inter = [k for k in dataset_stats if k in norm_stats]
+        if inter:
+            return inter[0]
+    if norm_stats:
         return next(iter(norm_stats))
-    raise KeyError(
-        f"ambiguous unnorm_key; available: {sorted(norm_stats)}"
-    )
+    return None
 
 
 def load_oft_aux_params(path: str, dtype=jnp.bfloat16) -> Tuple[Optional[Dict], Optional[Dict]]:
@@ -300,10 +309,12 @@ def load_oft_aux_params(path: str, dtype=jnp.bfloat16) -> Tuple[Optional[Dict], 
     projs = sorted(glob.glob(os.path.join(path, "proprio_projector--*_checkpoint.pt")))
     if projs:
         state = torch.load(projs[-1], map_location="cpu")
+        # proprio checkpoints prefix with "module." only (no ".model." level)
+        # — reference eval_hf_vla_simpler.py:119-128
         state = {
-            k.removeprefix("module.model."): _t(v)
+            k.removeprefix("module."): _t(v)
             for k, v in state.items()
-            if k.startswith("module.model.")
+            if k.startswith("module.")
         }
         proj = cast(
             {

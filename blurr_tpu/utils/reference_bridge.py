@@ -20,6 +20,7 @@ reference tree is absent, and callers (tests, scripts/verify_checkpoint.py
 from __future__ import annotations
 
 import importlib
+import importlib.util
 import os
 import sys
 import types
@@ -91,6 +92,58 @@ def _install_stubs() -> None:
         hy.utils = types.SimpleNamespace(instantiate=instantiate)
         sys.modules["hydra"] = hy
         sys.modules["hydra.utils"] = hy.utils  # type: ignore[assignment]
+
+
+def _install_prismatic_stub() -> None:
+    """The reference's HF eval script lazily imports
+    ``prismatic.vla.constants`` (eval_hf_vla_simpler.py:478) for the
+    normalization-type switch. prismatic isn't installed here; this stub
+    reproduces the openvla-oft constants the reference runs against
+    (BOUNDS_Q99 is upstream's shipped default)."""
+    if "prismatic" in sys.modules:
+        return
+    import enum
+
+    class NormalizationType(str, enum.Enum):
+        NORMAL = "normal"
+        BOUNDS = "bounds"
+        BOUNDS_Q99 = "bounds_q99"
+
+    constants = types.ModuleType("prismatic.vla.constants")
+    constants.NormalizationType = NormalizationType
+    constants.ACTION_PROPRIO_NORMALIZATION_TYPE = NormalizationType.BOUNDS_Q99
+    vla = types.ModuleType("prismatic.vla")
+    vla.constants = constants
+    prismatic = types.ModuleType("prismatic")
+    prismatic.vla = vla
+    sys.modules["prismatic"] = prismatic
+    sys.modules["prismatic.vla"] = vla
+    sys.modules["prismatic.vla.constants"] = constants
+
+
+_SCRIPT_CACHE: dict = {}
+
+
+def load_reference_script(name: str) -> types.ModuleType:
+    """importlib-exec one of the reference's top-level ``scripts/*.py`` (e.g.
+    ``eval_hf_vla_simpler``) so its module-level helpers can be driven
+    differentially. The script itself puts the reference repo root on
+    sys.path; prismatic/omegaconf/hydra gaps are stubbed."""
+    if name in _SCRIPT_CACHE:
+        return _SCRIPT_CACHE[name]
+    # REFERENCE_ROOT points at third_party/open_pi_zero; scripts live two up
+    path = os.path.normpath(
+        os.path.join(REFERENCE_ROOT, "..", "..", "scripts", f"{name}.py")
+    )
+    if not os.path.isfile(path):
+        raise RuntimeError(f"reference script not found: {path}")
+    _install_stubs()
+    _install_prismatic_stub()
+    spec = importlib.util.spec_from_file_location(f"blurr_ref_script_{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # type: ignore[union-attr]
+    _SCRIPT_CACHE[name] = mod
+    return mod
 
 
 _CACHE: Optional[types.SimpleNamespace] = None

@@ -28,6 +28,7 @@ if str(REPO_ROOT) not in sys.path:
 from blurr_tpu.agent.hf_vla_utils import (
     bridge_action_to_simpler,
     center_crop_and_resize_back,
+    infer_center_crop_default,
     inject_dataset_statistics_into_norm_stats,
     normalize_proprio,
     octo_style_preprocess,
@@ -249,10 +250,7 @@ def main() -> None:
 
     do_center_crop = args.center_crop == "on"
     if args.center_crop == "auto":
-        cfg_path = Path(args.model_id) / "config.json"
-        if cfg_path.is_file():
-            raw = json.load(open(cfg_path))
-            do_center_crop = "image_aug" in str(raw.get("_name_or_path", "")).lower()
+        do_center_crop = infer_center_crop_default(args.model_id)
 
     resize_size = model.spec.siglip.image_size
 

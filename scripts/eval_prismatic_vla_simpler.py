@@ -309,7 +309,9 @@ def main() -> None:
                     unnorm_key=unnorm_key,
                     _jitted_tokens=jitted,
                 )
-                env_action = bridge_action_to_simpler(action, action_stats=action_stats)
+                env_action = bridge_action_to_simpler(
+                    action, action_stats=action_stats, variant="prismatic"
+                )
                 if not np.isfinite(env_action).all():
                     env_action = np.nan_to_num(env_action)
                 obs, reward, terminated, truncated, info = env.step(env_action)

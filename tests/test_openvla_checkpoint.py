@@ -128,12 +128,16 @@ def test_oft_aux_reconstruction(tmp_path):
         state[f"module.model.mlp_resnet_blocks.{i}.ffn.1.weight"] = t(hidden, hidden)
         state[f"module.model.mlp_resnet_blocks.{i}.ffn.1.bias"] = t(hidden)
     torch.save(state, tmp_path / "action_head--10000_checkpoint.pt")
+    # proprio checkpoints use the "module." prefix, NOT "module.model."
+    # (reference eval_hf_vla_simpler.py:119-128) — the round-2 code got this
+    # wrong and the old same-author fixture matched the bug; the differential
+    # suite (test_reference_parity_hf_eval.py) now pins the real layout.
     torch.save(
         {
-            "module.model.fc1.weight": t(hidden, 8),
-            "module.model.fc1.bias": t(hidden),
-            "module.model.fc2.weight": t(out_dim, hidden),
-            "module.model.fc2.bias": t(out_dim),
+            "module.fc1.weight": t(hidden, 8),
+            "module.fc1.bias": t(hidden),
+            "module.fc2.weight": t(out_dim, hidden),
+            "module.fc2.bias": t(out_dim),
         },
         tmp_path / "proprio_projector--10000_checkpoint.pt",
     )
