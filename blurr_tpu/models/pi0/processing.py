@@ -165,7 +165,15 @@ class StubTokenizer:
                 mask += [0] * pad
             rows.append(ids)
             masks.append(mask)
-        return {
+        out = {
             "input_ids": np.array(rows, np.int32),
             "attention_mask": np.array(masks, np.int32),
         }
+        if return_tensors == "pt":  # the reference VLAProcessor asks for
+            # torch tensors (reference src/model/vla/processing.py:130);
+            # honoring it lets the differential agent-loop tests drive the
+            # reference stack with this stub
+            import torch
+
+            out = {k: torch.tensor(v, dtype=torch.long) for k, v in out.items()}
+        return out
