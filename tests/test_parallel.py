@@ -70,6 +70,8 @@ def test_dryrun_multichip_8():
     out = dryrun_multichip(8)
     assert np.isfinite(out["loss"])
     assert out["infer_ok"]  # TP+DP-sharded infer_action on the 8-device mesh
+    # 4x2 sharded loss/actions proven equal to a single-device run in-call
+    assert out["matches_single_device"]
 
 
 def test_trainable_masks(model_and_params):
