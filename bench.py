@@ -112,6 +112,30 @@ def main():
         "unit": "ms",
         "vs_baseline": round(REFERENCE_BLURR_MS / p50_ms, 3),
     }
+
+    # quantized-ladder rider (verdict r2 Next #8): the same weights through
+    # the W8A8 preset, as an extra key on the single JSON line (the driver
+    # reads metric/value/unit/vs_baseline; extra keys ride along). Disable
+    # with BLURR_BENCH_NO_LADDER=1 if the round is time-constrained.
+    if not os.environ.get("BLURR_BENCH_NO_LADDER"):
+        try:
+            cfg_q = load_yaml(config_root() / "eval" / "bridge.yaml")
+            cfg_q["num_inference_steps"] = 1
+            cfg_q["use_bf16"] = True
+            cfg_q["vlm_quantization"] = {"mode": "w8a8", "include_vision": True}
+            cfg_q["action_quantization"] = {"mode": "w8a8"}
+            model_q = PiZero(cfg_q)
+            params_q = model_q.enable_vlm_quantization(
+                model_q.enable_action_quantization(params)
+            )
+            args_q = (params_q,) + args[1:]
+            step_q = jax.jit(model_q.infer_action).lower(*args_q).compile()
+            q50, _, _ = timed_call(step_q, *args_q, warmup=5, iters=30)
+            result["w8a8_ms"] = round(q50 * 1000, 3)
+            result["w8a8_vs_baseline"] = round(REFERENCE_BLURR_MS / (q50 * 1000), 3)
+        except Exception as exc:  # the headline number must still print
+            print(f"# w8a8 ladder failed: {exc}", file=sys.stderr)
+
     print(json.dumps(result))
     peak = hbm.get("peak_gb") or peak_tpu_memory_gb()
     print(

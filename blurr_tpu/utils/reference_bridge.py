@@ -59,6 +59,20 @@ class DotDict(dict):
         self[name] = value
 
 
+class _OpenDict:
+    """No-op stand-in for omegaconf.open_dict (the stub DotDict is always
+    writable)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def __enter__(self):
+        return self.cfg
+
+    def __exit__(self, *exc):
+        return False
+
+
 def _install_stubs() -> None:
     if "omegaconf" not in sys.modules:
         om = types.ModuleType("omegaconf")
@@ -78,6 +92,10 @@ def _install_stubs() -> None:
         om.OmegaConf = OmegaConf
         om.DictConfig = DotDict
         sys.modules["omegaconf"] = om
+    om = sys.modules["omegaconf"]
+    if not hasattr(om, "open_dict"):  # stub upgraded lazily; never touches a
+        # real omegaconf installation (which always has open_dict)
+        om.open_dict = _OpenDict
 
     if "hydra" not in sys.modules:
         def instantiate(cfg, *args, **kwargs):
@@ -139,8 +157,12 @@ def load_reference_script(name: str) -> types.ModuleType:
         raise RuntimeError(f"reference script not found: {path}")
     _install_stubs()
     _install_prismatic_stub()
-    spec = importlib.util.spec_from_file_location(f"blurr_ref_script_{name}", path)
+    modname = "blurr_ref_script_" + name.replace("/", "_")
+    spec = importlib.util.spec_from_file_location(modname, path)
     mod = importlib.util.module_from_spec(spec)
+    # register before exec: dataclass/typing resolution looks the module up
+    # in sys.modules by name
+    sys.modules[modname] = mod
     spec.loader.exec_module(mod)  # type: ignore[union-attr]
     _SCRIPT_CACHE[name] = mod
     return mod

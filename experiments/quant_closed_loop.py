@@ -1,4 +1,4 @@
-"""Closed-loop BF16-vs-W8A8 divergence on the full-dims Pi-0 stack.
+"""Closed-loop quantization divergence on the Pi-0 stack — FULL matrix.
 
 Open-loop, w8a8 actions deviate from bf16 by MAE ~0.003 (bench_w8a8 +
 docs). The question that leaves open: does that noise COMPOUND through the
@@ -7,12 +7,16 @@ the integrated action history), quantization noise now feeds back through
 both proprio and pixels, so this measures the compounding, not just the
 single-step error.
 
-Protocol: identical random-init weights (same PRNG seed), identical episode
-seeds and noise streams; roll E episodes x 12 steps with (a) bf16, (b) bf16
-rerun [determinism control], (c) w8a8. Reports per-step EEF pose divergence
-and the first-step action-chunk MAE.
+Round-3 extension (verdict Next #5): every SHIPPED quantized preset gets a
+row — w8a8 and w4a8 at full bridge.yaml dims AND at the pool64 pad96 preset
+dims (the exact `bridge_pool64_w4a8_steps1.yaml` recipe), plus the int8-KV
+mode — all against a bf16 control at matched dims.
 
-Run on the TPU chip (full dims); ~6-8 min including compiles.
+Protocol: identical random-init weights (same PRNG seed), identical episode
+seeds and noise streams; roll E episodes x 12 steps. Reports per-step EEF
+pose divergence and the first-step action-chunk MAE.
+
+Run on the TPU chip; ~10-15 min including ~8 remote compiles.
 """
 
 import gc
@@ -35,19 +39,60 @@ from blurr_tpu.paths import config_root
 EPISODES = 2
 SEED = 42
 
+# variant -> (base yaml, quant override)
+VARIANTS = {
+    # full bridge.yaml dims, act_steps=4
+    "bf16": ("bridge.yaml", None),
+    "bf16_rerun": ("bridge.yaml", None),  # determinism control
+    "w8a8": ("bridge.yaml", "w8a8"),
+    "w4a8": ("bridge.yaml", "w4a8"),
+    "int8kv": ("bridge.yaml", "int8kv"),
+    # shipped pool64 pad96 presets (their own dims/act_steps; bf16 control
+    # is the same preset with quantization nulled)
+    "pool64_bf16": ("bridge_pool64_w8a8_steps1.yaml", "none"),
+    "pool64_w8a8": ("bridge_pool64_w8a8_steps1.yaml", None),
+    "pool64_w4a8": ("bridge_pool64_w4a8_steps1.yaml", None),
+}
 
-def build(w8a8: bool):
-    cfg = load_yaml(config_root() / "eval" / "bridge.yaml")
+
+def variant_cfg(yaml_name: str, quant):
+    cfg = load_yaml(config_root() / "eval" / yaml_name)
     cfg["num_inference_steps"] = 1
     cfg["use_bf16"] = True
-    cfg["act_steps"] = 4
-    if w8a8:
+    if yaml_name == "bridge.yaml":
+        cfg["act_steps"] = 4
+    if quant == "w8a8":
         cfg["vlm_quantization"] = {"mode": "w8a8", "include_vision": True}
         cfg["action_quantization"] = {"mode": "w8a8"}
+    elif quant == "w4a8":
+        # the bridge_pool64_w4a8 recipe at full dims
+        cfg["vlm_quantization"] = {"mode": "w4a8", "include_vision": True}
+        cfg["action_quantization"] = {"mode": "w4a8"}
+    elif quant == "int8kv":
+        cfg["kv_quantization"] = {
+            "mode": "int8", "activation_clip": 1.0, "dtype": "bfloat16",
+        }
+    elif quant == "none":
+        cfg["vlm_quantization"] = {"mode": None}
+        cfg["action_quantization"] = {"mode": None}
+        cfg["kv_quantization"] = {"mode": None}
+    return cfg
+
+
+def base_params(yaml_name: str):
+    """ONE random init per dims-group (the ~150s remote RNG compile is paid
+    once; every variant quantizes the SAME bf16 tree, which is also what
+    makes the divergence attributable to quantization alone)."""
+    cfg = variant_cfg(yaml_name, None)
     model = PiZeroInference(cfg)
     params = model.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    params = model.tie_action_proprio_weights(params)
-    params = model.enable_action_quantization(params)
+    return model.tie_action_proprio_weights(params)
+
+
+def build(yaml_name: str, quant, shared_params):
+    cfg = variant_cfg(yaml_name, quant)
+    model = PiZeroInference(cfg)
+    params = model.enable_action_quantization(shared_params)
     params = model.enable_vlm_quantization(params)
     adapter = instantiate(cfg["env"]["adapter"])
     infer = jax.jit(model.infer_action)
@@ -59,6 +104,7 @@ def rollout(cfg, model, params, adapter, infer):
     env = FakeSimplerEnv()
     rng = jax.random.PRNGKey(SEED)
     traj, first_chunk = [], None
+    act_steps = int(cfg["act_steps"])
     for ep in range(EPISODES):
         obs, _ = env.reset(options={"obj_init_options": {"episode_id": ep}})
         adapter.reset()
@@ -84,7 +130,7 @@ def rollout(cfg, model, params, adapter, infer):
             if first_chunk is None:
                 first_chunk = chunk.copy()
             env_actions = adapter.postprocess(chunk)
-            for a in env_actions[: cfg["act_steps"]]:
+            for a in env_actions[:act_steps]:
                 obs, _, _, truncated, _ = env.step(a)
                 traj.append(obs["agent"]["eef_pos"].copy())
                 if truncated:
@@ -92,29 +138,52 @@ def rollout(cfg, model, params, adapter, infer):
     return np.array(traj), first_chunk
 
 
+def _report(tag, ref, cur):
+    t_ref, c_ref = ref
+    t, c = cur
+    n = min(len(t), len(t_ref))
+    d = np.abs(t[:n] - t_ref[:n])
+    print(
+        f"{tag:14s}: first-chunk action MAE {np.abs(c - c_ref).mean():.5f} "
+        f"max {np.abs(c - c_ref).max():.5f} | eef divergence per-step "
+        f"mean {d.mean():.6f} max {d.max():.6f} final {d[-1].max():.6f}",
+        flush=True,
+    )
+
+
 def main():
+    only = set(sys.argv[1:])  # optional: run a subset of variants
     results = {}
-    built = build(w8a8=False)
-    for tag in ("bf16", "bf16_rerun"):  # same program twice: determinism control
+    shared = {}  # yaml_name -> bf16 param tree (one RNG init per dims-group)
+    for tag, (yaml_name, quant) in VARIANTS.items():
+        if only and tag not in only and not tag.startswith("bf16"):
+            continue
+        group = "bridge.yaml" if yaml_name == "bridge.yaml" else "pool64"
+        if group not in shared:
+            # moving to a new dims-group: the previous group's 7 GB bf16 tree
+            # must be freed before the next init (16 GB chip)
+            shared.clear()
+            gc.collect()
+            # pool64 presets share weight shapes with each other
+            shared[group] = base_params(yaml_name)
+            print(f"{group}: base params initialized", flush=True)
+        built = build(yaml_name, quant, shared[group])
         results[tag] = rollout(*built)
         print(f"{tag}: rolled {len(results[tag][0])} env steps", flush=True)
-    del built
-    gc.collect()
-    built = build(w8a8=True)
-    results["w8a8"] = rollout(*built)
-    print(f"w8a8: rolled {len(results['w8a8'][0])} env steps", flush=True)
-    del built
+        del built
+        gc.collect()
 
-    t_ref, c_ref = results["bf16"]
-    for tag in ("bf16_rerun", "w8a8"):
-        t, c = results[tag]
-        d = np.abs(t - t_ref)
-        print(
-            f"{tag:10s} vs bf16: first-chunk action MAE {np.abs(c - c_ref).mean():.5f} "
-            f"max {np.abs(c - c_ref).max():.5f} | eef divergence per-step "
-            f"mean {d.mean():.6f} max {d.max():.6f} final {d[-1].max():.6f}",
-            flush=True,
-        )
+    full_ref = results.get("bf16")
+    pool_ref = results.get("pool64_bf16")
+    print("\n=== vs bf16 (full bridge.yaml dims) ===", flush=True)
+    for tag in ("bf16_rerun", "w8a8", "w4a8", "int8kv"):
+        if tag in results:
+            _report(f"{tag} vs bf16", full_ref, results[tag])
+    if pool_ref is not None:
+        print("\n=== vs pool64_bf16 (pool64 pad96 preset dims) ===", flush=True)
+        for tag in ("pool64_w8a8", "pool64_w4a8"):
+            if tag in results:
+                _report(f"{tag} vs pool64_bf16", pool_ref, results[tag])
 
 
 if __name__ == "__main__":

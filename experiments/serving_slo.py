@@ -1,0 +1,162 @@
+"""Server-level SLO measurement on the real chip (verdict Next #6).
+
+The README's 122→590 chunks/s ladder is benchmark-level (benchmark_pi0.py
+--batch-size N). This drives the ACTUAL TCP server + dynamic batcher
+(blurr_tpu/serving/server.py, the scripts/serve_pi0.py daemon) with N
+concurrent closed-loop clients and reports client-observed p50/p95/p99
+latency and aggregate chunks/s — including the batching-window delay,
+pickle/socket overhead (vs a direct predict() loop), and bucket-padding cost
+(N=5 rides the 8-bucket).
+
+Writes docs/results/serving_slo_v5e.csv. Run on the v5e; ~8-12 min
+(bucket warmup compiles dominate).
+"""
+
+from __future__ import annotations
+
+import base64
+import csv
+import socket
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from blurr_tpu.benchmarks import load_cfg
+from blurr_tpu.serving.server import ActionServer, recv_msg, send_msg
+
+PRESETS = {
+    "bf16_step1": "config/eval/bridge_step1.yaml",
+    "pool64_w8a8_step1": "config/eval/bridge_pool64_w8a8_steps1.yaml",
+}
+CLIENT_SWEEP = [1, 4, 5, 8, 16]
+DURATION_S = 15.0
+MAX_BATCH = 16
+OUT_CSV = Path(__file__).resolve().parents[1] / "docs" / "results" / "serving_slo_v5e.csv"
+
+
+def _request_payload(image_hw: int, proprio_dim: int) -> dict:
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (image_hw, image_hw, 3), np.uint8)
+    return {
+        "instruction": "put the carrot on the plate",
+        "image": base64.b64encode(img.tobytes()).decode("ascii"),
+        "image_shape": list(img.shape),
+        "proprio": [0.0] * proprio_dim,
+    }
+
+
+def _client_loop(port: int, payload: dict, stop_at: float, out: list):
+    sock = socket.create_connection(("127.0.0.1", port))
+    try:
+        while time.time() < stop_at:
+            t0 = time.time()
+            send_msg(sock, payload)
+            resp = recv_msg(sock)
+            dt = time.time() - t0
+            assert resp is not None and "actions" in resp, resp
+            out.append(dt)
+    finally:
+        sock.close()
+
+
+def _percentiles(lat):
+    lat = np.sort(np.asarray(lat))
+    return {
+        "p50_ms": float(np.percentile(lat, 50) * 1000),
+        "p95_ms": float(np.percentile(lat, 95) * 1000),
+        "p99_ms": float(np.percentile(lat, 99) * 1000),
+        "mean_ms": float(lat.mean() * 1000),
+    }
+
+
+def run_preset(name: str, cfg_path: str, rows: list):
+    cfg = load_cfg(cfg_path)
+    print(f"[{name}] building server (max_batch={MAX_BATCH})...", flush=True)
+    server = ActionServer(cfg, "random", max_batch=MAX_BATCH)
+    t_warm = server.warmup()
+    print(f"[{name}] warmup (all buckets compiled): {t_warm:.1f}s", flush=True)
+
+    ready = threading.Event()
+    st = threading.Thread(
+        target=server.serve_forever,
+        kwargs={"host": "127.0.0.1", "port": 0, "ready_event": ready},
+        daemon=True,
+    )
+    st.start()
+    ready.wait(10)
+    port = server.port
+
+    img_hw = int(cfg["vision"]["config"]["image_size"])
+    payload = _request_payload(img_hw, int(cfg["proprio_dim"]))
+
+    # direct device loop (no socket, no batcher): the per-request floor
+    img = np.frombuffer(base64.b64decode(payload["image"]), np.uint8).reshape(
+        img_hw, img_hw, 3
+    )
+    direct = []
+    for _ in range(40):
+        t0 = time.time()
+        server.predict(img, payload["instruction"], payload["proprio"])
+        direct.append(time.time() - t0)
+    direct_stats = _percentiles(direct[10:])
+    print(f"[{name}] direct predict() p50 {direct_stats['p50_ms']:.1f} ms", flush=True)
+    rows.append({"preset": name, "clients": 0, "mode": "direct_predict",
+                 "requests": len(direct) - 10, "chunks_per_s": "",
+                 **direct_stats})
+
+    for n in CLIENT_SWEEP:
+        lat_lists = [[] for _ in range(n)]
+        stop_at = time.time() + DURATION_S
+        threads = [
+            threading.Thread(
+                target=_client_loop, args=(port, payload, stop_at, lat_lists[i])
+            )
+            for i in range(n)
+        ]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.time() - t0
+        lat = [x for lst in lat_lists for x in lst]
+        stats = _percentiles(lat)
+        chunks_per_s = len(lat) / wall
+        print(
+            f"[{name}] clients={n:2d}: {len(lat):5d} req in {wall:.1f}s = "
+            f"{chunks_per_s:7.1f} chunks/s | p50 {stats['p50_ms']:.1f} "
+            f"p95 {stats['p95_ms']:.1f} p99 {stats['p99_ms']:.1f} ms",
+            flush=True,
+        )
+        rows.append({"preset": name, "clients": n, "mode": "tcp",
+                     "requests": len(lat),
+                     "chunks_per_s": round(chunks_per_s, 1), **stats})
+
+    server.stop()
+    time.sleep(0.5)
+
+
+def main():
+    rows: list = []
+    only = set(sys.argv[1:])
+    for name, cfg_path in PRESETS.items():
+        if only and name not in only:
+            continue
+        run_preset(name, cfg_path, rows)
+    OUT_CSV.parent.mkdir(parents=True, exist_ok=True)
+    fields = ["preset", "clients", "mode", "requests", "chunks_per_s",
+              "p50_ms", "p95_ms", "p99_ms", "mean_ms"]
+    with OUT_CSV.open("w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {OUT_CSV}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,14 +1,16 @@
 #!/usr/bin/env python3
 """Summarize SimplerEnv Bridge summary.json files into a LaTeX/Markdown table
-(parity surface: reference scripts/paper/summarize_bridge_success.py — same
-fixed 4-task column order and label inference)."""
+(output contract: reference scripts/paper/summarize_bridge_success.py:18-128 —
+same fixed 4-task column order, header names, label inference, CLI flags, and
+cell formatting, byte-for-byte; pinned by
+tests/test_reference_parity_collectors.py)."""
 
 from __future__ import annotations
 
 import argparse
 import json
 from pathlib import Path
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 TASK_ORDER = [
     ("widowx_carrot_on_plate", "Carrot"),
@@ -29,7 +31,9 @@ def _infer_label(payload: Dict[str, Any], path: Path) -> str:
     model_id = payload.get("model_id")
     if isinstance(model_id, str) and model_id.strip():
         preset = payload.get("preset")
-        return f"{model_id} ({preset})" if preset else model_id
+        if isinstance(preset, str) and preset.strip():
+            return f"{model_id} ({preset})"
+        return model_id
     ckpt = payload.get("checkpoint")
     if isinstance(ckpt, str) and ckpt.strip():
         if "minivla" in ckpt.lower():
@@ -44,43 +48,73 @@ def _row(payload: Dict[str, Any], label: str) -> List[str]:
         or payload.get("n_eval_episode")
         or payload.get("episodes")
     )
+    episodes_str = str(int(episodes)) if isinstance(episodes, (int, float)) else "--"
     per_task = payload.get("per_task_success", {}) or {}
     avg = payload.get("avg_success")
-    cells = [label, str(int(episodes)) if episodes is not None else "--"]
+    cells = [label, episodes_str]
     cells += [_fmt(per_task.get(task)) for task, _ in TASK_ORDER]
     cells.append(_fmt(avg))
     return cells
 
 
+def _latex_table(rows, headers, caption, label):
+    colspec = "l" + "c" * (len(headers) - 1)
+    lines = [
+        r"\begin{table}[t]",
+        r"\centering",
+        rf"\caption{{{caption}}}",
+        rf"\label{{{label}}}",
+        rf"\begin{{tabular}}{{{colspec}}}",
+        r"\toprule",
+        " & ".join(headers) + r" \\",
+        r"\midrule",
+    ]
+    lines += [" & ".join(r) + r" \\" for r in rows]
+    lines += [r"\bottomrule", r"\end{tabular}", r"\end{table}"]
+    return "\n".join(lines)
+
+
+def _markdown_table(rows, headers):
+    lines = ["| " + " | ".join(headers) + " |"]
+    lines.append("| " + " | ".join(["---"] * len(headers)) + " |")
+    lines += ["| " + " | ".join(r) + " |" for r in rows]
+    return "\n".join(lines)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("summaries", type=Path, nargs="+")
-    parser.add_argument("--format", choices=["latex", "markdown"], default="latex")
-    parser.add_argument("--label", type=str, nargs="*", default=[])
+    parser.add_argument("summary", type=str, nargs="+")
+    parser.add_argument("--format", type=str, default="latex", choices=["latex", "md"])
+    parser.add_argument(
+        "--caption",
+        type=str,
+        default="Bridge task success rates on SimplerEnv (higher is better).",
+    )
+    parser.add_argument("--label", type=str, default="tab:bridge-success-crossmodel")
+    parser.add_argument(
+        "--label-override", type=str, nargs="*", default=[],
+        help="Optional per-summary label override (same length as summary list).",
+    )
     args = parser.parse_args()
 
-    headers = ["Model", "Episodes"] + [n for _, n in TASK_ORDER] + ["Avg"]
-    rows = []
-    for i, path in enumerate(args.summaries):
-        payload = json.loads(path.read_text(encoding="utf-8"))
-        label = args.label[i] if i < len(args.label) else _infer_label(payload, path)
-        rows.append(_row(payload, label))
+    paths = [Path(p).expanduser().resolve() for p in args.summary]
+    overrides: List[Optional[str]] = list(args.label_override)
+    if overrides and len(overrides) != len(paths):
+        raise SystemExit(
+            "--label-override must be the same length as summary paths (or omitted)."
+        )
+    overrides = overrides + [None] * (len(paths) - len(overrides))
 
-    if args.format == "markdown":
-        print("| " + " | ".join(headers) + " |")
-        print("|" + "---|" * len(headers))
-        for r in rows:
-            print("| " + " | ".join(r) + " |")
+    headers = ["Model", "Eps/task"] + [short for _, short in TASK_ORDER] + ["Avg."]
+    rows = []
+    for path, override in zip(paths, overrides):
+        payload = json.loads(path.read_text(encoding="utf-8"))
+        rows.append(_row(payload, override or _infer_label(payload, path)))
+
+    if args.format == "md":
+        print(_markdown_table(rows, headers))
     else:
-        colspec = "l" + "c" * (len(headers) - 1)
-        print(r"\begin{tabular}{" + colspec + "}")
-        print(r"\toprule")
-        print(" & ".join(headers) + r" \\")
-        print(r"\midrule")
-        for r in rows:
-            print(" & ".join(c.replace("_", r"\_") for c in r) + r" \\")
-        print(r"\bottomrule")
-        print(r"\end{tabular}")
+        print(_latex_table(rows, headers, caption=args.caption, label=args.label))
 
 
 if __name__ == "__main__":

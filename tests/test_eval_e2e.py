@@ -201,6 +201,70 @@ def test_async_pipeline_closed_loop(tmp_path, caplog):
     assert "Async pipeline: residual fetch wait" in caplog.text
 
 
+def _instrument(agent):
+    """Record the interleaving of device dispatch/fetch and env stepping."""
+    events = []
+    orig_dispatch, orig_fetch = agent._dispatch, agent._fetch
+    agent._dispatch = lambda inputs: (events.append("dispatch"), orig_dispatch(inputs))[1]
+    agent._fetch = lambda p: (events.append("fetch"), orig_fetch(p))[1]
+    orig_step = agent.env.step
+
+    def step(a):
+        events.append("env_step")
+        return orig_step(a)
+
+    agent.env.step = step
+    return events
+
+
+def test_async_pipeline_overlap_ordering(tmp_path):
+    """Pins the overlap choreography (docs/results/async_pipeline_v5e.csv is
+    the measured counterpart): the prefetch dispatch is issued MID-CHUNK
+    (immediately after an env step) and its fetch happens only after at least
+    one more env step ran — i.e. the device computes while the env steps."""
+    from blurr_tpu.agent.eval_agent import EvalAgent
+
+    cfg = eval_cfg(tmp_path, n_episodes=1)
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg["act_steps"] = 2
+    cfg["async_pipeline"] = True
+    agent = EvalAgent(cfg)
+    events = _instrument(agent)
+    agent.run()
+
+    # the first inference is synchronous: dispatch immediately fetched
+    assert events[0:2] == ["dispatch", "fetch"]
+    for i in range(2, len(events)):
+        if events[i] != "dispatch":
+            continue
+        # prefetch is issued right after the chunk's first env step
+        assert events[i - 1] == "env_step", events[: i + 1]
+        # ... and fetched only after >=1 further env step (or discarded at
+        # episode end: the final prefetch has no fetch)
+        tail = events[i + 1:]
+        if "fetch" in tail:
+            k = tail.index("fetch")
+            assert "env_step" in tail[:k], events[i: i + k + 2]
+
+
+def test_sync_mode_has_no_overlap(tmp_path):
+    """Control: without async_pipeline every dispatch is immediately followed
+    by its fetch — no env step in between."""
+    from blurr_tpu.agent.eval_agent import EvalAgent
+
+    cfg = eval_cfg(tmp_path, n_episodes=1)
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg["act_steps"] = 2
+    agent = EvalAgent(cfg)
+    events = _instrument(agent)
+    agent.run()
+    for i, e in enumerate(events):
+        if e == "dispatch":
+            assert events[i + 1] == "fetch", events[i: i + 2]
+
+
 def test_async_pipeline_requires_act_steps(tmp_path):
     cfg = eval_cfg(tmp_path)
     cfg.image_token_index = 257152
@@ -312,11 +376,13 @@ def test_eval_hf_vla_cli_oft_snapshot_e2e(tmp_path, monkeypatch):
         head[f"module.model.mlp_resnet_blocks.{i}.ffn.1.weight"] = t(hidden, hidden)
         head[f"module.model.mlp_resnet_blocks.{i}.ffn.1.bias"] = t(hidden)
     torch.save(head, snap / "action_head--1000_checkpoint.pt")
+    # proprio checkpoints use the "module." prefix (reference
+    # eval_hf_vla_simpler.py:119-128), NOT "module.model."
     torch.save({
-        "module.model.fc1.weight": t(hidden, 8),
-        "module.model.fc1.bias": t(hidden),
-        "module.model.fc2.weight": t(hidden, hidden),
-        "module.model.fc2.bias": t(hidden),
+        "module.fc1.weight": t(hidden, 8),
+        "module.fc1.bias": t(hidden),
+        "module.fc2.weight": t(hidden, hidden),
+        "module.fc2.bias": t(hidden),
     }, snap / "proprio_projector--1000_checkpoint.pt")
 
     import scripts.eval_hf_vla_simpler as cli
