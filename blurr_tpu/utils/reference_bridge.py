@@ -164,8 +164,23 @@ def load_reference_script(name: str) -> types.ModuleType:
     # in sys.modules by name
     sys.modules[modname] = mod
     spec.loader.exec_module(mod)  # type: ignore[union-attr]
+    demote_reference_sys_paths()
     _SCRIPT_CACHE[name] = mod
     return mod
+
+
+def demote_reference_sys_paths() -> None:
+    """Reference scripts insert their repo root (and its parent) at
+    sys.path[0] on import, which makes the repo's OWN ``scripts`` namespace
+    package resolve to the reference's scripts/ dir. Move those entries to
+    the END: reference packages (blurr, src) stay importable, but the
+    repo always wins name collisions."""
+    ref_repo = os.path.normpath(os.path.join(REFERENCE_ROOT, "..", ".."))
+    for p in (ref_repo, os.path.dirname(ref_repo)):
+        while p in sys.path:
+            sys.path.remove(p)
+        sys.path.append(p)
+    importlib.invalidate_caches()
 
 
 _CACHE: Optional[types.SimpleNamespace] = None

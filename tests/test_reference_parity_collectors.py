@@ -27,7 +27,10 @@ from blurr_tpu.utils.reference_bridge import reference_available
 if not reference_available():  # pragma: no cover
     pytest.skip("reference tree not available", allow_module_level=True)
 
-from blurr_tpu.utils.reference_bridge import load_reference_script  # noqa: E402
+from blurr_tpu.utils.reference_bridge import (  # noqa: E402
+    demote_reference_sys_paths,
+    load_reference_script,
+)
 
 REPO = Path(__file__).resolve().parents[1]
 if str(REPO / "scripts") not in sys.path:
@@ -97,6 +100,7 @@ def test_collector_csv_differential(tmp_path, monkeypatch):
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    demote_reference_sys_paths()  # the script sys.path-inserts its repo root
     out_csv = tmp_path / "runs" / "bridge_eval_summary.csv"
     ref_header, ref_rows = _read_csv_rows(out_csv)
     out_csv.unlink()
