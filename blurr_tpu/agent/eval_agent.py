@@ -135,16 +135,25 @@ class EvalAgent:
         log.info("Loaded model from %s", path)
         return params
 
-    def _open_video_writer(self, path: str):
-        """mp4 writer, degrading gracefully when imageio lacks a backend."""
+    def _open_video_writer(self, stem: str):
+        """Writer for ``stem`` + '.mp4', degrading to an animated GIF (the
+        Pillow backend is always available) and then to disabled when imageio
+        lacks an ffmpeg backend. Returns (writer, actual_path) or (None, None)."""
         if imageio is None:
             log.warning("imageio not installed; video recording disabled.")
-            return None
+            return None, None
         try:
-            return imageio.get_writer(path)
+            return imageio.get_writer(stem + ".mp4"), stem + ".mp4"
         except Exception as exc:  # no ffmpeg backend etc.
-            log.warning("Video recording disabled (%s).", exc)
-            return None
+            try:
+                w = imageio.get_writer(stem + ".gif", duration=0.2, loop=0)
+                log.warning(
+                    "mp4 backend unavailable (%s); recording GIF instead.", exc
+                )
+                return w, stem + ".gif"
+            except Exception as exc2:
+                log.warning("Video recording disabled (%s).", exc2)
+                return None, None
 
     def _dispatch(self, inputs: dict):
         """Launch the control-step device program WITHOUT fetching: JAX
@@ -197,9 +206,10 @@ class EvalAgent:
         def video_parent_path(x):
             return os.path.join(self.video_dir, f"video_{x}")
 
+        video_path = None
         if recording:
-            video_writer = self._open_video_writer(
-                video_parent_path(cnt_episode) + ".mp4"
+            video_writer, video_path = self._open_video_writer(
+                video_parent_path(cnt_episode)
             )
             recording = video_writer is not None
         log.info(
@@ -275,11 +285,9 @@ class EvalAgent:
                 )
                 if recording and video_writer is not None:
                     video_writer.close()
-                    if success:
-                        os.rename(
-                            video_parent_path(cnt_episode) + ".mp4",
-                            video_parent_path(cnt_episode) + "_success.mp4",
-                        )
+                    if success and video_path is not None:
+                        stem, ext = os.path.splitext(video_path)
+                        os.rename(video_path, stem + "_success" + ext)
                 cnt_episode += 1
                 step_in_episode = 0
                 next_chunk = None  # fresh episode must infer from new obs
@@ -296,8 +304,8 @@ class EvalAgent:
                 )
                 recording = self.n_video > cnt_episode
                 if recording:
-                    video_writer = self._open_video_writer(
-                        video_parent_path(cnt_episode) + ".mp4"
+                    video_writer, video_path = self._open_video_writer(
+                        video_parent_path(cnt_episode)
                     )
                     recording = video_writer is not None
 

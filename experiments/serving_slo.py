@@ -29,13 +29,18 @@ import numpy as np
 from blurr_tpu.benchmarks import load_cfg
 from blurr_tpu.serving.server import ActionServer, recv_msg, send_msg
 
+# preset -> (yaml, max_batch, client sweep). bf16 full dims caps at batch 8
+# (batch 16 OOMs the 16 GB chip: 7 GB weights + 276-token batch-16
+# activations); the int8 pool64 preset rides to 16.
 PRESETS = {
-    "bf16_step1": "config/eval/bridge_step1.yaml",
-    "pool64_w8a8_step1": "config/eval/bridge_pool64_w8a8_steps1.yaml",
+    "bf16_step1": (
+        "config/eval/bridge_step1.yaml", 8, [1, 4, 5, 8],
+    ),
+    "pool64_w8a8_step1": (
+        "config/eval/bridge_pool64_w8a8_steps1.yaml", 16, [1, 4, 5, 8, 16],
+    ),
 }
-CLIENT_SWEEP = [1, 4, 5, 8, 16]
 DURATION_S = 15.0
-MAX_BATCH = 16
 OUT_CSV = Path(__file__).resolve().parents[1] / "docs" / "results" / "serving_slo_v5e.csv"
 
 
@@ -74,10 +79,10 @@ def _percentiles(lat):
     }
 
 
-def run_preset(name: str, cfg_path: str, rows: list):
+def run_preset(name: str, cfg_path: str, max_batch: int, sweep: list, rows: list):
     cfg = load_cfg(cfg_path)
-    print(f"[{name}] building server (max_batch={MAX_BATCH})...", flush=True)
-    server = ActionServer(cfg, "random", max_batch=MAX_BATCH)
+    print(f"[{name}] building server (max_batch={max_batch})...", flush=True)
+    server = ActionServer(cfg, "random", max_batch=max_batch)
     t_warm = server.warmup()
     print(f"[{name}] warmup (all buckets compiled): {t_warm:.1f}s", flush=True)
 
@@ -109,7 +114,7 @@ def run_preset(name: str, cfg_path: str, rows: list):
                  "requests": len(direct) - 10, "chunks_per_s": "",
                  **direct_stats})
 
-    for n in CLIENT_SWEEP:
+    for n in sweep:
         lat_lists = [[] for _ in range(n)]
         stop_at = time.time() + DURATION_S
         threads = [
@@ -144,10 +149,10 @@ def run_preset(name: str, cfg_path: str, rows: list):
 def main():
     rows: list = []
     only = set(sys.argv[1:])
-    for name, cfg_path in PRESETS.items():
+    for name, (cfg_path, max_batch, sweep) in PRESETS.items():
         if only and name not in only:
             continue
-        run_preset(name, cfg_path, rows)
+        run_preset(name, cfg_path, max_batch, sweep, rows)
     OUT_CSV.parent.mkdir(parents=True, exist_ok=True)
     fields = ["preset", "clients", "mode", "requests", "chunks_per_s",
               "p50_ms", "p95_ms", "p99_ms", "mean_ms"]
