@@ -81,6 +81,10 @@ def _percentiles(lat):
 
 def run_preset(name: str, cfg_path: str, max_batch: int, sweep: list, rows: list):
     cfg = load_cfg(cfg_path)
+    # bridge_step1.yaml inherits bridge.yaml's use_bf16: False (reference
+    # parity default); the blurr preset semantics set bf16 at the CLI level.
+    # Without this the server builds 13.2 GB fp32 weights and batch>=2 OOMs.
+    cfg["use_bf16"] = True
     print(f"[{name}] building server (max_batch={max_batch})...", flush=True)
     server = ActionServer(cfg, "random", max_batch=max_batch)
     t_warm = server.warmup()
