@@ -150,21 +150,58 @@ def run_preset(name: str, cfg_path: str, max_batch: int, sweep: list, rows: list
     time.sleep(0.5)
 
 
+def measure_rtt_floor() -> float:
+    """Per-call dispatch+fetch floor of this environment: one trivial device
+    program, timed per synchronous call. Over the axon dev tunnel this is
+    tens of ms of HTTP RTT; on a host-attached TPU it is sub-ms — subtract it
+    to project production SLOs."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    np.asarray(f(x))  # compile
+    t = []
+    for _ in range(30):
+        t0 = time.time()
+        np.asarray(f(x))
+        t.append(time.time() - t0)
+    return float(np.median(t) * 1000)
+
+
+FIELDS = ["preset", "clients", "mode", "requests", "chunks_per_s",
+          "p50_ms", "p95_ms", "p99_ms", "mean_ms"]
+
+
+def _flush_csv(rows):
+    OUT_CSV.parent.mkdir(parents=True, exist_ok=True)
+    with OUT_CSV.open("w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=FIELDS)
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {OUT_CSV} ({len(rows)} rows)", flush=True)
+
+
 def main():
+    import gc
+
+    import jax
+
     rows: list = []
+    rtt = measure_rtt_floor()
+    print(f"per-call dispatch+fetch RTT floor: {rtt:.1f} ms", flush=True)
+    rows.append({"preset": "rtt_floor", "clients": 0, "mode": "trivial_program",
+                 "requests": 30, "chunks_per_s": "", "p50_ms": round(rtt, 1),
+                 "p95_ms": "", "p99_ms": "", "mean_ms": ""})
     only = set(sys.argv[1:])
     for name, (cfg_path, max_batch, sweep) in PRESETS.items():
         if only and name not in only:
             continue
         run_preset(name, cfg_path, max_batch, sweep, rows)
-    OUT_CSV.parent.mkdir(parents=True, exist_ok=True)
-    fields = ["preset", "clients", "mode", "requests", "chunks_per_s",
-              "p50_ms", "p95_ms", "p99_ms", "mean_ms"]
-    with OUT_CSV.open("w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=fields)
-        w.writeheader()
-        w.writerows(rows)
-    print(f"wrote {OUT_CSV}", flush=True)
+        _flush_csv(rows)  # incremental: a later-preset OOM keeps these rows
+        gc.collect()
+        jax.clear_caches()  # free the previous preset's weights + programs
+        gc.collect()
 
 
 if __name__ == "__main__":
