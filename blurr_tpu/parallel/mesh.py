@@ -90,10 +90,26 @@ def _mixture_rules() -> Dict[str, P]:
     }
 
 
+# leaf keys of the quantized-weight dicts (ops/quant.py): the dict REPLACES
+# the weight leaf, so the TP rule lives one path level up
+_QUANT_LEAF_KEYS = frozenset({"q", "q8a", "q4", "s", "fp"})
+
+
 def _spec_for_path(path: str, leaf) -> P:
     rules = _mixture_rules()
     parts = path.split("/")
     name = parts[-1]
+    if name in _QUANT_LEAF_KEYS and len(parts) >= 2:
+        parent = _spec_for_path("/".join(parts[:-1]), leaf)
+        if name in ("q", "q8a", "fp"):
+            return parent  # same shape/layout as the fp weight
+        if name == "s":
+            # per-output-channel scale: the weight minus its contracted
+            # (-2) axis, so drop that entry from the parent spec
+            if len(parent) >= 2:
+                return P(*parent[:-2], parent[-1])
+            return P()
+        return P()  # q4 block-major packing is not TP-sharded (see server)
     if ("joint" in parts or "llama" in parts) and name in rules:
         # Gemma mixtures are MQA (KV replicated); Llama-2 is MHA, where the
         # 32 KV heads shard cleanly alongside Q

@@ -94,11 +94,17 @@ class ActionServer:
     batch 8 = 122 chunks/s bf16 vs 84/s serial). Request validation happens
     in the caller's thread, so a malformed request never fails a co-batched
     one.
+
+    With ``tp > 1`` the server runs TENSOR-PARALLEL over a (1, tp) device
+    mesh: weights (incl. int8/w8a8 quant dicts) carry the NamedSharding
+    rules from ``blurr_tpu/parallel/mesh.py``, requests are replicated, and
+    GSPMD inserts the ICI collectives — the capacity path for models whose
+    weights exceed one chip's HBM. Composes with dynamic batching.
     """
 
     def __init__(self, cfg, checkpoint_path: Optional[str] = None,
                  seed: int = 42, max_batch: int = 1,
-                 batch_window_ms: float = 2.0):
+                 batch_window_ms: float = 2.0, tp: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -106,6 +112,7 @@ class ActionServer:
         from blurr_tpu.models.pi0.pizero import PiZeroInference
 
         self.cfg = cfg
+        self.tp = max(1, int(tp))
         self.dtype = jnp.bfloat16 if cfg.get("use_bf16") else jnp.float32
         self.model = PiZeroInference(cfg)
         if not checkpoint_path or str(checkpoint_path).lower() in {"random", "none"}:
@@ -121,6 +128,30 @@ class ActionServer:
             )
         params = self.model.enable_action_quantization(params)
         params = self.model.enable_vlm_quantization(params)
+        self._replicate = None
+        if self.tp > 1:
+            # tensor-parallel serving over a (1, tp) device mesh: Q heads /
+            # MLP intermediate split over 'model' (parallel/mesh.py rules,
+            # incl. the int8/w8a8 quant-dict leaves); GSPMD inserts the ICI
+            # collectives. This is the capacity path — models whose weights
+            # exceed one chip's HBM (e.g. OpenVLA-7B-class on v5e-1-sized
+            # hosts) serve from tp chips with per-chip weight bytes / tp.
+            for qcfg in (cfg.get("vlm_quantization"), cfg.get("action_quantization")):
+                mode = (qcfg or {}).get("mode") if hasattr(qcfg, "get") else None
+                if mode == "w4a8":
+                    raise NotImplementedError(
+                        "tp>1 with w4a8: the Pallas int4 kernel's block-major "
+                        "packing is laid out per-chip; repack-per-shard is not "
+                        "implemented. Serve w4a8 single-chip or use w8a8."
+                    )
+            from jax.sharding import NamedSharding, PartitionSpec
+            from blurr_tpu.parallel.mesh import make_mesh, shard_params
+
+            self.mesh = make_mesh(data=1, model=self.tp)
+            params = shard_params(params, self.mesh)
+            # requests are replicated over the mesh (batch stays whole: TP
+            # serving is about capacity, not splitting the batch)
+            self._replicate = NamedSharding(self.mesh, PartitionSpec())
         self.params = params
         self.processor = build_processor(cfg)
         # noise sampled in-graph from (base_key, request_idx): one device
@@ -147,6 +178,8 @@ class ActionServer:
 
         self._step = jax.jit(_step_fn)
         self._base_key = jax.random.PRNGKey(seed)
+        if self._replicate is not None:
+            self._base_key = jax.device_put(self._base_key, self._replicate)
         self._req_idx = 0
         self._lock = threading.Lock()  # device stream + PRNG serialization
         self._tok_cache = {}
@@ -231,7 +264,14 @@ class ActionServer:
 
         px = process_images(chw).astype(self.dtype)
         pr = jnp.asarray(proprio[None, None], self.dtype)
-        return jnp.asarray(ids), jnp.asarray(am), px, pr
+        out = (jnp.asarray(ids), jnp.asarray(am), px, pr)
+        if self._replicate is not None:
+            import jax
+
+            # commit request tensors to the mesh (replicated) so the sharded
+            # step never mixes mesh-committed params with device-0 inputs
+            out = tuple(jax.device_put(a, self._replicate) for a in out)
+        return out
 
     def predict(self, image: np.ndarray, instruction: str, proprio) -> np.ndarray:
         inputs = self._prepare(image, instruction, proprio)
@@ -241,7 +281,8 @@ class ActionServer:
                     self.params, *inputs, self._base_key, self._req_idx
                 )
                 self._req_idx += 1
-                return np.asarray(actions[0], np.float32)
+                # host-side indexing for the same reason as _run_batch below
+                return np.asarray(actions)[0].astype(np.float32)
         if self._closed:
             raise RuntimeError("ActionServer is shut down")
         pending = _PendingRequest(inputs)
@@ -319,7 +360,13 @@ class ActionServer:
                     self.params, ids, am, px, pr, self._base_key, self._req_idx
                 )
                 self._req_idx += 1
-            out = np.asarray(actions[:n], np.float32)
+            # fetch the FULL bucket and slice on host: device-side
+            # ``actions[:n]`` is a distinct XLA program per live batch size n,
+            # and the first odd n after warmup pays a multi-second compile
+            # under the device lock (measured: 8-10 s p99 spikes at 5
+            # clients). The extra fetched padding rows are a few hundred
+            # bytes.
+            out = np.asarray(actions)[:n].astype(np.float32)
             for i, b in enumerate(batch):
                 b.result = out[i]
                 b.event.set()

@@ -182,10 +182,28 @@ def _flush_csv(rows):
     print(f"wrote {OUT_CSV} ({len(rows)} rows)", flush=True)
 
 
-def main():
-    import gc
+def _run_single(name: str, out_path: Path):
+    """Child-process entry: measure ONE preset, write its rows to out_path."""
+    cfg_path, max_batch, sweep = PRESETS[name]
+    rows: list = []
+    run_preset(name, cfg_path, max_batch, sweep, rows)
+    with out_path.open("w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=FIELDS)
+        w.writeheader()
+        w.writerows(rows)
 
-    import jax
+
+def main():
+    # Each preset runs in its OWN subprocess: a served 3B model is ~7 GB of
+    # bf16 weights, and the serve_forever daemon thread keeps them alive past
+    # server.stop() — two presets in one process OOM the 16 GB chip
+    # (measured). Process exit is the only airtight release.
+    import subprocess
+    import tempfile
+
+    if len(sys.argv) >= 4 and sys.argv[1] == "--single":
+        _run_single(sys.argv[2], Path(sys.argv[3]))
+        return
 
     rows: list = []
     rtt = measure_rtt_floor()
@@ -194,14 +212,22 @@ def main():
                  "requests": 30, "chunks_per_s": "", "p50_ms": round(rtt, 1),
                  "p95_ms": "", "p99_ms": "", "mean_ms": ""})
     only = set(sys.argv[1:])
-    for name, (cfg_path, max_batch, sweep) in PRESETS.items():
+    for name in PRESETS:
         if only and name not in only:
             continue
-        run_preset(name, cfg_path, max_batch, sweep, rows)
-        _flush_csv(rows)  # incremental: a later-preset OOM keeps these rows
-        gc.collect()
-        jax.clear_caches()  # free the previous preset's weights + programs
-        gc.collect()
+        with tempfile.NamedTemporaryFile(suffix=".csv", delete=False) as tf:
+            part = Path(tf.name)
+        rc = subprocess.call(
+            [sys.executable, str(Path(__file__).resolve()), "--single", name,
+             str(part)]
+        )
+        if rc != 0:
+            print(f"[{name}] FAILED (rc={rc}); keeping earlier rows", flush=True)
+        elif part.exists():
+            with part.open() as f:
+                rows.extend(list(csv.DictReader(f)))
+        part.unlink(missing_ok=True)
+        _flush_csv(rows)  # incremental: a later-preset failure keeps these rows
 
 
 if __name__ == "__main__":

@@ -37,6 +37,10 @@ def main():
                         "--batch-window-ms are padded to the next power-of-2 "
                         "bucket and served by ONE device program.")
     p.add_argument("--batch-window-ms", type=float, default=2.0)
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel serving over a (1, tp) device mesh "
+                        "(capacity path: per-chip weight bytes divided by tp; "
+                        "heads/MLP split per blurr_tpu/parallel/mesh.py).")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(message)s")
@@ -50,7 +54,7 @@ def main():
     _apply_preset(cfg, args.preset)
     server = ActionServer(cfg, args.checkpoint, seed=args.seed,
                           max_batch=args.max_batch,
-                          batch_window_ms=args.batch_window_ms)
+                          batch_window_ms=args.batch_window_ms, tp=args.tp)
     logging.info("warming up (XLA compile)...")
     logging.info("warmup took %.1f s", server.warmup())
     server.serve_forever(args.host, args.port)

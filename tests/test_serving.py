@@ -242,3 +242,81 @@ def test_predict_after_stop_raises_not_hangs():
     srv.stop()
     with pytest.raises(RuntimeError, match="shut down"):
         srv.predict(np.zeros((28, 28, 3), np.uint8), "late", [0.0] * 7)
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel serving (tp > 1): the capacity path over a (1, tp) mesh
+
+
+def _tp_cfg():
+    cfg = tiny_pi0_cfg()
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg.pretrained_model_path = "(stub)"
+    cfg.max_seq_len = cfg.max_image_text_tokens
+    return cfg
+
+
+def _request(seed=0):
+    rng = np.random.RandomState(seed)
+    image = rng.randint(0, 256, (28, 28, 3), np.uint8)
+    return image, "pick up the carrot", [0.1] * 7
+
+
+def test_tp2_matches_single_device():
+    """TP=2 sharded serving returns the same actions as the unsharded server
+    (partitionable threefry keeps the in-graph noise identical; GSPMD only
+    changes the reduction order)."""
+    cfg = _tp_cfg()
+    srv1 = ActionServer(cfg, checkpoint_path="random", seed=7)
+    srv2 = ActionServer(cfg, checkpoint_path="random", seed=7, tp=2)
+    img, instr, prop = _request()
+    a1 = srv1.predict(img, instr, prop)
+    a2 = srv2.predict(img, instr, prop)
+    np.testing.assert_allclose(a2, a1, rtol=5e-4, atol=5e-5)
+    srv1.stop()
+    srv2.stop()
+
+
+def test_tp2_w8a8_quantized():
+    """TP composes with the w8a8 quant dicts ({'q8a','s'} leaves): the mesh
+    rules shard q8a like the fp weight and s on the output channel."""
+    cfg = _tp_cfg()
+    cfg["vlm_quantization"] = {"mode": "w8a8"}
+    srv1 = ActionServer(cfg, checkpoint_path="random", seed=7)
+    srv2 = ActionServer(cfg, checkpoint_path="random", seed=7, tp=2)
+    img, instr, prop = _request()
+    a1 = srv1.predict(img, instr, prop)
+    a2 = srv2.predict(img, instr, prop)
+    np.testing.assert_allclose(a2, a1, rtol=5e-4, atol=5e-4)
+    srv1.stop()
+    srv2.stop()
+
+
+def test_tp2_with_dynamic_batching():
+    """tp=2 composes with max_batch>1 (batched bucket program over the mesh)."""
+    cfg = _tp_cfg()
+    srv = ActionServer(cfg, checkpoint_path="random", seed=7, tp=2,
+                       max_batch=2, batch_window_ms=50.0)
+    srv.warmup()
+    img, instr, prop = _request()
+    outs = {}
+
+    def hit(i):
+        outs[i] = srv.predict(img, instr, prop)
+
+    ts = [threading.Thread(target=hit, args=(i,), daemon=True) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(120)
+    assert outs[0].shape == (4, 7) and outs[1].shape == (4, 7)
+    assert np.isfinite(outs[0]).all() and np.isfinite(outs[1]).all()
+    srv.stop()
+
+
+def test_tp_w4a8_raises():
+    cfg = _tp_cfg()
+    cfg["vlm_quantization"] = {"mode": "w4a8"}
+    with pytest.raises(NotImplementedError, match="w4a8"):
+        ActionServer(cfg, checkpoint_path="random", tp=2)
