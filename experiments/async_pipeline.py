@@ -35,7 +35,7 @@ from blurr_tpu.config.core import Config
 
 PACE_SWEEP_MS = [0.0, 5.0, 15.0, 30.0]
 ACT_STEPS = 4
-EPISODES = 2
+EPISODES = 6  # 72 env steps/point: enough to average out tunnel-RTT jitter
 OUT_CSV = Path(__file__).resolve().parents[1] / "docs" / "results" / "async_pipeline_v5e.csv"
 
 
