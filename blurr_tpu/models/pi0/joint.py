@@ -418,11 +418,18 @@ def naive_forward(
     time_cond: Optional[jax.Array] = None,
     return_all: bool = False,
     prefix_time_cond: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Forward all mixtures jointly with the full block mask (the reference's
     infer_action_naive / flow-matching-training path). Returns the action
     mixture's final-normed hidden states ([B, A, Ha]), or all mixtures' last
     hidden states when ``return_all`` (training/diagnostics).
+
+    ``remat`` wraps the scanned layer body in ``jax.checkpoint``: the
+    backward pass recomputes each layer's activations instead of storing
+    all L layers' worth — the standard TPU HBM-for-FLOPs trade that buys
+    larger training batches (inference never differentiates through this,
+    so the flag only matters under ``jax.grad``).
 
     ``prefix_time_cond`` conditions the NON-action adaptive mixtures when
     given: the reference's no_append flow loop caches vlm/proprio K/V on the
@@ -486,7 +493,8 @@ def naive_forward(
         n: {k: v for k, v in params[n].items() if k != "final_norm"} for n in names
     }
     carry = tuple(hs[n] for n in names)
-    carry, _ = jax.lax.scan(full_layer, carry, stacked)
+    layer_fn = jax.checkpoint(full_layer) if remat else full_layer
+    carry, _ = jax.lax.scan(layer_fn, carry, stacked)
     hs = dict(zip(names, carry))
     m_a = spec.mixtures["action"]
     out = _apply_norm(

@@ -337,7 +337,11 @@ class PiZero:
     # ------------------------------------------------------------------
 
     def _embed_merge(
-        self, params: Dict, input_ids: jax.Array, pixel_values: jax.Array
+        self,
+        params: Dict,
+        input_ids: jax.Array,
+        pixel_values: jax.Array,
+        remat: bool = False,
     ) -> jax.Array:
         """Text embedding + scaled image features merged at image-token slots
         (reference _forward_siglip_and_text_embedding, pizero.py:433-471).
@@ -345,7 +349,9 @@ class PiZero:
         scatter be a static prefix overwrite."""
         s = self.spec
         text_embeds = params["embed_tokens"][input_ids]
-        feats = siglip_forward(params["siglip"], pixel_values, self.vision_cfg)
+        feats = siglip_forward(
+            params["siglip"], pixel_values, self.vision_cfg, remat=remat
+        )
         feats = projector_forward(params["projector"], feats)
         feats = feats / jnp.asarray(self.vlm_hidden**0.5, feats.dtype)
 
@@ -598,10 +604,15 @@ class PiZero:
         actions: jax.Array,
         t: jax.Array,  # [B]
         x0: jax.Array,  # noise, same shape as actions
+        remat: bool = False,  # jax.checkpoint per joint layer (see naive_forward)
     ) -> jax.Array:
         s = self.spec
         bsz = input_ids.shape[0]
-        psi = self.psi_t(x0, actions, t)
+        # psi_t mixes through the fp32 flow-time t; cast back so the action
+        # mixture (and the attention it shares with vlm/proprio) stays in
+        # the weights' dtype — without this a bf16 train step fails to
+        # compile (fp32 creep flips the layer-scan carry dtype)
+        psi = self.psi_t(x0, actions, t).astype(actions.dtype)
 
         full_mask = mask_lib.pi0_full_mask(
             attention_mask,
@@ -612,7 +623,9 @@ class PiZero:
         vlm_pos, proprio_pos, action_pos = mask_lib.pi0_position_ids(
             bsz, s.max_image_text_tokens, s.num_proprio_tokens, s.num_action_tokens
         )
-        inputs_embeds = self._embed_merge(params, input_ids, pixel_values)
+        inputs_embeds = self._embed_merge(
+            params, input_ids, pixel_values, remat=remat
+        )
         proprio_embeds = self._encode_proprio(params, proprios)
         time_emb = self._time_embedding(t).astype(actions.dtype)
         time_cond = time_emb if s.adaptive_mode else None
@@ -624,10 +637,14 @@ class PiZero:
             {"vlm": vlm_pos, "proprio": proprio_pos, "action": action_pos},
             full_mask,
             time_cond,
+            remat=remat,
         )
         v_psi = self._decode_action(params, hidden)
         d_psi = actions - (1 - s.flow_sig_min) * x0
-        return jnp.mean((v_psi - d_psi) ** 2)
+        # reduce in fp32: bf16 mean over B*H*A terms loses ~2 decimal digits
+        return jnp.mean(
+            (v_psi.astype(jnp.float32) - d_psi.astype(jnp.float32)) ** 2
+        )
 
     # ------------------------------------------------------------------
     # Text generation (PaliGemma path; reference infer_text, pizero.py:616-650)

@@ -79,8 +79,13 @@ def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
     return x.reshape(b, nh * nw, patch_size * patch_size * c)
 
 
-def siglip_forward(params: Dict, pixel_values: jax.Array, cfg: Dict) -> jax.Array:
-    """[B, C, H, W] -> [B, N_patches, hidden]."""
+def siglip_forward(
+    params: Dict, pixel_values: jax.Array, cfg: Dict, remat: bool = False
+) -> jax.Array:
+    """[B, C, H, W] -> [B, N_patches, hidden]. ``remat`` checkpoints the
+    scanned layer for the training backward (27 layers of [B, 256, 1152+]
+    activations dominate the train-step HBM at batch >= 16 once the joint
+    stack is rematerialized — measured in docs/results/remat_memory_v5e.csv)."""
     d = cfg["hidden_size"]
     num_heads = cfg["num_attention_heads"]
     head_dim = d // num_heads
@@ -109,7 +114,8 @@ def siglip_forward(params: Dict, pixel_values: jax.Array, cfg: Dict) -> jax.Arra
         h = resid + (mm(x, lp["fc2_w"]) + lp["fc2_b"])
         return h, None
 
-    h, _ = jax.lax.scan(layer, h, params["layers"])
+    layer_fn = jax.checkpoint(layer) if remat else layer
+    h, _ = jax.lax.scan(layer_fn, h, params["layers"])
     return layer_norm(h, params["post_ln_w"], params["post_ln_b"], eps)
 
 

@@ -44,12 +44,19 @@ def make_train_step(model: PiZero, learning_rate: float = 1e-4):
     return step
 
 
-def make_optax_train_step(model: PiZero, tx):
+def make_optax_train_step(model: PiZero, tx, remat: bool = False):
     """The REAL training step: optax GradientTransformation (e.g.
     ``optax.masked(optax.adamw(schedule), mask)``) with in-step noise/flow-time
     sampling (beta flow-time, cfg ``flow_sampling: beta``). This is the step
     scripts/train_pi0_flow.py runs and the driver's multichip dryrun
-    validates — sharded params imply sharded adamw moments via GSPMD."""
+    validates — sharded params imply sharded adamw moments via GSPMD.
+
+    ``remat=True`` rematerializes each joint layer in the backward pass
+    (``jax.checkpoint`` around the scanned layer body) — activation HBM
+    drops from O(L) to O(1) layers at ~1/3 extra FLOPs, the standard trade
+    for larger per-chip batches. Gradient ACCUMULATION composes at the tx
+    level: wrap with ``optax.MultiSteps(tx, k)`` (scripts/train_pi0_flow.py
+    ``--accum-steps``) — the step signature is unchanged."""
     import optax
 
     def loss_fn(params, batch, noise, t):
@@ -62,6 +69,7 @@ def make_optax_train_step(model: PiZero, tx):
             batch["actions"],
             t,
             noise,
+            remat=remat,
         )
 
     @jax.jit

@@ -48,6 +48,14 @@ def parse_args():
     )
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize joint layers in the backward pass "
+                        "(jax.checkpoint per scanned layer): activation HBM "
+                        "O(L)->O(1) layers for ~1/3 extra FLOPs.")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="Gradient accumulation via optax.MultiSteps: "
+                        "parameters update every k micro-batches with the "
+                        "averaged gradient (effective batch = k*batch-size).")
     p.add_argument("--save-dir", type=str, default="")
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--multihost", action="store_true",
@@ -152,6 +160,12 @@ def main():
         warmup_steps=warmup,
     )
     tx = optax.masked(optax.adamw(schedule), mask)
+    if args.accum_steps > 1:
+        # accumulation sits OUTSIDE the mask/adamw: k micro-grads average in
+        # the accumulator, the inner tx sees one averaged update every k-th
+        # call, and param/opt shardings are untouched (the accumulator tree
+        # inherits the grads' shardings via GSPMD)
+        tx = optax.MultiSteps(tx, every_k_schedule=args.accum_steps)
 
     mesh = None
     if args.dp * args.tp > 1:
@@ -167,7 +181,7 @@ def main():
     # virtual mesh (blurr_tpu/parallel/train.py:dryrun_multichip)
     from blurr_tpu.parallel.train import make_optax_train_step
 
-    train_step = make_optax_train_step(model, tx)
+    train_step = make_optax_train_step(model, tx, remat=args.remat)
 
     nrng = np.random.RandomState(args.seed)
     data = None
