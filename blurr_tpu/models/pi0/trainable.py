@@ -17,6 +17,21 @@ def _mask_like(params, value: bool):
     return jax.tree.map(lambda _: value, params)
 
 
+def _subtrees_tied(a, b) -> bool:
+    """True when ``a`` IS ``b`` or every leaf of ``a`` is the same array
+    object as the corresponding leaf of ``b``. tie_action_proprio_weights
+    aliases the proprio mixture to the action arrays; sharding/device_put
+    rebuilds the dicts (so subtree identity breaks) while
+    parallel.mesh.shard_params keeps the LEAVES aliased — detect the tie at
+    the level that survives."""
+    if a is b:
+        return True
+    if a is None or b is None:
+        return False
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    return bool(la) and len(la) == len(lb) and all(x is y for x, y in zip(la, lb))
+
+
 def action_expert_mask(params: Dict) -> Dict:
     """Trainable = action mixture + action/proprio encoders + decoder
     (reference action_expert_parameters, pizero.py:122-129)."""
@@ -24,7 +39,7 @@ def action_expert_mask(params: Dict) -> Dict:
     for key in ("action_encoder", "proprio_encoder", "action_decoder"):
         mask[key] = _mask_like(params[key], True)
     mask["joint"]["action"] = _mask_like(params["joint"]["action"], True)
-    if params["joint"].get("proprio") is params["joint"].get("action"):
+    if _subtrees_tied(params["joint"].get("proprio"), params["joint"].get("action")):
         mask["joint"]["proprio"] = mask["joint"]["action"]
     return mask
 

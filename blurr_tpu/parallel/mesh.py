@@ -7,8 +7,11 @@ rules for tensor parallelism over attention heads / MLP intermediate, and
 GSPMD (jit + sharding annotations) inserting the collectives.
 
 Default deployment is a 1x1 mesh — Pi-0 (3B) fits one v5e chip — with TP as
-the capability extension for larger models (e.g. OpenVLA-7B on small chips)
-and DP for throughput benchmarking.
+the capability extension for larger models (e.g. OpenVLA-7B on small chips),
+DP for throughput, and FSDP (``shard_params(..., fsdp=True)``) sharding
+weights + adamw moments over the 'data' axis for training states larger
+than one chip's HBM (ZeRO-3 semantics; GSPMD inserts the per-use weight
+all-gathers and grad reduce-scatters).
 """
 
 from __future__ import annotations
@@ -132,20 +135,64 @@ def _spec_for_path(path: str, leaf) -> P:
     return P()  # replicate
 
 
-def pi0_param_sharding(params, mesh: Mesh):
-    """NamedSharding tree for a Pi-0 parameter pytree."""
+def _augment_fsdp(spec: P, shape, data_size: int) -> P:
+    """ZeRO-3 / GSPMD-FSDP: put the 'data' mesh axis (the one the batch is
+    split over) on the largest axis of the weight that the TP spec leaves
+    free and that divides evenly. XLA then stores 1/data of every weight
+    (and, downstream, of every adamw moment — opt_state inherits the params'
+    shardings) per device, all-gathers weights at each use, and
+    reduce-scatters the grads — no hand-written collectives.
+
+    Leaves with no divisible free axis (tiny scalars, odd dims) stay as the
+    TP spec says; they are a negligible fraction of the 3B tree."""
+    if data_size <= 1 or not shape:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best = None
+    for i, (e, dim) in enumerate(zip(entries, shape)):
+        if e is None and dim >= data_size and dim % data_size == 0:
+            if best is None or dim > shape[best]:
+                best = i
+    if best is None:
+        return spec
+    entries[best] = "data"
+    return P(*entries)
+
+
+def pi0_param_sharding(params, mesh: Mesh, fsdp: bool = False):
+    """NamedSharding tree for a Pi-0 parameter pytree. ``fsdp`` additionally
+    shards every leaf over the 'data' axis (see _augment_fsdp) — the training
+    configuration for models/optimizer states larger than one chip's HBM."""
+    data_size = mesh.shape.get("data", 1)
 
     def walk(tree, path):
         if isinstance(tree, dict):
             return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
-        return NamedSharding(mesh, _spec_for_path(path, tree))
+        spec = _spec_for_path(path, tree)
+        if fsdp:
+            spec = _augment_fsdp(spec, getattr(tree, "shape", ()), data_size)
+        return NamedSharding(mesh, spec)
 
     return walk(params, "")
 
 
-def shard_params(params, mesh: Mesh):
-    shardings = pi0_param_sharding(params, mesh)
-    return jax.tree.map(jax.device_put, params, shardings)
+def shard_params(params, mesh: Mesh, fsdp: bool = False):
+    """device_put the tree with its NamedShardings, PRESERVING leaf aliasing:
+    tie_action_proprio_weights points the proprio mixture at the action
+    arrays, and the trainable masks (models/pi0/trainable.py) detect that tie
+    by identity — a plain tree.map(device_put) would silently break it (and
+    duplicate the tied weights' HBM). Leaves that are the same array object
+    map to the same sharded array."""
+    shardings = pi0_param_sharding(params, mesh, fsdp=fsdp)
+    cache: Dict = {}
+
+    def put(x, s):
+        key = (id(x), s)
+        if key not in cache:
+            cache[key] = jax.device_put(x, s)
+        return cache[key]
+
+    return jax.tree.map(put, params, shardings)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -138,7 +138,12 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
     model = PiZero(cfg)
     mesh = make_mesh(data=data, model=model_par, devices=devices[:n_devices])
 
-    params = model.init_params(jax.random.PRNGKey(0))
+    # tied like production checkpoints (tie_action_proprio_weights): the
+    # trainable mask detects the tie by leaf identity, and shard_params must
+    # preserve it — an untied dryrun once masked a real freeze bug here
+    params = model.tie_action_proprio_weights(
+        model.init_params(jax.random.PRNGKey(0))
+    )
     params = shard_params(params, mesh)
 
     bsz = max(2, data)
@@ -217,7 +222,9 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
     # jax's partitionable threefry makes the in-step noise/flow-time draws
     # identical regardless of sharding, so loss and actions must agree to
     # collective-reduction tolerance.
-    params_1d = model.init_params(jax.random.PRNGKey(0))
+    params_1d = model.tie_action_proprio_weights(
+        model.init_params(jax.random.PRNGKey(0))
+    )
     batch_1d = {
         "input_ids": jnp.asarray(ids),
         "attention_mask": jnp.asarray(am),

@@ -56,6 +56,11 @@ def parse_args():
                    help="Gradient accumulation via optax.MultiSteps: "
                         "parameters update every k micro-batches with the "
                         "averaged gradient (effective batch = k*batch-size).")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style fully-sharded data parallelism: every "
+                        "weight (and adamw moment) additionally shards over "
+                        "the 'data' axis; GSPMD all-gathers weights per use "
+                        "and reduce-scatters grads. Needs --dp > 1.")
     p.add_argument("--save-dir", type=str, default="")
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--multihost", action="store_true",
@@ -168,9 +173,11 @@ def main():
         tx = optax.MultiSteps(tx, every_k_schedule=args.accum_steps)
 
     mesh = None
+    if args.fsdp and args.dp <= 1:
+        sys.exit("--fsdp shards over the 'data' axis; it needs --dp > 1")
     if args.dp * args.tp > 1:
         mesh = make_mesh(data=args.dp, model=args.tp)
-        params = shard_params(params, mesh)
+        params = shard_params(params, mesh, fsdp=args.fsdp)
     # init AFTER sharding: adamw mu/nu inherit the params' NamedShardings
     # (initializing first would materialize a full replicated fp32 moment
     # tree per device — ~2x model size of wasted HBM on every chip)

@@ -137,6 +137,115 @@ def test_tp_sharding_reduces_per_device_weight_bytes(model_and_params):
     assert ratio < 0.85, f"TP=2 args/device ratio {ratio:.3f} (expected < 0.85)"
 
 
+def _masked_adamw_step(model, params):
+    import optax
+
+    from blurr_tpu.models.pi0.trainable import action_expert_mask
+    from blurr_tpu.parallel.train import make_optax_train_step
+
+    tx = optax.masked(optax.adamw(1e-3), action_expert_mask(params))
+    return make_optax_train_step(model, tx), tx.init(params)
+
+
+def _train_batch(model, bsz: int = 2):
+    rng = np.random.RandomState(0)
+    inputs = tiny_inputs(model.cfg)
+    batch = {
+        "input_ids": inputs["input_ids"],
+        "attention_mask": inputs["attention_mask"],
+        "pixel_values": inputs["pixel_values"],
+        "proprios": inputs["proprios"],
+        "actions": jnp.asarray(rng.randn(2, 4, 7).astype(np.float32)),
+    }
+    if bsz > 2:  # tile up so the batch splits over a wider 'data' axis
+        reps = bsz // 2
+        batch = {
+            k: jnp.tile(v, (reps,) + (1,) * (v.ndim - 1)) for k, v in batch.items()
+        }
+    return batch
+
+
+def test_shard_params_preserves_weight_tying_and_mask(model_and_params):
+    """Regression: tree.map(device_put) used to break the action<->proprio
+    leaf aliasing, which action_expert_mask detects — sharded training
+    silently froze the tied proprio mixture that unsharded training updates
+    (masks differed between `--dp 1` and `--dp 2` runs of the same config)."""
+    from blurr_tpu.models.pi0.trainable import action_expert_mask
+
+    model, params = model_and_params
+    assert params["joint"]["proprio"]["v_w"] is params["joint"]["action"]["v_w"]
+    mesh = make_mesh(data=2, model=1)
+    sharded = shard_params(params, mesh)
+    assert sharded["joint"]["proprio"]["v_w"] is sharded["joint"]["action"]["v_w"]
+    m = action_expert_mask(sharded)
+    assert m["joint"]["proprio"]["v_w"], (
+        "tied proprio mixture must stay trainable after sharding"
+    )
+
+
+@pytest.mark.parametrize("data,model_par", [(2, 1), (2, 2), (4, 2)])
+def test_fsdp_train_step_matches_single_device(model_and_params, data, model_par):
+    """ZeRO-3-style FSDP (weights + adamw moments sharded over 'data',
+    GSPMD all-gather/reduce-scatter) is a memory layout, not a different
+    optimizer: loss and updated params must match the unsharded step, and
+    the updated params must STILL be FSDP-sharded (a training loop must not
+    degrade to replicated after step 1)."""
+    model, params = model_and_params
+    batch = _train_batch(model, bsz=max(2, data))
+    key = jax.random.PRNGKey(42)
+
+    step, opt_state = _masked_adamw_step(model, params)
+    p_ref, _, loss_ref = step(params, opt_state, batch, key)
+
+    mesh = make_mesh(data=data, model=model_par)
+    sharded = shard_params(params, mesh, fsdp=True)
+    bsh = batch_sharding(mesh)
+    sbatch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    step_s, opt_state_s = _masked_adamw_step(model, sharded)
+    with mesh:
+        p_s, _, loss_s = step_s(sharded, opt_state_s, sbatch, key)
+    np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=5e-4)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_s)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5
+        )
+    gate = p_s["joint"]["vlm"]["gate_w"]
+    assert "data" in tuple(gate.sharding.spec), (
+        f"updated params lost the FSDP sharding: {gate.sharding.spec}"
+    )
+    # [L, H, I] with 'data' on H: each device holds H/data rows
+    assert gate.addressable_shards[0].data.shape[1] * data == gate.shape[1]
+
+
+def test_fsdp_reduces_per_device_state_bytes(model_and_params):
+    """Compile-level evidence for the FSDP memory claim: the per-device
+    argument footprint (params + adamw moments + batch) of the fsdp=True
+    train step at data=2 must be materially below plain DP's (which
+    replicates all weights and moments). Measured ratio ~0.51 on the tiny
+    tree; threshold leaves slack for replicated stragglers."""
+    from blurr_tpu.utils.monitor import compiled_hbm_gb
+
+    model, params = model_and_params
+    batch = _train_batch(model)
+    key = jax.random.PRNGKey(42)
+    mesh = make_mesh(data=2, model=1)
+    bsh = batch_sharding(mesh)
+    sbatch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+
+    sizes = {}
+    for fsdp in (False, True):
+        sharded = shard_params(params, mesh, fsdp=fsdp)
+        step, opt_state = _masked_adamw_step(model, sharded)
+        with mesh:
+            compiled = jax.jit(step).lower(
+                sharded, opt_state, sbatch, key
+            ).compile()
+        sizes[fsdp] = compiled_hbm_gb(compiled).get("argument_gb", 0)
+    assert sizes[False] > 0
+    ratio = sizes[True] / sizes[False]
+    assert ratio < 0.65, f"FSDP args/device ratio {ratio:.3f} (expected < 0.65)"
+
+
 def test_remat_flow_loss_and_grads_match(model_and_params):
     """jax.checkpoint around the scanned joint layer changes memory, never
     math: loss and grads must match the non-remat path."""
