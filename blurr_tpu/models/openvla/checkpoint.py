@@ -233,26 +233,54 @@ def load_norm_stats(path: str) -> Optional[Dict]:
     return None
 
 
+def load_dataset_statistics(path: str) -> Optional[Dict]:
+    """dataset_statistics.json ONLY (no config.json fallback) — the
+    reference's _load_dataset_stats (eval_hf_vla_simpler.py:190-198,
+    benchmark_hf_vla.py:112-130). Distinct from load_norm_stats: the two
+    scripts keep dataset statistics and model norm_stats separate and only
+    the eval script injects one into the other."""
+    import json
+
+    p = os.path.join(path, "dataset_statistics.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
 def infer_unnorm_key(
     norm_stats: Dict,
     requested: Optional[str] = None,
     dataset_stats: Optional[Dict] = None,
+    prefer_dataset_stats: bool = False,
 ) -> Optional[str]:
-    """Reference logic (eval_hf_vla_simpler.py:270-288 + the explicit-key
-    validation of benchmark_hf_vla.py:228-231): honor an explicit key
-    (erroring when absent); prefer 'bridge_orig'; else the first
-    dataset-statistics key also in norm_stats; else the first norm_stats key
-    (json insertion order); else None."""
+    """Reference logic: honor an explicit key (erroring when absent, the
+    benchmark's validation, benchmark_hf_vla.py:228-231).
+
+    The two reference scripts rank the fallbacks DIFFERENTLY:
+      eval (eval_hf_vla_simpler.py:270-288, default here):
+          'bridge_orig' > first dataset-statistics key also in norm_stats >
+          first norm_stats key (json insertion order) > None
+      benchmark (benchmark_hf_vla.py:217-226, prefer_dataset_stats=True):
+          first dataset-statistics key also in norm_stats > 'bridge_orig' >
+          first norm_stats key > None
+    A fine-tuned snapshot whose dataset_statistics.json names a custom
+    dataset while config.json still carries 'bridge_orig' resolves to
+    DIFFERENT keys in the two scripts — callers must pick the ordering of
+    the script they mirror."""
     if requested:
         if requested in norm_stats:
             return requested
         raise KeyError(f"unnorm_key {requested!r} not in norm_stats")
-    if "bridge_orig" in norm_stats:
-        return "bridge_orig"
-    if dataset_stats:
-        inter = [k for k in dataset_stats if k in norm_stats]
-        if inter:
-            return inter[0]
+    inter = [k for k in (dataset_stats or {}) if k in norm_stats]
+    order = (
+        (inter[:1], ["bridge_orig"] if "bridge_orig" in norm_stats else [])
+        if prefer_dataset_stats
+        else (["bridge_orig"] if "bridge_orig" in norm_stats else [], inter[:1])
+    )
+    for cands in order:
+        if cands:
+            return cands[0]
     if norm_stats:
         return next(iter(norm_stats))
     return None

@@ -298,11 +298,49 @@ class PiZero:
 
     def tie_action_proprio_weights(self, params: Dict) -> Dict:
         """Point the proprio mixture at the action mixture's arrays
-        (reference tie_action_proprio_weights, pizero.py:270-272)."""
+        (reference tie_action_proprio_weights, pizero.py:270-272).
+
+        This ALIASED form is the inference/serving representation (the
+        duplicate leaves are the same buffers, halving their HBM). For
+        TRAINING use :meth:`canonicalize_tied_weights` — differentiating an
+        aliased tree gives each duplicate leaf only its own partial gradient,
+        which is NOT torch shared-Parameter semantics."""
         params = dict(params)
         params["joint"] = dict(params["joint"])
         params["joint"]["proprio"] = params["joint"]["action"]
         return params
+
+    def canonicalize_tied_weights(self, params: Dict) -> Dict:
+        """Training-canonical form of a tied tree: when the proprio mixture
+        is tied to the action mixture (same subtree or leaf-aliased, as
+        tie_action_proprio_weights and the torch bridge produce), replace it
+        with ``None``. Forward paths resolve ``None`` -> the action weights
+        (:meth:`_joint_weights`), so each action leaf is used by BOTH
+        mixtures inside one trace and autodiff SUMS the two cotangents —
+        exactly a shared torch Parameter's gradient. The optimizer then keeps
+        ONE moment set and buffer donation becomes legal (no duplicated
+        buffers). Untied trees pass through unchanged."""
+        from blurr_tpu.models.pi0.trainable import _subtrees_tied
+
+        jp = params.get("joint") or {}
+        if not _subtrees_tied(jp.get("proprio"), jp.get("action")):
+            return params
+        params = dict(params)
+        params["joint"] = dict(params["joint"])
+        params["joint"]["proprio"] = None
+        return params
+
+    def _joint_weights(self, params: Dict) -> Dict:
+        """Joint-mixture weights with the canonical tied form resolved:
+        ``joint.proprio is None`` means 'use the action mixture's weights'
+        (see canonicalize_tied_weights). Resolution happens at trace time,
+        so under ``jax.grad`` the shared leaves accumulate both mixtures'
+        gradient contributions."""
+        jp = params["joint"]
+        if jp.get("proprio") is None:
+            jp = dict(jp)
+            jp["proprio"] = jp["action"]
+        return jp
 
     # ------------------------------------------------------------------
     # Mask / position-id parity API
@@ -444,8 +482,9 @@ class PiZero:
             prefill_tc = self._time_embedding(jnp.zeros((bsz,), noise.dtype)).astype(
                 noise.dtype
             )
+        jw = self._joint_weights(params)
         cache = joint_lib.prefill(
-            {"vlm": params["joint"]["vlm"], "proprio": params["joint"]["proprio"]},
+            {"vlm": jw["vlm"], "proprio": jw["proprio"]},
             self.joint_spec,
             {"vlm": inputs_embeds, "proprio": proprio_embeds},
             {"vlm": vlm_pos, "proprio": proprio_pos},
@@ -469,7 +508,7 @@ class PiZero:
             time_cond = time_emb if s.adaptive_mode else None
             action_embeds = self._encode_action(params, action, time_emb)
             hidden = joint_lib.decode(
-                {"action": params["joint"]["action"]},
+                {"action": jw["action"]},
                 self.joint_spec,
                 action_embeds,
                 action_pos,
@@ -563,7 +602,7 @@ class PiZero:
             time_cond = time_emb if s.adaptive_mode else None
             action_embeds = self._encode_action(params, action, time_emb)
             hidden = joint_lib.naive_forward(
-                params["joint"],
+                self._joint_weights(params),
                 self.joint_spec,
                 {
                     "vlm": inputs_embeds,
@@ -631,7 +670,7 @@ class PiZero:
         time_cond = time_emb if s.adaptive_mode else None
         action_embeds = self._encode_action(params, psi, time_emb)
         hidden = joint_lib.naive_forward(
-            params["joint"],
+            self._joint_weights(params),
             self.joint_spec,
             {"vlm": inputs_embeds, "proprio": proprio_embeds, "action": action_embeds},
             {"vlm": vlm_pos, "proprio": proprio_pos, "action": action_pos},

@@ -107,9 +107,12 @@ def _spec_for_path(path: str, leaf) -> P:
         if name in ("q", "q8a", "fp"):
             return parent  # same shape/layout as the fp weight
         if name == "s":
-            # per-output-channel scale: the weight minus its contracted
-            # (-2) axis, so drop that entry from the parent spec
-            if len(parent) >= 2:
+            # int8/w8a8 scales are per-output-channel: the weight minus its
+            # contracted (-2) axis, identified by ndim == weight_ndim - 1.
+            # w4a8 scales are GROUP-wise [..., G, N] (same ndim as the
+            # weight) — they replicate, matching their q4 sibling below.
+            nd = getattr(leaf, "ndim", None)
+            if len(parent) >= 2 and nd == len(parent) - 1:
                 return P(*parent[:-2], parent[-1])
             return P()
         return P()  # q4 block-major packing is not TP-sharded (see server)
@@ -166,6 +169,8 @@ def pi0_param_sharding(params, mesh: Mesh, fsdp: bool = False):
     data_size = mesh.shape.get("data", 1)
 
     def walk(tree, path):
+        if tree is None:  # canonical tied form: empty subtree, no sharding
+            return None
         if isinstance(tree, dict):
             return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
         spec = _spec_for_path(path, tree)

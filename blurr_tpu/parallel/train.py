@@ -31,10 +31,10 @@ def make_train_step(model: PiZero, learning_rate: float = 1e-4):
             batch["x0"],
         )
 
-    # NOTE: donate_argnums=(0,) would halve the peak param memory, but the
-    # Pi-0 tree carries ALIASED leaves (tie_action_proprio_weights points
-    # proprio at the action arrays) and XLA rejects donating the same buffer
-    # twice. Donation would need an untied canonical training tree first.
+    # NOTE: donate_argnums=(0,) would halve the peak param memory, but only
+    # for a canonical tree (PiZero.canonicalize_tied_weights) — an ALIASED
+    # tied tree makes XLA reject donating the same buffer twice. This simple
+    # SGD step is a test fixture; the production step below donates.
     @jax.jit
     def step(params, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
@@ -44,19 +44,33 @@ def make_train_step(model: PiZero, learning_rate: float = 1e-4):
     return step
 
 
-def make_optax_train_step(model: PiZero, tx, remat: bool = False):
+def make_optax_train_step(model: PiZero, tx, remat: bool = False,
+                          donate: bool = False):
     """The REAL training step: optax GradientTransformation (e.g.
     ``optax.masked(optax.adamw(schedule), mask)``) with in-step noise/flow-time
     sampling (beta flow-time, cfg ``flow_sampling: beta``). This is the step
     scripts/train_pi0_flow.py runs and the driver's multichip dryrun
     validates — sharded params imply sharded adamw moments via GSPMD.
 
+    ``params`` must be a TRAINING-CANONICAL tree for tied checkpoints
+    (``PiZero.canonicalize_tied_weights``: tied proprio mixture -> None,
+    resolved to the action weights inside the forward). Differentiating the
+    ALIASED tied tree instead silently breaks the tie on the first update —
+    each duplicate leaf gets only its own partial gradient, not the summed
+    gradient a shared torch Parameter receives — so the step refuses aliased
+    trees (checked once, before tracing).
+
     ``remat=True`` rematerializes each joint layer in the backward pass
     (``jax.checkpoint`` around the scanned layer body) — activation HBM
     drops from O(L) to O(1) layers at ~1/3 extra FLOPs, the standard trade
     for larger per-chip batches. Gradient ACCUMULATION composes at the tx
     level: wrap with ``optax.MultiSteps(tx, k)`` (scripts/train_pi0_flow.py
-    ``--accum-steps``) — the step signature is unchanged."""
+    ``--accum-steps``) — the step signature is unchanged.
+
+    ``donate=True`` donates the params and opt_state buffers to XLA
+    (in-place update): peak training HBM drops by ~one full params+moments
+    copy. Requires the canonical tree (duplicate buffers cannot be donated
+    twice); the caller must not reuse the donated inputs afterwards."""
     import optax
 
     def loss_fn(params, batch, noise, t):
@@ -72,7 +86,6 @@ def make_optax_train_step(model: PiZero, tx, remat: bool = False):
             remat=remat,
         )
 
-    @jax.jit
     def step(params, opt_state, batch, key):
         k1, k2 = jax.random.split(key)
         noise = jax.random.normal(k1, batch["actions"].shape, jnp.float32)
@@ -82,7 +95,37 @@ def make_optax_train_step(model: PiZero, tx, remat: bool = False):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return step
+    jit_step = jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    checked = {"done": False}
+
+    def guarded(params, opt_state, batch, key):
+        if not checked["done"]:
+            assert_no_aliased_leaves(params)
+            checked["done"] = True
+        return jit_step(params, opt_state, batch, key)
+
+    guarded.lower = jit_step.lower  # AOT compile/memory-analysis access
+    return guarded
+
+
+def assert_no_aliased_leaves(params) -> None:
+    """Refuse training on a tree with duplicate (aliased) array leaves: the
+    gradient of each alias is only its own partial contribution, which is
+    not shared-Parameter semantics. Convert with
+    ``PiZero.canonicalize_tied_weights`` first. (Identity is only visible on
+    concrete trees — this runs on the host, never under jit.)"""
+    leaves = jax.tree.leaves(params)
+    seen = {}
+    for i, leaf in enumerate(leaves):
+        j = seen.setdefault(id(leaf), i)
+        if j != i:
+            raise ValueError(
+                "params tree has aliased leaves (e.g. "
+                "tie_action_proprio_weights): training on the aliased tree "
+                "silently breaks the tie and drops half of each tied leaf's "
+                "gradient. Call PiZero.canonicalize_tied_weights(params) "
+                "before training."
+            )
 
 
 def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
@@ -138,11 +181,14 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
     model = PiZero(cfg)
     mesh = make_mesh(data=data, model=model_par, devices=devices[:n_devices])
 
-    # tied like production checkpoints (tie_action_proprio_weights): the
-    # trainable mask detects the tie by leaf identity, and shard_params must
-    # preserve it — an untied dryrun once masked a real freeze bug here
-    params = model.tie_action_proprio_weights(
-        model.init_params(jax.random.PRNGKey(0))
+    # tied like production checkpoints (tie_action_proprio_weights), then
+    # converted to the training-canonical form exactly as
+    # scripts/train_pi0_flow.py does: the tied proprio mixture becomes None
+    # and the forward resolves it to the action weights, so its gradient
+    # SUMS into the action leaves (shared-Parameter semantics) instead of
+    # silently breaking the tie on the first update
+    params = model.canonicalize_tied_weights(
+        model.tie_action_proprio_weights(model.init_params(jax.random.PRNGKey(0)))
     )
     params = shard_params(params, mesh)
 
@@ -190,7 +236,7 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
             action_expert_mask(params),
         )
         opt_state = tx.init(params)
-        step = make_optax_train_step(model, tx)
+        step = make_optax_train_step(model, tx, donate=True)
         params, opt_state, loss = step(
             params, opt_state, batch, jax.random.PRNGKey(0)
         )
@@ -222,8 +268,8 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
     # jax's partitionable threefry makes the in-step noise/flow-time draws
     # identical regardless of sharding, so loss and actions must agree to
     # collective-reduction tolerance.
-    params_1d = model.tie_action_proprio_weights(
-        model.init_params(jax.random.PRNGKey(0))
+    params_1d = model.canonicalize_tied_weights(
+        model.tie_action_proprio_weights(model.init_params(jax.random.PRNGKey(0)))
     )
     batch_1d = {
         "input_ids": jnp.asarray(ids),

@@ -151,12 +151,31 @@ def _report(tag, ref, cur):
     )
 
 
+# each quantized variant is only meaningful against ITS dims-matched bf16
+# control — a subset run must pull the right control in (and must NOT run
+# the other dims-group's controls: a pool64-only request that still built
+# the full-dims tree would waste ~5 min of remote compiles)
+CONTROL = {
+    "bf16_rerun": "bf16",
+    "w8a8": "bf16",
+    "w4a8": "bf16",
+    "int8kv": "bf16",
+    "pool64_w8a8": "pool64_bf16",
+    "pool64_w4a8": "pool64_bf16",
+}
+
+
 def main():
     only = set(sys.argv[1:])  # optional: run a subset of variants
+    unknown = only - set(VARIANTS)
+    if unknown:
+        sys.exit(f"unknown variant(s) {sorted(unknown)}; "
+                 f"choose from {list(VARIANTS)}")
+    run = set(only) | {CONTROL[t] for t in only if t in CONTROL} if only else set(VARIANTS)
     results = {}
     shared = {}  # yaml_name -> bf16 param tree (one RNG init per dims-group)
     for tag, (yaml_name, quant) in VARIANTS.items():
-        if only and tag not in only and not tag.startswith("bf16"):
+        if tag not in run:
             continue
         group = "bridge.yaml" if yaml_name == "bridge.yaml" else "pool64"
         if group not in shared:

@@ -55,18 +55,25 @@ def _request_payload(image_hw: int, proprio_dim: int) -> dict:
     }
 
 
-def _client_loop(port: int, payload: dict, stop_at: float, out: list):
-    sock = socket.create_connection(("127.0.0.1", port))
+def _client_loop(port: int, payload: dict, stop_at: float, out: list,
+                 errors: list):
+    """A failure lands in ``errors`` — a silently-dead client thread would
+    otherwise shrink the effective concurrency and misreport the sweep point
+    as healthy at a lower load."""
     try:
-        while time.time() < stop_at:
-            t0 = time.time()
-            send_msg(sock, payload)
-            resp = recv_msg(sock)
-            dt = time.time() - t0
-            assert resp is not None and "actions" in resp, resp
-            out.append(dt)
-    finally:
-        sock.close()
+        sock = socket.create_connection(("127.0.0.1", port))
+        try:
+            while time.time() < stop_at:
+                t0 = time.time()
+                send_msg(sock, payload)
+                resp = recv_msg(sock)
+                dt = time.time() - t0
+                assert resp is not None and "actions" in resp, resp
+                out.append(dt)
+        finally:
+            sock.close()
+    except BaseException as exc:  # noqa: BLE001 — recorded, re-raised by parent
+        errors.append(exc)
 
 
 def _percentiles(lat):
@@ -103,27 +110,54 @@ def run_preset(name: str, cfg_path: str, max_batch: int, sweep: list, rows: list
     img_hw = int(cfg["vision"]["config"]["image_size"])
     payload = _request_payload(img_hw, int(cfg["proprio_dim"]))
 
-    # direct device loop (no socket, no batcher): the per-request floor
+    # per-request floors (no socket). Two modes:
+    #   direct_predict — the single-request FAST PATH (max_batch temporarily
+    #     1 so predict() skips the queue entirely): device + preprocessing
+    #     only. With max_batch>1 predict() routes through the batcher and
+    #     its ~2ms collection window, which is NOT a floor.
+    #   queued_predict — predict() through the batcher at the preset's
+    #     max_batch: (queued - direct) isolates the queue+window overhead a
+    #     single request pays for dynamic batching.
     img = np.frombuffer(base64.b64decode(payload["image"]), np.uint8).reshape(
         img_hw, img_hw, 3
     )
-    direct = []
-    for _ in range(40):
-        t0 = time.time()
-        server.predict(img, payload["instruction"], payload["proprio"])
-        direct.append(time.time() - t0)
-    direct_stats = _percentiles(direct[10:])
+
+    def _predict_loop(iters=40, drop=10):
+        lat = []
+        for _ in range(iters):
+            t0 = time.time()
+            server.predict(img, payload["instruction"], payload["proprio"])
+            lat.append(time.time() - t0)
+        return _percentiles(lat[drop:]), iters - drop
+
+    orig_max_batch = server.max_batch
+    server.max_batch = 1  # predict() takes the direct branch; batcher idles
+    try:
+        direct_stats, n_direct = _predict_loop()
+    finally:
+        server.max_batch = orig_max_batch
     print(f"[{name}] direct predict() p50 {direct_stats['p50_ms']:.1f} ms", flush=True)
     rows.append({"preset": name, "clients": 0, "mode": "direct_predict",
-                 "requests": len(direct) - 10, "chunks_per_s": "",
-                 **direct_stats})
+                 "requests": n_direct, "chunks_per_s": "", **direct_stats})
+    if orig_max_batch > 1:
+        queued_stats, n_queued = _predict_loop()
+        print(
+            f"[{name}] queued predict() p50 {queued_stats['p50_ms']:.1f} ms "
+            f"(batching overhead "
+            f"{queued_stats['p50_ms'] - direct_stats['p50_ms']:.1f} ms)",
+            flush=True,
+        )
+        rows.append({"preset": name, "clients": 0, "mode": "queued_predict",
+                     "requests": n_queued, "chunks_per_s": "", **queued_stats})
 
     for n in sweep:
         lat_lists = [[] for _ in range(n)]
+        errors: list = []
         stop_at = time.time() + DURATION_S
         threads = [
             threading.Thread(
-                target=_client_loop, args=(port, payload, stop_at, lat_lists[i])
+                target=_client_loop,
+                args=(port, payload, stop_at, lat_lists[i], errors),
             )
             for i in range(n)
         ]
@@ -133,6 +167,13 @@ def run_preset(name: str, cfg_path: str, max_batch: int, sweep: list, rows: list
         for t in threads:
             t.join()
         wall = time.time() - t0
+        if errors:
+            # a dead client shrinks the effective concurrency — the sweep
+            # point is invalid, not "healthy at lower load"
+            raise RuntimeError(
+                f"[{name}] clients={n}: {len(errors)} client thread(s) "
+                f"failed; first: {errors[0]!r}"
+            )
         lat = [x for lst in lat_lists for x in lst]
         stats = _percentiles(lat)
         chunks_per_s = len(lat) / wall

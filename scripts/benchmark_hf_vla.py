@@ -64,6 +64,7 @@ def main():
 
     from blurr_tpu.models.openvla.checkpoint import (
         infer_unnorm_key,
+        load_dataset_statistics,
         load_norm_stats,
         openvla_params_from_hf_dir,
     )
@@ -79,9 +80,11 @@ def main():
 
     model_path = Path(args.model_id).expanduser()
     norm_stats = None
+    dataset_stats = None
     if model_path.is_dir():
         spec = OpenVLASpec.from_snapshot_dir(model_path)
         norm_stats = load_norm_stats(str(model_path))
+        dataset_stats = load_dataset_statistics(str(model_path))
         model = OpenVLA(spec, norm_stats)
         params = openvla_params_from_hf_dir(str(model_path), spec, dtype)
         if args.quantization == "w8a8":
@@ -156,7 +159,13 @@ def main():
 
     unnorm_key = None
     if norm_stats:
-        unnorm_key = infer_unnorm_key(norm_stats, args.unnorm_key)
+        # the BENCHMARK ordering (reference benchmark_hf_vla.py:217-226):
+        # dataset-statistics intersection beats 'bridge_orig' — the opposite
+        # of the eval script's preference (see infer_unnorm_key)
+        unnorm_key = infer_unnorm_key(
+            norm_stats, args.unnorm_key, dataset_stats=dataset_stats,
+            prefer_dataset_stats=True,
+        )
 
     processor = OpenVLAProcessor(
         tokenizer, image_size=spec.siglip.image_size, fused=spec.use_fused_vision

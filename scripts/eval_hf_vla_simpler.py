@@ -101,7 +101,9 @@ def parse_args() -> argparse.Namespace:
 
 
 def _build_model(args, dtype):
-    """Returns (model, params, processor, norm_stats, is_oft)."""
+    """Returns (model, params, processor, norm_stats, dataset_stats, is_oft,
+    oft_proj). ``dataset_stats`` (dataset_statistics.json) participates in
+    unnorm-key inference (reference eval_hf_vla_simpler.py:270-288)."""
     import jax
 
     from blurr_tpu.models.openvla.model import OpenVLA, OpenVLAOFT, OpenVLASpec
@@ -113,15 +115,19 @@ def _build_model(args, dtype):
     model_path = Path(args.model_id).expanduser()
     oft_head = oft_proj = None
     norm_stats: Dict[str, Any] = {}
+    dataset_stats: Dict[str, Any] = {}
     if model_path.is_dir():
         from blurr_tpu.models.openvla.checkpoint import (
-            load_norm_stats,
+            load_dataset_statistics,
             load_oft_aux_params,
             openvla_params_from_hf_dir,
         )
 
         spec = OpenVLASpec.from_snapshot_dir(model_path)
-        dataset_stats = load_norm_stats(str(model_path)) or {}
+        # dataset_statistics.json ONLY — a config.json norm_stats fallback
+        # here would contaminate both the injection and the key preference
+        # (reference _load_dataset_stats, eval_hf_vla_simpler.py:190-198)
+        dataset_stats = load_dataset_statistics(str(model_path)) or {}
         cfg_stats_path = model_path / "config.json"
         if cfg_stats_path.exists():
             cfg_raw = json.load(open(cfg_stats_path))
@@ -205,7 +211,8 @@ def _build_model(args, dtype):
     processor = OpenVLAProcessor(
         tokenizer, image_size=spec.siglip.image_size, fused=spec.use_fused_vision
     )
-    return model, params, processor, norm_stats, oft_head is not None, oft_proj
+    return (model, params, processor, norm_stats, dataset_stats,
+            oft_head is not None, oft_proj)
 
 
 def main() -> None:
@@ -239,11 +246,17 @@ def main() -> None:
         force=True,
     )
 
-    model, params, processor, norm_stats, is_oft, oft_proj = _build_model(args, dtype)
+    (model, params, processor, norm_stats, dataset_stats, is_oft,
+     oft_proj) = _build_model(args, dtype)
     unnorm_key = None
     if norm_stats:
         try:
-            unnorm_key = infer_unnorm_key(norm_stats, args.unnorm_key)
+            # dataset_statistics.json participates in the key preference
+            # (reference :270-288: bridge_orig > dataset-stats intersection
+            # > first norm_stats key)
+            unnorm_key = infer_unnorm_key(
+                norm_stats, args.unnorm_key, dataset_stats=dataset_stats
+            )
         except KeyError:
             unnorm_key = next(iter(norm_stats), None)
     action_stats = (norm_stats.get(unnorm_key) or {}).get("action") if unnorm_key else None

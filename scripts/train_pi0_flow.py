@@ -135,6 +135,12 @@ def main():
         )
     if args.pretrained_paligemma:
         params = model.load_pretrained_weights(params, args.pretrained_paligemma)
+    # training-canonical form: a tied proprio mixture becomes None and the
+    # forward resolves it to the action weights, so autodiff SUMS both
+    # mixtures' contributions into the single action leaves (torch
+    # shared-Parameter semantics), adamw keeps one moment set, and buffer
+    # donation below is legal. Saved/resumed checkpoints are canonical too.
+    params = model.canonicalize_tied_weights(params)
     if args.resume:
         from blurr_tpu.models.pi0.checkpoint import restore_params
 
@@ -149,17 +155,24 @@ def main():
     mask = mask_fn(params)
 
     # jit-compatible schedule for the optimizer; the host-side
-    # cosine_annealing_warmup_restarts (utils.optim) is used for logging
-    warmup = min(args.warmup_steps, max(args.steps - 1, 1))
+    # cosine_annealing_warmup_restarts (utils.optim) is used for logging.
+    # The schedule inside adamw advances once per OPTIMIZER UPDATE — with
+    # --accum-steps k that is every k-th micro-batch (optax.MultiSteps gates
+    # the inner tx) — so warmup/decay are budgeted in update units, not
+    # micro-steps, or a k=4 run would end near peak LR with the decay never
+    # applied.
+    k = max(args.accum_steps, 1)
+    total_updates = max(-(-args.steps // k), 2)  # ceil
+    warmup = min(-(-args.warmup_steps // k), max(total_updates - 1, 1))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=args.lr * 0.01,
         peak_value=args.lr,
         warmup_steps=warmup,
-        decay_steps=max(args.steps, 2),
+        decay_steps=total_updates,
         end_value=args.lr * 0.01,
     )
     log_schedule = cosine_annealing_warmup_restarts(
-        first_cycle_steps=max(args.steps, 2),
+        first_cycle_steps=total_updates,
         max_lr=args.lr,
         min_lr=args.lr * 0.01,
         warmup_steps=warmup,
@@ -188,7 +201,11 @@ def main():
     # virtual mesh (blurr_tpu/parallel/train.py:dryrun_multichip)
     from blurr_tpu.parallel.train import make_optax_train_step
 
-    train_step = make_optax_train_step(model, tx, remat=args.remat)
+    # donate=True: params/opt_state update in place — peak HBM drops by a
+    # full params+moments copy (legal on the canonical tree: no aliases)
+    train_step = make_optax_train_step(
+        model, tx, remat=args.remat, donate=True
+    )
 
     nrng = np.random.RandomState(args.seed)
     data = None
@@ -211,9 +228,12 @@ def main():
         rng, sub = jax.random.split(rng)
         params, opt_state, loss = train_step(params, opt_state, batch, sub)
         if step % args.log_every == 0 or step == args.steps - 1:
+            # the applied LR is the schedule at the optimizer-update count
+            # (step // k), not the micro-step index
             log.info(
                 "step %d/%d loss %.5f lr %.2e elapsed %.1fs",
-                step, args.steps, float(loss), log_schedule(step), time.time() - t0,
+                step, args.steps, float(loss), log_schedule(step // k),
+                time.time() - t0,
             )
 
     if args.save_dir:

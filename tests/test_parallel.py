@@ -147,6 +147,15 @@ def _masked_adamw_step(model, params):
     return make_optax_train_step(model, tx), tx.init(params)
 
 
+@pytest.fixture(scope="module")
+def model_and_canon_params(model_and_params):
+    """Training-canonical form of the tied tree (proprio mixture -> None,
+    resolved to the action weights in the forward) — what every training
+    path must use."""
+    model, params = model_and_params
+    return model, model.canonicalize_tied_weights(params)
+
+
 def _train_batch(model, bsz: int = 2):
     rng = np.random.RandomState(0)
     inputs = tiny_inputs(model.cfg)
@@ -184,13 +193,15 @@ def test_shard_params_preserves_weight_tying_and_mask(model_and_params):
 
 
 @pytest.mark.parametrize("data,model_par", [(2, 1), (2, 2), (4, 2)])
-def test_fsdp_train_step_matches_single_device(model_and_params, data, model_par):
+def test_fsdp_train_step_matches_single_device(
+    model_and_canon_params, data, model_par
+):
     """ZeRO-3-style FSDP (weights + adamw moments sharded over 'data',
     GSPMD all-gather/reduce-scatter) is a memory layout, not a different
     optimizer: loss and updated params must match the unsharded step, and
     the updated params must STILL be FSDP-sharded (a training loop must not
     degrade to replicated after step 1)."""
-    model, params = model_and_params
+    model, params = model_and_canon_params
     batch = _train_batch(model, bsz=max(2, data))
     key = jax.random.PRNGKey(42)
 
@@ -217,7 +228,7 @@ def test_fsdp_train_step_matches_single_device(model_and_params, data, model_par
     assert gate.addressable_shards[0].data.shape[1] * data == gate.shape[1]
 
 
-def test_fsdp_reduces_per_device_state_bytes(model_and_params):
+def test_fsdp_reduces_per_device_state_bytes(model_and_canon_params):
     """Compile-level evidence for the FSDP memory claim: the per-device
     argument footprint (params + adamw moments + batch) of the fsdp=True
     train step at data=2 must be materially below plain DP's (which
@@ -225,7 +236,7 @@ def test_fsdp_reduces_per_device_state_bytes(model_and_params):
     tree; threshold leaves slack for replicated stragglers."""
     from blurr_tpu.utils.monitor import compiled_hbm_gb
 
-    model, params = model_and_params
+    model, params = model_and_canon_params
     batch = _train_batch(model)
     key = jax.random.PRNGKey(42)
     mesh = make_mesh(data=2, model=1)
@@ -284,6 +295,7 @@ def test_accum_steps_matches_full_batch_gradient(model_and_params):
     from blurr_tpu.parallel.train import make_optax_train_step
 
     model, params = model_and_params
+    params = model.canonicalize_tied_weights(params)
     rng = np.random.RandomState(2)
     inputs = tiny_inputs(model.cfg)
 
@@ -335,3 +347,143 @@ def test_accum_steps_matches_full_batch_gradient(model_and_params):
     for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Tied-weight training semantics (canonical form)
+# ---------------------------------------------------------------------------
+
+
+def test_canonicalize_tied_weights_roundtrip(model_and_params):
+    """Tied tree -> canonical (proprio None); untied tree passes through;
+    tie() on a canonical tree restores the aliased inference form."""
+    model, params = model_and_params
+    canon = model.canonicalize_tied_weights(params)
+    assert canon["joint"]["proprio"] is None
+    # untied: unchanged
+    untied = model.init_params(jax.random.PRNGKey(1))
+    assert model.canonicalize_tied_weights(untied) is untied
+    retied = model.tie_action_proprio_weights(canon)
+    assert retied["joint"]["proprio"] is retied["joint"]["action"]
+
+
+def test_canonical_inference_matches_tied(model_and_params):
+    """proprio=None resolves to the action weights in every forward path:
+    actions must be bit-identical to the aliased tied tree's."""
+    model, params = model_and_params
+    canon = model.canonicalize_tied_weights(params)
+    inputs = tiny_inputs(model.cfg)
+    ref = np.asarray(model.infer_action(params, **inputs))
+    out = np.asarray(model.infer_action(canon, **inputs))
+    np.testing.assert_array_equal(out, ref)
+    naive_ref = np.asarray(model.infer_action_naive(params, **inputs))
+    naive = np.asarray(model.infer_action_naive(canon, **inputs))
+    np.testing.assert_array_equal(naive, naive_ref)
+
+
+def test_tied_gradients_sum_into_action_leaves(model_and_params):
+    """THE tied-training semantics check (torch shared Parameter): the
+    canonical tree's action-mixture gradient must equal the SUM of the
+    aliased tree's separate proprio + action partial gradients."""
+    model, params = model_and_params
+    canon = model.canonicalize_tied_weights(params)
+    rng = np.random.RandomState(3)
+    inputs = tiny_inputs(model.cfg)
+    args = (
+        inputs["input_ids"], inputs["attention_mask"],
+        inputs["pixel_values"], inputs["proprios"],
+        jnp.asarray(rng.randn(2, 4, 7).astype(np.float32)),
+        jnp.asarray([0.3, 0.6], jnp.float32),
+        inputs["noise"],
+    )
+    g_alias = jax.grad(lambda p: model.flow_loss(p, *args))(params)
+    g_canon = jax.grad(lambda p: model.flow_loss(p, *args))(canon)
+    assert g_canon["joint"]["proprio"] is None
+    for k in g_canon["joint"]["action"]:
+        summed = jax.tree.map(
+            lambda a, b: a + b,
+            g_alias["joint"]["proprio"][k],
+            g_alias["joint"]["action"][k],
+        )
+        for a, b in zip(
+            jax.tree.leaves(summed), jax.tree.leaves(g_canon["joint"]["action"][k])
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6
+            )
+
+
+def test_optax_step_rejects_aliased_tree(model_and_params):
+    """Training on the raw tied tree silently breaks the tie (each alias
+    gets a partial gradient) — the step must refuse it up front."""
+    import optax
+
+    from blurr_tpu.models.pi0.trainable import action_expert_mask
+    from blurr_tpu.parallel.train import make_optax_train_step
+
+    model, params = model_and_params
+    tx = optax.masked(optax.adamw(1e-3), action_expert_mask(params))
+    step = make_optax_train_step(model, tx)
+    batch = _train_batch(model)
+    with pytest.raises(ValueError, match="aliased leaves"):
+        step(params, tx.init(params), batch, jax.random.PRNGKey(0))
+
+
+def test_canonical_step_trains_and_donates(model_and_canon_params):
+    """One donated masked-adamw step on the canonical tree: proprio stays
+    None (one moment set), the action mixture actually moves, and the tie
+    survives re-expansion for inference.
+
+    Donation CONSUMES the input buffers (honored on CPU too), so this test
+    must work on a private copy — donating the module-scoped fixture's
+    arrays would delete them for every later test."""
+    import optax
+
+    from blurr_tpu.models.pi0.trainable import action_expert_mask
+    from blurr_tpu.parallel.train import make_optax_train_step
+
+    model, params = model_and_canon_params
+    params = jax.tree.map(jnp.array, params)  # private copy: donation consumes
+    mask = action_expert_mask(params)
+    assert mask["joint"]["proprio"] is None
+    tx = optax.masked(optax.adamw(1e-3), mask)
+    opt_state = tx.init(params)
+    step = make_optax_train_step(model, tx, donate=True)
+    before = np.asarray(params["joint"]["action"]["q_w"]).copy()
+    p1, opt_state, loss = step(
+        params, opt_state, _train_batch(model), jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(loss))
+    assert p1["joint"]["proprio"] is None
+    assert np.abs(np.asarray(p1["joint"]["action"]["q_w"]) - before).max() > 0
+    retied = model.tie_action_proprio_weights(p1)
+    assert retied["joint"]["proprio"] is retied["joint"]["action"]
+
+
+def test_w4a8_scale_sharding_replicates_with_q4(model_and_params):
+    """TP rule consistency across the three quant-dict formats: w8a8 scales
+    are per-output-channel ([L, out], sharded with the weight's out axis);
+    w4a8 scales are group-wise [L, G, N] and must REPLICATE, matching their
+    (unsharded) block-major q4 sibling — sharding G would hand the Pallas
+    kernel partial group scales against full packed weights."""
+    from jax.sharding import PartitionSpec as P
+
+    from blurr_tpu.ops.quant import quantize_mixture_w4a8, quantize_mixture_w8a8
+    from blurr_tpu.parallel.mesh import pi0_param_sharding
+
+    model, params = model_and_params
+    mesh = make_mesh(data=1, model=2)
+
+    p8 = dict(params)
+    p8["joint"] = dict(params["joint"])
+    p8["joint"]["vlm"] = quantize_mixture_w8a8(params["joint"]["vlm"])
+    sh8 = pi0_param_sharding(p8, mesh)
+    assert sh8["joint"]["vlm"]["q_w"]["s"].spec == P(None, "model")
+    assert sh8["joint"]["vlm"]["q_w"]["q8a"].spec == P(None, None, "model")
+
+    p4 = dict(params)
+    p4["joint"] = dict(params["joint"])
+    p4["joint"]["vlm"] = quantize_mixture_w4a8(params["joint"]["vlm"])
+    sh4 = pi0_param_sharding(p4, mesh)
+    assert sh4["joint"]["vlm"]["q_w"]["s"].spec == P()
+    assert sh4["joint"]["vlm"]["q_w"]["q4"].spec == P()

@@ -493,6 +493,37 @@ def test_infer_unnorm_key_hf(monkeypatch, norm_keys, ds_keys, override):
     assert mine == ref
 
 
+def test_infer_unnorm_key_benchmark_order_flips_preference():
+    """The reference BENCHMARK ranks the fallbacks the other way around from
+    the eval script (benchmark_hf_vla.py:217-226, inline in main() so not
+    import-drivable): dataset-statistics intersection > 'bridge_orig' >
+    first norm_stats key. A fine-tuned snapshot whose dataset_statistics.json
+    names a custom dataset while config.json still carries 'bridge_orig' must
+    resolve to the custom key under prefer_dataset_stats=True and to
+    'bridge_orig' under the eval default."""
+    norm = {"bridge_orig": {}, "custom_ds": {}}
+    ds = {"custom_ds": {}}
+    assert infer_unnorm_key(norm, dataset_stats=ds) == "bridge_orig"
+    assert (
+        infer_unnorm_key(norm, dataset_stats=ds, prefer_dataset_stats=True)
+        == "custom_ds"
+    )
+    # no intersection: benchmark falls back to bridge_orig, then first key
+    assert (
+        infer_unnorm_key(norm, dataset_stats={"zzz": {}},
+                         prefer_dataset_stats=True)
+        == "bridge_orig"
+    )
+    assert (
+        infer_unnorm_key({"a": {}, "b": {}}, dataset_stats={},
+                         prefer_dataset_stats=True)
+        == "a"
+    )
+    # explicit key validation applies in both orderings
+    with pytest.raises(KeyError):
+        infer_unnorm_key(norm, requested="zzz", prefer_dataset_stats=True)
+
+
 def test_infer_unnorm_key_rejects_unknown_explicit_key():
     """Deliberately STRICTER than the reference eval script (which returns an
     unvalidated override and fails later): the explicit-key validation of
