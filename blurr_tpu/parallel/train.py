@@ -18,6 +18,26 @@ from blurr_tpu.models.pi0.pizero import PiZero
 from blurr_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
 
 
+def _cast_batch_to_param_dtype(params, batch: Dict) -> Dict:
+    """Cast floating batch leaves to the weights' dtype.
+
+    Data loaders hand back fp32 arrays; with bf16 weights an uncast batch
+    leaks fp32 into the action mixture and flips the joint layer-scan carry
+    dtype — the step then fails to trace. Integer leaves (input_ids,
+    attention_mask) pass through untouched. fp32 params + bf16 batch upcasts,
+    which is equally correct.
+    """
+    wdtype = next(
+        l.dtype
+        for l in jax.tree.leaves(params)
+        if jnp.issubdtype(l.dtype, jnp.inexact)
+    )
+    return {
+        k: v.astype(wdtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
+        for k, v in batch.items()
+    }
+
+
 def make_train_step(model: PiZero, learning_rate: float = 1e-4):
     def loss_fn(params, batch):
         return model.flow_loss(
@@ -37,6 +57,7 @@ def make_train_step(model: PiZero, learning_rate: float = 1e-4):
     # SGD step is a test fixture; the production step below donates.
     @jax.jit
     def step(params, batch):
+        batch = _cast_batch_to_param_dtype(params, batch)
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         params = jax.tree.map(lambda p, g: p - learning_rate * g, params, grads)
         return params, loss
@@ -87,6 +108,7 @@ def make_optax_train_step(model: PiZero, tx, remat: bool = False,
         )
 
     def step(params, opt_state, batch, key):
+        batch = _cast_batch_to_param_dtype(params, batch)
         k1, k2 = jax.random.split(key)
         noise = jax.random.normal(k1, batch["actions"].shape, jnp.float32)
         t = jax.random.beta(k2, 1.5, 1.0, (batch["actions"].shape[0],))

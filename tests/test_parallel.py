@@ -460,6 +460,26 @@ def test_canonical_step_trains_and_donates(model_and_canon_params):
     assert retied["joint"]["proprio"] is retied["joint"]["action"]
 
 
+def test_bf16_params_accept_fp32_batch(model_and_canon_params):
+    """Data loaders hand back fp32 batches; with bf16 weights the step must
+    cast the float leaves to the weight dtype instead of failing to trace
+    (fp32 creep through the action mixture flips the joint layer-scan carry
+    dtype — the exact failure experiments/train_throughput.py first hit)."""
+    model, params = model_and_canon_params
+    bf16 = jax.tree.map(
+        lambda l: l.astype(jnp.bfloat16)
+        if jnp.issubdtype(l.dtype, jnp.floating)
+        else l,
+        params,
+    )
+    step, opt_state = _masked_adamw_step(model, bf16)
+    batch = _train_batch(model)  # fp32 floats, as a real loader produces
+    assert batch["actions"].dtype == jnp.float32
+    p1, _, loss = step(bf16, opt_state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    assert p1["joint"]["action"]["q_w"].dtype == jnp.bfloat16
+
+
 def test_w4a8_scale_sharding_replicates_with_q4(model_and_params):
     """TP rule consistency across the three quant-dict formats: w8a8 scales
     are per-output-channel ([L, out], sharded with the weight's out axis);
