@@ -419,6 +419,7 @@ def naive_forward(
     return_all: bool = False,
     prefix_time_cond: Optional[jax.Array] = None,
     remat: bool = False,
+    pipeline=None,  # parallel.pipeline.PipelineCtx: stage the layer scan
 ) -> jax.Array:
     """Forward all mixtures jointly with the full block mask (the reference's
     infer_action_naive / flow-matching-training path). Returns the action
@@ -448,15 +449,20 @@ def naive_forward(
     hs = {n: scale_embeds(embeds[n]) for n in names}
     ropes = {n: mixture_rope(spec.mixtures[n], spec, position_ids[n]) for n in names}
 
-    def tc_for(n):
+    def _tc_for(n, tc, ptc):
         if not spec.mixtures[n].adaptive_mode:
             return None
-        if n != "action" and prefix_time_cond is not None:
-            return prefix_time_cond
-        return time_cond
+        if n != "action" and ptc is not None:
+            return ptc
+        return tc
 
-    def full_layer(carry, lps):
-        hs = dict(zip(names, carry))
+    def tc_for(n):  # the un-pipelined closure form (also the final norms)
+        return _tc_for(n, time_cond, prefix_time_cond)
+
+    def layer_core(hs, lps, ropes, mask, tc, ptc):
+        def tc_for(n):
+            return _tc_for(n, tc, ptc)
+
         qs, ks, vs = [], [], []
         for n in names:
             m = spec.mixtures[n]
@@ -470,10 +476,10 @@ def naive_forward(
             jnp.concatenate(qs, axis=2),
             jnp.concatenate(ks, axis=2),
             jnp.concatenate(vs, axis=2),
-            full_mask,
+            mask,
         )
         attn = _merge_heads(attn)
-        outs = []
+        outs = {}
         for n, s, off in zip(names, svs, offsets):
             m = spec.mixtures[n]
             a = mm(attn[:, off : off + s], lps[n]["o_w"], _clip_for(spec, m))
@@ -482,8 +488,15 @@ def naive_forward(
             x = _apply_norm(lps[n]["post_norm"], h, tc_for(n), m, eps)
             mlp_out = _mlp(lps[n], x, spec, m)
             mlp_out = _apply_scale(lps[n], "final_scale", mlp_out, tc_for(n), m)
-            outs.append(h + mlp_out)
-        return tuple(outs), None
+            outs[n] = h + mlp_out
+        return outs
+
+    def full_layer(carry, lps):
+        outs = layer_core(
+            dict(zip(names, carry)), lps, ropes, full_mask,
+            time_cond, prefix_time_cond,
+        )
+        return tuple(outs[n] for n in names), None
 
     # Uniform scan over ALL layers (no stacked-tree slicing — see prefill).
     # The last layer's vlm/proprio outputs are computed and discarded; the
@@ -493,8 +506,27 @@ def naive_forward(
         n: {k: v for k, v in params[n].items() if k != "final_norm"} for n in names
     }
     carry = tuple(hs[n] for n in names)
-    layer_fn = jax.checkpoint(full_layer) if remat else full_layer
-    carry, _ = jax.lax.scan(layer_fn, carry, stacked)
+    if pipeline is not None:
+        # Pipeline-parallel layer scan (parallel/pipeline.py): the batch-
+        # dependent layer invariants (rope tables, mask, time conditioning)
+        # ride the packet so each microbatch travels with its own.
+        from blurr_tpu.parallel.pipeline import pipelined_scan
+
+        def pp_layer(packet, lps):
+            hs_t, ropes_p, mask_p, tc_p, ptc_p = packet
+            outs = layer_core(
+                dict(zip(names, hs_t)), lps, ropes_p, mask_p, tc_p, ptc_p
+            )
+            return (
+                tuple(outs[n] for n in names), ropes_p, mask_p, tc_p, ptc_p,
+            ), None
+
+        layer_fn = jax.checkpoint(pp_layer) if remat else pp_layer
+        packet = (carry, ropes, full_mask, time_cond, prefix_time_cond)
+        carry = pipelined_scan(layer_fn, packet, stacked, pipeline)[0]
+    else:
+        layer_fn = jax.checkpoint(full_layer) if remat else full_layer
+        carry, _ = jax.lax.scan(layer_fn, carry, stacked)
     hs = dict(zip(names, carry))
     m_a = spec.mixtures["action"]
     out = _apply_norm(

@@ -644,6 +644,7 @@ class PiZero:
         t: jax.Array,  # [B]
         x0: jax.Array,  # noise, same shape as actions
         remat: bool = False,  # jax.checkpoint per joint layer (see naive_forward)
+        pipeline=None,  # parallel.pipeline.PipelineCtx: stage the joint scan
     ) -> jax.Array:
         s = self.spec
         bsz = input_ids.shape[0]
@@ -677,6 +678,7 @@ class PiZero:
             full_mask,
             time_cond,
             remat=remat,
+            pipeline=pipeline,
         )
         v_psi = self._decode_action(params, hidden)
         d_psi = actions - (1 - s.flow_sig_min) * x0

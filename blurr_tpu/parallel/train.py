@@ -66,7 +66,7 @@ def make_train_step(model: PiZero, learning_rate: float = 1e-4):
 
 
 def make_optax_train_step(model: PiZero, tx, remat: bool = False,
-                          donate: bool = False):
+                          donate: bool = False, pipeline=None):
     """The REAL training step: optax GradientTransformation (e.g.
     ``optax.masked(optax.adamw(schedule), mask)``) with in-step noise/flow-time
     sampling (beta flow-time, cfg ``flow_sampling: beta``). This is the step
@@ -91,7 +91,12 @@ def make_optax_train_step(model: PiZero, tx, remat: bool = False,
     ``donate=True`` donates the params and opt_state buffers to XLA
     (in-place update): peak training HBM drops by ~one full params+moments
     copy. Requires the canonical tree (duplicate buffers cannot be donated
-    twice); the caller must not reuse the donated inputs afterwards."""
+    twice); the caller must not reuse the donated inputs afterwards.
+
+    ``pipeline`` (a ``parallel.pipeline.PipelineCtx``) stages the joint
+    layer scan over the ctx's ('pipe',) mesh — microbatches rotate between
+    stages via ppermute while each stage holds 1/S of the stacked joint
+    weights (weights outside the joint stack stay replicated)."""
     import optax
 
     def loss_fn(params, batch, noise, t):
@@ -105,6 +110,7 @@ def make_optax_train_step(model: PiZero, tx, remat: bool = False,
             t,
             noise,
             remat=remat,
+            pipeline=pipeline,
         )
 
     def step(params, opt_state, batch, key):
@@ -327,8 +333,54 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
         np.asarray(actions), np.asarray(actions_1d), rtol=5e-4, atol=5e-5,
         err_msg=f"sharded actions diverge from single-device at {data}x{model_par}",
     )
+
+    # 4) pipeline-parallel flow loss: the same tiny architecture with a
+    # 4-layer joint stack split over a ('pipe',) 2-stage mesh (shard_map +
+    # ppermute GPipe, parallel/pipeline.py) must equal the plain layer scan.
+    from blurr_tpu.parallel.pipeline import (
+        PipelineCtx,
+        make_pipeline_mesh,
+        shard_params_pipeline,
+    )
+
+    cfg_pp = tiny_pi0_cfg()
+    cfg_pp["joint"]["config"]["num_hidden_layers"] = 4  # divisible by stages
+    model_pp = PiZero(cfg_pp)
+    params_pp = model_pp.init_params(jax.random.PRNGKey(1))
+    t_pp = jnp.asarray(rng.rand(bsz), jnp.float32)
+    x0_pp = jnp.asarray(
+        rng.randn(bsz, cfg_pp.horizon_steps, cfg_pp.action_dim), jnp.float32
+    )
+    # host copies: batch_1d leaves carry committed 8-device shardings from
+    # the runs above, which would clash with the 2-device pipe mesh
+    flow_args = tuple(
+        jnp.asarray(np.asarray(x))
+        for x in (
+            batch_1d["input_ids"], batch_1d["attention_mask"],
+            batch_1d["pixel_values"], batch_1d["proprios"],
+            batch_1d["actions"], t_pp, x0_pp,
+        )
+    )
+    loss_plain = float(model_pp.flow_loss(params_pp, *flow_args))
+    pp_mesh = make_pipeline_mesh(2, devices=devices[:2])
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(pp_mesh, PartitionSpec())
+    loss_pp = float(
+        model_pp.flow_loss(
+            shard_params_pipeline(params_pp, pp_mesh),
+            *(jax.device_put(x, rep) for x in flow_args),
+            pipeline=PipelineCtx(pp_mesh),
+        )
+    )
+    np.testing.assert_allclose(
+        loss_pp, loss_plain, rtol=5e-4, atol=5e-5,
+        err_msg="pipeline-parallel flow loss diverges from the plain scan",
+    )
+
     return {
         "loss": float(loss),
         "infer_ok": infer_ok,
         "matches_single_device": True,
+        "pipeline_parallel_ok": True,
     }

@@ -42,6 +42,10 @@ grep -q "Success rate" "$SWEEP_DIR/prism/run.log" && echo "eval_prismatic OK"
 python scripts/train_pi0_flow.py --config config/eval/bridge_tiny.yaml \
   --steps 2 --batch-size 2 --save-dir "" 2>&1 | grep -q "Done. final loss" \
   && echo "train OK"
+XLA_FLAGS="--xla_force_host_platform_device_count=2 ${XLA_FLAGS:-}" \
+  python scripts/train_pi0_flow.py --config config/eval/bridge_tiny_pp.yaml \
+  --steps 2 --batch-size 2 --pp 2 --save-dir "" 2>&1 \
+  | grep -q "Done. final loss" && echo "train --pp 2 OK"
 rm -rf "$SWEEP_DIR"
 
 echo "==== driver contracts ===="

@@ -56,6 +56,11 @@ def parse_args():
                    help="Gradient accumulation via optax.MultiSteps: "
                         "parameters update every k micro-batches with the "
                         "averaged gradient (effective batch = k*batch-size).")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages: the stacked joint layers "
+                        "split over a ('pipe',) mesh, microbatches rotating "
+                        "stage-to-stage via ppermute (parallel/pipeline.py). "
+                        "Mutually exclusive with --dp/--tp/--fsdp for now.")
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3-style fully-sharded data parallelism: every "
                         "weight (and adamw moment) additionally shards over "
@@ -186,11 +191,24 @@ def main():
         tx = optax.MultiSteps(tx, every_k_schedule=args.accum_steps)
 
     mesh = None
+    pipeline = None
     if args.fsdp and args.dp <= 1:
         sys.exit("--fsdp shards over the 'data' axis; it needs --dp > 1")
+    if args.pp > 1 and (args.dp * args.tp > 1 or args.fsdp):
+        sys.exit("--pp runs on its own ('pipe',) mesh; drop --dp/--tp/--fsdp")
     if args.dp * args.tp > 1:
         mesh = make_mesh(data=args.dp, model=args.tp)
         params = shard_params(params, mesh, fsdp=args.fsdp)
+    elif args.pp > 1:
+        from blurr_tpu.parallel.pipeline import (
+            PipelineCtx,
+            make_pipeline_mesh,
+            shard_params_pipeline,
+        )
+
+        pp_mesh = make_pipeline_mesh(args.pp)
+        params = shard_params_pipeline(params, pp_mesh)
+        pipeline = PipelineCtx(pp_mesh)
     # init AFTER sharding: adamw mu/nu inherit the params' NamedShardings
     # (initializing first would materialize a full replicated fp32 moment
     # tree per device — ~2x model size of wasted HBM on every chip)
@@ -204,7 +222,7 @@ def main():
     # donate=True: params/opt_state update in place — peak HBM drops by a
     # full params+moments copy (legal on the canonical tree: no aliases)
     train_step = make_optax_train_step(
-        model, tx, remat=args.remat, donate=True
+        model, tx, remat=args.remat, donate=True, pipeline=pipeline
     )
 
     nrng = np.random.RandomState(args.seed)

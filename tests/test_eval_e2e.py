@@ -468,3 +468,19 @@ def test_train_cli_save_then_resume(tmp_path, monkeypatch):
         sys, "argv", base + ["--resume", str(save_dir)]
     )
     cli.main()  # resume path loads the orbax tree without error
+
+
+def test_train_cli_pipeline_parallel(monkeypatch):
+    """--pp 2 end-to-end: joint stacks sharded over a ('pipe',) mesh,
+    microbatches rotating via ppermute — the CLI wiring on top of the
+    step-level equality proven in tests/test_pipeline.py."""
+    import sys
+
+    import scripts.train_pi0_flow as cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train_pi0_flow.py", "--config", "config/eval/bridge_tiny_pp.yaml",
+         "--steps", "2", "--batch-size", "2", "--pp", "2"],
+    )
+    cli.main()

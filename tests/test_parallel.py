@@ -72,6 +72,8 @@ def test_dryrun_multichip_8():
     assert out["infer_ok"]  # TP+DP-sharded infer_action on the 8-device mesh
     # 4x2 sharded loss/actions proven equal to a single-device run in-call
     assert out["matches_single_device"]
+    # pipeline-parallel flow loss proven equal to the plain scan in-call
+    assert out["pipeline_parallel_ok"]
 
 
 def test_trainable_masks(model_and_params):
