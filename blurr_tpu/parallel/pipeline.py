@@ -56,22 +56,32 @@ _SM_NOCHECK = (
 
 @dataclass(frozen=True)
 class PipelineCtx:
-    """How to pipeline a layer scan: the mesh, its pipeline axis name, and
-    the microbatch count (None → one microbatch per stage, the smallest M
-    with full utilization ≥ 50%; raise M to shrink the bubble fraction
-    (S−1)/(M+S−1) at the cost of smaller per-microbatch MXU tiles)."""
+    """How to pipeline a layer scan: the mesh (('pipe',) or ('data','pipe'),
+    see make_pipeline_mesh), its pipeline axis name, and the microbatch
+    count (None → one microbatch per stage, capped by the per-data-row
+    batch; raise M to shrink the bubble fraction (S−1)/(M+S−1) at the cost
+    of smaller per-microbatch MXU tiles)."""
 
     mesh: Mesh
     axis: str = "pipe"
     microbatches: Optional[int] = None
 
 
-def make_pipeline_mesh(stages: int, devices=None) -> Mesh:
+def make_pipeline_mesh(stages: int, data: int = 1, devices=None) -> Mesh:
+    """A ('pipe',) mesh, or ('data','pipe') when ``data > 1`` — PP composes
+    with data parallelism: the microbatch batch dim splits over 'data'
+    inside the same shard_map (each data row runs its own pipeline), and
+    the gradient psum over 'data' falls out of the shard_map transpose of
+    the 'data'-replicated stage weights."""
     import numpy as np
 
     devices = list(devices if devices is not None else jax.devices())
-    assert len(devices) >= stages, f"need {stages} devices, have {len(devices)}"
-    return Mesh(np.asarray(devices[:stages]), ("pipe",))
+    n = stages * data
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n])
+    if data > 1:
+        return Mesh(arr.reshape(data, stages), ("data", "pipe"))
+    return Mesh(arr, ("pipe",))
 
 
 def pipelined_scan(
@@ -100,10 +110,15 @@ def pipelined_scan(
         carry, _ = jax.lax.scan(layer_fn, packet, stacked)
         return carry
 
+    data_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
     batch = jax.tree.leaves(packet)[0].shape[0]
-    n_micro = ctx.microbatches or min(num_stages, batch)
+    n_micro = ctx.microbatches or min(num_stages, max(batch // data_size, 1))
     assert batch % n_micro == 0, (
         f"batch {batch} not divisible by {n_micro} microbatches"
+    )
+    assert (batch // n_micro) % data_size == 0, (
+        f"microbatch rows {batch // n_micro} not divisible by the 'data' "
+        f"axis ({data_size})"
     )
     n_layers = jax.tree.leaves(stacked)[0].shape[0]
     assert n_layers % num_stages == 0, (
@@ -179,8 +194,8 @@ def pipelined_scan(
     result = shard_map(
         body,
         mesh=mesh,
-        in_specs=(specs.replicated, specs.staged),
-        out_specs=specs.replicated,
+        in_specs=(specs.packet, specs.staged),
+        out_specs=specs.packet,
         **_SM_NOCHECK,
     )(micro, stacked)
     return jax.tree.map(
@@ -190,8 +205,8 @@ def pipelined_scan(
 
 @dataclass(frozen=True)
 class _Specs:
-    replicated: P
-    staged: P
+    packet: P  # microbatched packet: replicated over 'pipe', rows over 'data'
+    staged: P  # stacked layer weights: leading L axis over 'pipe'
 
 
 def shard_params_pipeline(params, mesh: Mesh, axis: str = "pipe"):
@@ -233,11 +248,15 @@ def shard_params_pipeline(params, mesh: Mesh, axis: str = "pipe"):
 
 
 def _axis_only_specs(mesh: Mesh, axis: str) -> _Specs:
-    # a 1-axis pipe mesh: packets replicated, stacked weights split on L.
-    # (PP currently runs on its own ('pipe',) mesh; composing with the
-    # ('data','model') GSPMD mesh is future work — see module docstring.)
-    assert mesh.axis_names == (axis,), (
-        f"pipelined_scan expects a dedicated ('{axis}',) mesh, got "
-        f"{mesh.axis_names}; build one with make_pipeline_mesh(stages)"
+    # ('pipe',): packets replicated, stacked weights split on L.
+    # ('data','pipe'): additionally split the microbatch row dim over
+    # 'data' — each data row runs its own pipeline; the stage weights are
+    # 'data'-replicated, so their shard_map transpose psums the grads.
+    if mesh.axis_names == (axis,):
+        return _Specs(packet=P(), staged=P(axis))
+    assert mesh.axis_names == ("data", axis), (
+        f"pipelined_scan expects a ('{axis}',) or ('data', '{axis}') mesh, "
+        f"got {mesh.axis_names}; build one with make_pipeline_mesh(stages, "
+        "data)"
     )
-    return _Specs(replicated=P(), staged=P(axis))
+    return _Specs(packet=P(None, "data"), staged=P(axis))

@@ -60,7 +60,8 @@ def parse_args():
                    help="pipeline-parallel stages: the stacked joint layers "
                         "split over a ('pipe',) mesh, microbatches rotating "
                         "stage-to-stage via ppermute (parallel/pipeline.py). "
-                        "Mutually exclusive with --dp/--tp/--fsdp for now.")
+                        "Composes with --dp (a ('data','pipe') mesh); "
+                        "mutually exclusive with --tp/--fsdp.")
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3-style fully-sharded data parallelism: every "
                         "weight (and adamw moment) additionally shards over "
@@ -194,21 +195,23 @@ def main():
     pipeline = None
     if args.fsdp and args.dp <= 1:
         sys.exit("--fsdp shards over the 'data' axis; it needs --dp > 1")
-    if args.pp > 1 and (args.dp * args.tp > 1 or args.fsdp):
-        sys.exit("--pp runs on its own ('pipe',) mesh; drop --dp/--tp/--fsdp")
-    if args.dp * args.tp > 1:
-        mesh = make_mesh(data=args.dp, model=args.tp)
-        params = shard_params(params, mesh, fsdp=args.fsdp)
-    elif args.pp > 1:
+    if args.pp > 1 and (args.tp > 1 or args.fsdp):
+        sys.exit("--pp composes with --dp only; drop --tp/--fsdp")
+    if args.pp > 1:
         from blurr_tpu.parallel.pipeline import (
             PipelineCtx,
             make_pipeline_mesh,
             shard_params_pipeline,
         )
 
-        pp_mesh = make_pipeline_mesh(args.pp)
+        pp_mesh = make_pipeline_mesh(args.pp, data=args.dp)
         params = shard_params_pipeline(params, pp_mesh)
         pipeline = PipelineCtx(pp_mesh)
+        if args.dp > 1:
+            mesh = pp_mesh  # batch_sharding splits over its 'data' axis
+    elif args.dp * args.tp > 1:
+        mesh = make_mesh(data=args.dp, model=args.tp)
+        params = shard_params(params, mesh, fsdp=args.fsdp)
     # init AFTER sharding: adamw mu/nu inherit the params' NamedShardings
     # (initializing first would materialize a full replicated fp32 moment
     # tree per device — ~2x model size of wasted HBM on every chip)

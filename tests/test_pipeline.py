@@ -35,26 +35,33 @@ def toy():
     return packet, stacked
 
 
-@pytest.mark.parametrize("stages,micro", [(2, None), (4, None), (2, 4), (4, 2)])
-def test_pipelined_scan_matches_scan(toy, stages, micro):
+@pytest.mark.parametrize(
+    "stages,data,micro",
+    [(2, 1, None), (4, 1, None), (2, 1, 4), (4, 1, 2),
+     (2, 2, None), (4, 2, None), (2, 4, None)],
+)
+def test_pipelined_scan_matches_scan(toy, stages, data, micro):
     packet, stacked = toy
     ref, _ = jax.lax.scan(_layer, packet, stacked)
-    ctx = PipelineCtx(make_pipeline_mesh(stages), microbatches=micro)
+    ctx = PipelineCtx(make_pipeline_mesh(stages, data=data), microbatches=micro)
     out = pipelined_scan(_layer, packet, stacked, ctx)
     for r, o in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=1e-6)
 
 
-def test_pipelined_scan_gradients_match(toy):
+@pytest.mark.parametrize("stages,data", [(4, 1), (2, 2)])
+def test_pipelined_scan_gradients_match(toy, stages, data):
     """ppermute's transpose is the reverse rotation; bubble compute must
-    contribute exact zero cotangents (finite garbage, masked outputs)."""
+    contribute exact zero cotangents (finite garbage, masked outputs).
+    With a 'data' axis the stage-weight grads additionally psum over it
+    (the shard_map transpose of the 'data'-replicated weights)."""
     packet, stacked = toy
 
     def loss_scan(st):
         (h, _), _ = jax.lax.scan(_layer, packet, st)
         return jnp.sum(h**2)
 
-    ctx = PipelineCtx(make_pipeline_mesh(4))
+    ctx = PipelineCtx(make_pipeline_mesh(stages, data=data))
 
     def loss_pp(st):
         h, _ = pipelined_scan(_layer, packet, st, ctx)
@@ -105,13 +112,14 @@ def _flow_inputs(model):
     )
 
 
-@pytest.mark.parametrize("stages", [2, 4])
-def test_pp_flow_loss_and_grads_match(pp_model, stages):
+@pytest.mark.parametrize("stages,data", [(2, 1), (4, 1), (2, 2)])
+def test_pp_flow_loss_and_grads_match(pp_model, stages, data):
     """flow_loss through the pipelined joint scan equals the plain scan —
-    value and parameter gradients (the training contract)."""
+    value and parameter gradients (the training contract); (2, 2) runs
+    DP×PP on a ('data','pipe') mesh."""
     model, params = pp_model
     kw = _flow_inputs(model)
-    ctx = PipelineCtx(make_pipeline_mesh(stages))
+    ctx = PipelineCtx(make_pipeline_mesh(stages, data=data))
 
     def loss(p, pipeline):
         return model.flow_loss(p, pipeline=pipeline, **kw)
