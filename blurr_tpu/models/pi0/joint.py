@@ -507,23 +507,25 @@ def naive_forward(
     }
     carry = tuple(hs[n] for n in names)
     if pipeline is not None:
-        # Pipeline-parallel layer scan (parallel/pipeline.py): the batch-
-        # dependent layer invariants (rope tables, mask, time conditioning)
-        # ride the packet so each microbatch travels with its own.
+        # Pipeline-parallel layer scan (parallel/pipeline.py): the hidden
+        # states rotate stage-to-stage; the batch-dependent layer INVARIANTS
+        # (rope tables, mask, time conditioning) go in as consts, which each
+        # stage reads from the replicated microbatch buffer instead of
+        # paying ppermute/psum traffic for them every tick.
         from blurr_tpu.parallel.pipeline import pipelined_scan
 
         def pp_layer(packet, lps):
-            hs_t, ropes_p, mask_p, tc_p, ptc_p = packet
+            hs_t, (ropes_p, mask_p, tc_p, ptc_p) = packet
             outs = layer_core(
                 dict(zip(names, hs_t)), lps, ropes_p, mask_p, tc_p, ptc_p
             )
-            return (
-                tuple(outs[n] for n in names), ropes_p, mask_p, tc_p, ptc_p,
-            ), None
+            return (tuple(outs[n] for n in names), packet[1]), None
 
         layer_fn = jax.checkpoint(pp_layer) if remat else pp_layer
-        packet = (carry, ropes, full_mask, time_cond, prefix_time_cond)
-        carry = pipelined_scan(layer_fn, packet, stacked, pipeline)[0]
+        carry = pipelined_scan(
+            layer_fn, carry, stacked, pipeline,
+            consts=(ropes, full_mask, time_cond, prefix_time_cond),
+        )
     else:
         layer_fn = jax.checkpoint(full_layer) if remat else full_layer
         carry, _ = jax.lax.scan(layer_fn, carry, stacked)

@@ -58,9 +58,9 @@ _SM_NOCHECK = (
 class PipelineCtx:
     """How to pipeline a layer scan: the mesh (('pipe',) or ('data','pipe'),
     see make_pipeline_mesh), its pipeline axis name, and the microbatch
-    count (None → one microbatch per stage, capped by the per-data-row
-    batch; raise M to shrink the bubble fraction (S−1)/(M+S−1) at the cost
-    of smaller per-microbatch MXU tiles)."""
+    count (None → the largest valid divisor of the batch ≤ the stage count;
+    raise M above it to shrink the bubble fraction (S−1)/(M+S−1) at the
+    cost of smaller per-microbatch MXU tiles)."""
 
     mesh: Mesh
     axis: str = "pipe"
@@ -86,75 +86,116 @@ def make_pipeline_mesh(stages: int, data: int = 1, devices=None) -> Mesh:
 
 def pipelined_scan(
     layer_fn: Callable[[Any, Any], tuple],
-    packet: Any,
+    carry: Any,
     stacked: Any,
     ctx: PipelineCtx,
+    consts: Any = None,
 ) -> Any:
     """Drop-in for ``carry, _ = jax.lax.scan(layer_fn, packet, stacked)``,
-    executed as an S-stage pipeline over ``ctx.mesh.shape[ctx.axis]``.
+    executed as an S-stage pipeline over ``ctx.mesh.shape[ctx.axis]``,
+    where ``packet = (carry, consts)`` when ``consts`` is given and just
+    ``carry`` otherwise.
+
+    ``consts`` holds per-example layer-INVARIANTS (rope tables, masks, time
+    conditioning): ``layer_fn`` must return its consts component unchanged.
+    Only ``carry`` rotates stage-to-stage over ICI; each stage reads its
+    current microbatch's consts straight from the replicated input buffer
+    (index ``t − stage``), so the invariants never pay ppermute/psum
+    traffic.
 
     Requirements (all true for the joint layer body):
-      - every leaf of ``packet`` has a leading batch axis B (divisible by
-        the microbatch count M); `None` entries are fine (empty subtrees);
+      - every leaf of ``carry``/``consts`` has a leading batch axis B;
+        `None` entries are fine (empty subtrees);
       - every leaf of ``stacked`` has a leading layer axis L divisible by S;
       - ``layer_fn`` is batch-parallel (no cross-example mixing) and its
-        carry output matches the carry input structure/dtypes — layer-
-        invariant "constants" (rope tables, masks, time conditioning) ride
-        the packet unchanged so they travel with their microbatch.
+        carry output matches the carry input structure/dtypes.
 
-    Returns the final carry for the full batch (microbatches reassembled).
+    The microbatch count M defaults to the largest valid divisor of B that
+    is ≤ S (explicit ``ctx.microbatches`` overrides; raise it above S to
+    shrink the bubble). Returns the final carry for the full batch
+    (microbatches reassembled).
     """
     mesh, axis = ctx.mesh, ctx.axis
     num_stages = mesh.shape[axis]
+    split = consts is not None
+
+    def as_packet(c, k):
+        return (c, k) if split else c
+
     if num_stages == 1:
-        carry, _ = jax.lax.scan(layer_fn, packet, stacked)
-        return carry
+        out, _ = jax.lax.scan(layer_fn, as_packet(carry, consts), stacked)
+        return out[0] if split else out
 
     data_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
-    batch = jax.tree.leaves(packet)[0].shape[0]
-    n_micro = ctx.microbatches or min(num_stages, max(batch // data_size, 1))
-    assert batch % n_micro == 0, (
-        f"batch {batch} not divisible by {n_micro} microbatches"
-    )
-    assert (batch // n_micro) % data_size == 0, (
-        f"microbatch rows {batch // n_micro} not divisible by the 'data' "
-        f"axis ({data_size})"
-    )
+    batch = jax.tree.leaves(carry)[0].shape[0]
+    if ctx.microbatches:
+        n_micro = ctx.microbatches
+        assert batch % n_micro == 0, (
+            f"batch {batch} not divisible by {n_micro} microbatches"
+        )
+        assert (batch // n_micro) % data_size == 0, (
+            f"microbatch rows {batch // n_micro} not divisible by the "
+            f"'data' axis ({data_size})"
+        )
+    else:
+        valid = [
+            m
+            for m in range(min(num_stages, batch), 0, -1)
+            if batch % m == 0 and (batch // m) % data_size == 0
+        ]
+        assert valid, (
+            f"no microbatch count divides batch {batch} with data axis "
+            f"{data_size}; pad the batch or set ctx.microbatches"
+        )
+        n_micro = valid[0]
     n_layers = jax.tree.leaves(stacked)[0].shape[0]
     assert n_layers % num_stages == 0, (
         f"{n_layers} layers not divisible by {num_stages} pipeline stages"
     )
 
-    micro = jax.tree.map(
-        lambda x: x.reshape(n_micro, batch // n_micro, *x.shape[1:]), packet
-    )
+    def microify(tree):
+        return jax.tree.map(
+            lambda x: x.reshape(n_micro, batch // n_micro, *x.shape[1:]), tree
+        )
+
     rotate = [(i, (i + 1) % num_stages) for i in range(num_stages)]
 
-    def body(micro_all, stacked_local):
-        # micro_all: [M, B/M, ...] replicated; stacked_local: [L/S, ...]
+    def body(micro_c, micro_k, stacked_local):
+        # micro_c/micro_k: [M, B/M, ...] ('data'-split rows); stacked_local:
+        # [L/S, ...] — this stage's layers
         stage_idx = jax.lax.axis_index(axis)
 
-        def run_stage(p):
-            c, _ = jax.lax.scan(layer_fn, p, stacked_local)
-            return c
-
-        state = jax.tree.map(lambda x: jnp.zeros_like(x[0]), micro_all)
-        outbuf = jax.tree.map(jnp.zeros_like, micro_all)
-
-        def tick(carry, t):
-            state, outbuf = carry
-            feed = jax.tree.map(
+        def take(tree, idx):
+            return jax.tree.map(
                 lambda x: jax.lax.dynamic_index_in_dim(
-                    x, jnp.minimum(t, n_micro - 1), 0, keepdims=False
+                    x, idx, 0, keepdims=False
                 ),
-                micro_all,
+                tree,
             )
+
+        def run_stage(c, t):
+            # this stage works on microbatch t - stage_idx at tick t; the
+            # clamp only engages on bubble ticks, whose outputs are masked
+            # out (and re-fed garbage terminates in discarded state, so the
+            # backward cotangents through the clamped reads are exact zeros)
+            k = take(micro_k, jnp.clip(t - stage_idx, 0, n_micro - 1))
+            out, _ = jax.lax.scan(
+                layer_fn, as_packet(c, k), stacked_local
+            )
+            return out[0] if split else out
+
+        state = jax.tree.map(lambda x: jnp.zeros_like(x[0]), micro_c)
+        outbuf = jax.tree.map(jnp.zeros_like, micro_c)
+
+        def tick(loop, t):
+            state, outbuf = loop
+            feed = take(micro_c, jnp.minimum(t, n_micro - 1))
             # stage 0 ingests microbatch t; everyone else continues the
-            # packet handed over by the previous stage last tick
+            # carry handed over by the previous stage last tick
             cur = jax.tree.map(
                 lambda f, s: jnp.where(stage_idx == 0, f, s), feed, state
             )
-            y = run_stage(cur)
+            y = run_stage(cur, t)
             # the last stage finishes microbatch t-(S-1) at tick t
             out_idx = jnp.clip(t - (num_stages - 1), 0, n_micro - 1)
             emit = jnp.logical_and(
@@ -194,10 +235,10 @@ def pipelined_scan(
     result = shard_map(
         body,
         mesh=mesh,
-        in_specs=(specs.packet, specs.staged),
+        in_specs=(specs.packet, specs.packet, specs.staged),
         out_specs=specs.packet,
         **_SM_NOCHECK,
-    )(micro, stacked)
+    )(microify(carry), microify(consts), stacked)
     return jax.tree.map(
         lambda x: x.reshape(batch, *x.shape[2:]), result
     )

@@ -62,6 +62,11 @@ def parse_args():
                         "stage-to-stage via ppermute (parallel/pipeline.py). "
                         "Composes with --dp (a ('data','pipe') mesh); "
                         "mutually exclusive with --tp/--fsdp.")
+    p.add_argument("--pp-microbatches", type=int, default=0,
+                   help="microbatch count for --pp (default: largest valid "
+                        "divisor of the batch <= stages). Raise above the "
+                        "stage count to shrink the pipeline bubble "
+                        "(S-1)/(M+S-1) once the batch is large enough.")
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3-style fully-sharded data parallelism: every "
                         "weight (and adamw moment) additionally shards over "
@@ -206,7 +211,9 @@ def main():
 
         pp_mesh = make_pipeline_mesh(args.pp, data=args.dp)
         params = shard_params_pipeline(params, pp_mesh)
-        pipeline = PipelineCtx(pp_mesh)
+        pipeline = PipelineCtx(
+            pp_mesh, microbatches=args.pp_microbatches or None
+        )
         if args.dp > 1:
             mesh = pp_mesh  # batch_sharding splits over its 'data' axis
     elif args.dp * args.tp > 1:

@@ -41,12 +41,39 @@ def toy():
      (2, 2, None), (4, 2, None), (2, 4, None)],
 )
 def test_pipelined_scan_matches_scan(toy, stages, data, micro):
-    packet, stacked = toy
-    ref, _ = jax.lax.scan(_layer, packet, stacked)
+    (h0, const), stacked = toy
+    (h_ref, _), _ = jax.lax.scan(_layer, (h0, const), stacked)
     ctx = PipelineCtx(make_pipeline_mesh(stages, data=data), microbatches=micro)
-    out = pipelined_scan(_layer, packet, stacked, ctx)
-    for r, o in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
-        np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=1e-6)
+    out = pipelined_scan(_layer, h0, stacked, ctx, consts=const)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(h_ref), rtol=1e-6)
+
+
+def test_pipelined_scan_without_consts(toy):
+    """The consts-free form: the whole packet rotates (carry-only layers)."""
+    (h0, _), stacked = toy
+
+    def layer(h, lp):
+        return jnp.tanh(h @ lp["w"] + lp["b"]), None
+
+    ref, _ = jax.lax.scan(layer, h0, stacked)
+    out = pipelined_scan(layer, h0, stacked, PipelineCtx(make_pipeline_mesh(4)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_microbatch_default_handles_odd_batches():
+    """B=6 on 4 stages: M=min(S,B)=4 does not divide 6 — the default must
+    fall back to the largest valid divisor (3), not crash."""
+    rng = np.random.RandomState(2)
+    stacked = {"w": jnp.asarray(rng.randn(8, 3, 3) * 0.3, jnp.float32),
+               "b": jnp.zeros((8, 3), jnp.float32)}
+    h0 = jnp.asarray(rng.randn(6, 3), jnp.float32)
+
+    def layer(h, lp):
+        return jnp.tanh(h @ lp["w"] + lp["b"]), None
+
+    ref, _ = jax.lax.scan(layer, h0, stacked)
+    out = pipelined_scan(layer, h0, stacked, PipelineCtx(make_pipeline_mesh(4)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
 
 
 @pytest.mark.parametrize("stages,data", [(4, 1), (2, 2)])
@@ -55,16 +82,16 @@ def test_pipelined_scan_gradients_match(toy, stages, data):
     contribute exact zero cotangents (finite garbage, masked outputs).
     With a 'data' axis the stage-weight grads additionally psum over it
     (the shard_map transpose of the 'data'-replicated weights)."""
-    packet, stacked = toy
+    (h0, const), stacked = toy
 
     def loss_scan(st):
-        (h, _), _ = jax.lax.scan(_layer, packet, st)
+        (h, _), _ = jax.lax.scan(_layer, (h0, const), st)
         return jnp.sum(h**2)
 
     ctx = PipelineCtx(make_pipeline_mesh(stages, data=data))
 
     def loss_pp(st):
-        h, _ = pipelined_scan(_layer, packet, st, ctx)
+        h = pipelined_scan(_layer, h0, st, ctx, consts=const)
         return jnp.sum(h**2)
 
     g_ref = jax.grad(loss_scan)(stacked)
@@ -75,11 +102,11 @@ def test_pipelined_scan_gradients_match(toy, stages, data):
 
 
 def test_stage_count_one_falls_back_to_scan(toy):
-    packet, stacked = toy
+    (h0, const), stacked = toy
     ctx = PipelineCtx(make_pipeline_mesh(1))
-    ref, _ = jax.lax.scan(_layer, packet, stacked)
-    out = pipelined_scan(_layer, packet, stacked, ctx)
-    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]))
+    (h_ref, _), _ = jax.lax.scan(_layer, (h0, const), stacked)
+    out = pipelined_scan(_layer, h0, stacked, ctx, consts=const)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(h_ref))
 
 
 @pytest.fixture(scope="module")
@@ -112,17 +139,22 @@ def _flow_inputs(model):
     )
 
 
-@pytest.mark.parametrize("stages,data", [(2, 1), (4, 1), (2, 2)])
-def test_pp_flow_loss_and_grads_match(pp_model, stages, data):
+@pytest.mark.parametrize(
+    "stages,data,remat", [(2, 1, False), (4, 1, False), (2, 2, False),
+                          (2, 1, True)],
+)
+def test_pp_flow_loss_and_grads_match(pp_model, stages, data, remat):
     """flow_loss through the pipelined joint scan equals the plain scan —
     value and parameter gradients (the training contract); (2, 2) runs
-    DP×PP on a ('data','pipe') mesh."""
+    DP×PP on a ('data','pipe') mesh, and the remat case covers the
+    production combination --pp --remat (jax.checkpoint around the staged
+    layer body inside shard_map)."""
     model, params = pp_model
     kw = _flow_inputs(model)
     ctx = PipelineCtx(make_pipeline_mesh(stages, data=data))
 
     def loss(p, pipeline):
-        return model.flow_loss(p, pipeline=pipeline, **kw)
+        return model.flow_loss(p, remat=remat, pipeline=pipeline, **kw)
 
     l_ref, g_ref = jax.value_and_grad(loss)(params, None)
     l_pp, g_pp = jax.value_and_grad(loss)(params, ctx)
