@@ -263,3 +263,51 @@ def restore_params(path: str, like=None):
         )
         return ckptr.restore(os.path.abspath(path), target=template)
     return ckptr.restore(os.path.abspath(path))
+
+
+def save_train_state(path: str, params, opt_state, step: int, rng) -> None:
+    """Save the COMPLETE training state — params, optimizer state (adamw
+    moments, MultiSteps accumulators/counters), step index, and the jax PRNG
+    key — for EXACT resume (capability extension; reference is load-only).
+    The caller must also resynchronize its data stream to ``step`` (the CLI
+    fast-forwards its batch RNG by replaying ``step`` draws)."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    state = {
+        "params": params,
+        "opt_state": opt_state,
+        "step": jnp.asarray(step, jnp.int32),  # x64 is disabled by default
+        "rng": rng,
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state)
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(path: str, like_params, like_opt_state, like_rng):
+    """Restore a save_train_state tree. Returns (params, opt_state, step,
+    rng). ``like_*`` provide the target structure (build like_opt_state
+    with ``tx.init(like_params)`` from the same optimizer configuration)."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    template = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+        {
+            "params": like_params,
+            "opt_state": like_opt_state,
+            "step": jnp.asarray(0, jnp.int32),
+            "rng": like_rng,
+        },
+    )
+    state = ocp.StandardCheckpointer().restore(
+        os.path.abspath(path), target=template
+    )
+    return (
+        state["params"],
+        state["opt_state"],
+        int(state["step"]),
+        state["rng"],
+    )

@@ -74,6 +74,22 @@ def parse_args():
                         "and reduce-scatters grads. Needs --dp > 1.")
     p.add_argument("--save-dir", type=str, default="")
     p.add_argument("--resume", type=str, default="")
+    p.add_argument("--save-state", type=str, default="",
+                   help="also save the COMPLETE training state (params + "
+                        "optimizer moments/counters + step + PRNG key) to "
+                        "this path at the end, for EXACT resume via "
+                        "--resume-state.")
+    p.add_argument("--resume-state", type=str, default="",
+                   help="resume exactly from a --save-state tree: restores "
+                        "params/opt-state/step/rng and fast-forwards the "
+                        "batch stream to the saved step. The run continues "
+                        "to --steps with bitwise-identical trajectory to an "
+                        "uninterrupted run.")
+    p.add_argument("--stop-after", type=int, default=0,
+                   help="stop after this many optimizer steps (0 = run to "
+                        "--steps) while keeping the --steps LR schedule — "
+                        "simulates an interruption for --save-state/"
+                        "--resume-state.")
     p.add_argument("--multihost", action="store_true",
                    help="Join a multi-host pod slice via "
                         "jax.distributed.initialize (auto-discovery on "
@@ -242,19 +258,47 @@ def main():
         n = data["actions"].shape[0]
         log.info("Loaded %d examples from %s", n, args.data)
 
+    def next_batch():
+        if data is None:
+            return synthetic_batch(cfg, args.batch_size, nrng)
+        idx = nrng.randint(0, data["actions"].shape[0], args.batch_size)
+        return {k: v[idx] for k, v in data.items()}
+
+    start_step = 0
+    if args.resume_state:
+        from blurr_tpu.models.pi0.checkpoint import restore_train_state
+
+        r_params, r_opt, start_step, rng = restore_train_state(
+            args.resume_state, params, opt_state, rng
+        )
+        # restore to the CURRENT run's placement (FSDP/TP/pipe shardings are
+        # not serialized; the pre-restore trees carry them)
+        params = jax.tree.map(
+            lambda r, l: jax.device_put(r, l.sharding), r_params, params
+        )
+        opt_state = jax.tree.map(
+            lambda r, l: jax.device_put(r, l.sharding), r_opt, opt_state
+        )
+        for _ in range(start_step):  # resync the batch stream exactly
+            next_batch()
+        log.info("Resumed training state from %s at step %d",
+                 args.resume_state, start_step)
+
     bsh = batch_sharding(mesh) if mesh else None
     t0 = time.time()
-    for step in range(args.steps):
-        if data is None:
-            batch = synthetic_batch(cfg, args.batch_size, nrng)
-        else:
-            idx = nrng.randint(0, data["actions"].shape[0], args.batch_size)
-            batch = {k: v[idx] for k, v in data.items()}
+    loss = float("nan")
+    steps_done = start_step
+    for step in range(start_step, args.steps):
+        batch = next_batch()
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if bsh is not None:
             batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
         rng, sub = jax.random.split(rng)
         params, opt_state, loss = train_step(params, opt_state, batch, sub)
+        steps_done = step + 1
+        if args.stop_after and steps_done >= args.stop_after:
+            log.info("Stopping after %d steps (--stop-after)", steps_done)
+            break
         if step % args.log_every == 0 or step == args.steps - 1:
             # the applied LR is the schedule at the optimizer-update count
             # (step // k), not the micro-step index
@@ -269,6 +313,11 @@ def main():
 
         save_params(params, args.save_dir)
         log.info("Saved params to %s", args.save_dir)
+    if args.save_state:
+        from blurr_tpu.models.pi0.checkpoint import save_train_state
+
+        save_train_state(args.save_state, params, opt_state, steps_done, rng)
+        log.info("Saved training state to %s", args.save_state)
     log.info("Done. final loss %.5f", float(loss))
 
 

@@ -470,6 +470,43 @@ def test_train_cli_save_then_resume(tmp_path, monkeypatch):
     cli.main()  # resume path loads the orbax tree without error
 
 
+def test_train_cli_exact_state_resume(tmp_path, monkeypatch):
+    """4 straight steps == (2 steps → save full state → resume → 2 more):
+    the final params are bitwise identical — optimizer moments, the PRNG
+    chain, the LR schedule position, and the batch stream all survive the
+    interruption (--save-state / --resume-state / --stop-after)."""
+    import sys
+
+    import jax
+
+    import scripts.train_pi0_flow as cli
+    from blurr_tpu.models.pi0.checkpoint import restore_params
+
+    base = ["train_pi0_flow.py", "--config", "config/eval/bridge_tiny.yaml",
+            "--batch-size", "2", "--steps", "4"]
+    d_full = tmp_path / "full"
+    monkeypatch.setattr(sys, "argv", base + ["--save-dir", str(d_full)])
+    cli.main()
+
+    st = tmp_path / "state"
+    monkeypatch.setattr(
+        sys, "argv", base + ["--stop-after", "2", "--save-state", str(st)]
+    )
+    cli.main()
+
+    d_res = tmp_path / "resumed"
+    monkeypatch.setattr(
+        sys, "argv",
+        base + ["--resume-state", str(st), "--save-dir", str(d_res)],
+    )
+    cli.main()
+
+    full = restore_params(str(d_full))
+    res = restore_params(str(d_res))
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(res)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_cli_pipeline_parallel(monkeypatch):
     """--pp 2 end-to-end: joint stacks sharded over a ('pipe',) mesh,
     microbatches rotating via ppermute — the CLI wiring on top of the
