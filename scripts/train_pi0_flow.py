@@ -35,7 +35,11 @@ def parse_args():
     p.add_argument("--pretrained-paligemma", type=str, default="",
                    help="PaliGemma safetensors dir to initialize VLM parts.")
     p.add_argument("--data", type=str, default="synthetic",
-                   help=".npz path or 'synthetic'.")
+                   help="sharded-dataset dir (blurr_tpu.data manifest), "
+                        ".npz path, or 'synthetic'.")
+    p.add_argument("--data-prefetch", type=int, default=2,
+                   help="background batches prepared ahead of the train "
+                        "step (sharded-dataset mode only; 0 = synchronous).")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -253,12 +257,41 @@ def main():
 
     nrng = np.random.RandomState(args.seed)
     data = None
-    if args.data != "synthetic":
+    loader = None
+    from blurr_tpu.data import is_sharded_dataset
+
+    if is_sharded_dataset(args.data):
+        from blurr_tpu.data import (
+            ShardedBatchLoader,
+            ShardedDataset,
+            transform_for_config,
+        )
+
+        ds = ShardedDataset(args.data)
+        # raw robot keys get the deployment-exact preprocessing; model-ready
+        # datasets pass through untouched
+        transform = None
+        if any(k in ds.keys for k in ("image", "proprio", "action")):
+            transform = transform_for_config(
+                cfg, dataset_statistics=ds.statistics
+            )
+        loader = ShardedBatchLoader(
+            ds, args.batch_size, seed=args.seed,
+            transform=transform, prefetch=max(args.data_prefetch, 0),
+        )
+        log.info(
+            "Sharded dataset %s: %d examples, %d batches/epoch%s",
+            args.data, ds.num_examples, loader.batches_per_epoch,
+            " (raw keys -> Pi0TrainTransform)" if transform else "",
+        )
+    elif args.data != "synthetic":
         data = dict(np.load(args.data))
         n = data["actions"].shape[0]
         log.info("Loaded %d examples from %s", n, args.data)
 
     def next_batch():
+        if loader is not None:
+            return loader.next_batch()
         if data is None:
             return synthetic_batch(cfg, args.batch_size, nrng)
         idx = nrng.randint(0, data["actions"].shape[0], args.batch_size)
@@ -279,20 +312,35 @@ def main():
         opt_state = jax.tree.map(
             lambda r, l: jax.device_put(r, l.sharding), r_opt, opt_state
         )
-        for _ in range(start_step):  # resync the batch stream exactly
-            next_batch()
+        if loader is not None:
+            # the loader's stream is a pure function of (seed, consumed):
+            # jump straight to the saved step, no replay
+            loader.restore(start_step)
+        else:
+            for _ in range(start_step):  # resync the batch stream exactly
+                next_batch()
         log.info("Resumed training state from %s at step %d",
                  args.resume_state, start_step)
 
     bsh = batch_sharding(mesh) if mesh else None
+    feed = None
+    if loader is not None and args.data_prefetch > 0:
+        # keep 2 batches already transferred: host gather/transform (loader
+        # thread) AND the host->device copy both hide behind device compute
+        from blurr_tpu.data import device_prefetch
+
+        feed = device_prefetch(loader, depth=2, sharding=bsh)
     t0 = time.time()
     loss = float("nan")
     steps_done = start_step
     for step in range(start_step, args.steps):
-        batch = next_batch()
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        if bsh is not None:
-            batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+        if feed is not None:
+            batch = next(feed)
+        else:
+            batch = next_batch()
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if bsh is not None:
+                batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
         rng, sub = jax.random.split(rng)
         params, opt_state, loss = train_step(params, opt_state, batch, sub)
         steps_done = step + 1
@@ -308,6 +356,8 @@ def main():
                 time.time() - t0,
             )
 
+    if loader is not None:
+        loader.close()
     if args.save_dir:
         from blurr_tpu.models.pi0.checkpoint import save_params
 
