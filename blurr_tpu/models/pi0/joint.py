@@ -420,11 +420,20 @@ def naive_forward(
     prefix_time_cond: Optional[jax.Array] = None,
     remat: bool = False,
     pipeline=None,  # parallel.pipeline.PipelineCtx: stage the layer scan
+    sp_axis: Optional[str] = None,  # mesh axis to sequence-shard vlm tokens
 ) -> jax.Array:
     """Forward all mixtures jointly with the full block mask (the reference's
     infer_action_naive / flow-matching-training path). Returns the action
     mixture's final-normed hidden states ([B, A, Ha]), or all mixtures' last
     hidden states when ``return_all`` (training/diagnostics).
+
+    ``sp_axis`` enables GSPMD sequence parallelism for training: the vlm
+    mixture's hidden states (the long axis — 277 of the 282 tokens) carry a
+    P(None, sp_axis, None) constraint at entry and after every layer, so
+    norms and MLPs compute on 1/n of the tokens per device and attention
+    all-gathers only the tiny MQA K/V (1 head x head_dim) over ICI. The
+    proprio/action mixtures (5 tokens) stay replicated. New design — the
+    reference has no sequence scaling (SURVEY.md §5).
 
     ``remat`` wraps the scanned layer body in ``jax.checkpoint``: the
     backward pass recomputes each layer's activations instead of storing
@@ -448,6 +457,15 @@ def naive_forward(
 
     hs = {n: scale_embeds(embeds[n]) for n in names}
     ropes = {n: mixture_rope(spec.mixtures[n], spec, position_ids[n]) for n in names}
+    if sp_axis is not None:
+        if pipeline is not None:
+            raise ValueError(
+                "sequence parallelism (sp_axis) and pipeline parallelism use "
+                "different meshes; compose sp with data/tensor axes instead"
+            )
+        from blurr_tpu.parallel.mesh import sp_constrain
+
+        hs["vlm"] = sp_constrain(hs["vlm"], sp_axis)
 
     def _tc_for(n, tc, ptc):
         if not spec.mixtures[n].adaptive_mode:
@@ -496,6 +514,12 @@ def naive_forward(
             dict(zip(names, carry)), lps, ropes, full_mask,
             time_cond, prefix_time_cond,
         )
+        if sp_axis is not None:
+            # re-pin after every layer so the scan carry stays token-sharded
+            # (without this GSPMD may all-gather once and keep it replicated)
+            from blurr_tpu.parallel.mesh import sp_constrain
+
+            outs["vlm"] = sp_constrain(outs["vlm"], sp_axis)
         return tuple(outs[n] for n in names), None
 
     # Uniform scan over ALL layers (no stacked-tree slicing — see prefill).

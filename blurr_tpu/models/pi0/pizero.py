@@ -380,6 +380,7 @@ class PiZero:
         input_ids: jax.Array,
         pixel_values: jax.Array,
         remat: bool = False,
+        sp_axis: Optional[str] = None,
     ) -> jax.Array:
         """Text embedding + scaled image features merged at image-token slots
         (reference _forward_siglip_and_text_embedding, pizero.py:433-471).
@@ -388,7 +389,8 @@ class PiZero:
         s = self.spec
         text_embeds = params["embed_tokens"][input_ids]
         feats = siglip_forward(
-            params["siglip"], pixel_values, self.vision_cfg, remat=remat
+            params["siglip"], pixel_values, self.vision_cfg, remat=remat,
+            sp_axis=sp_axis,
         )
         feats = projector_forward(params["projector"], feats)
         feats = feats / jnp.asarray(self.vlm_hidden**0.5, feats.dtype)
@@ -645,9 +647,18 @@ class PiZero:
         x0: jax.Array,  # noise, same shape as actions
         remat: bool = False,  # jax.checkpoint per joint layer (see naive_forward)
         pipeline=None,  # parallel.pipeline.PipelineCtx: stage the joint scan
+        sp_axis: Optional[str] = None,  # GSPMD sequence parallelism: shard
+        # the vlm/SigLIP token axis over this mesh axis (joint.naive_forward)
     ) -> jax.Array:
         s = self.spec
         bsz = input_ids.shape[0]
+        if sp_axis is not None and pipeline is not None:
+            # checked before the first sharding constraint fires, so the
+            # caller sees the semantic error, not a missing-mesh RuntimeError
+            raise ValueError(
+                "sequence parallelism (sp_axis) and pipeline parallelism use "
+                "different meshes; compose sp with data/tensor axes instead"
+            )
         # psi_t mixes through the fp32 flow-time t; cast back so the action
         # mixture (and the attention it shares with vlm/proprio) stays in
         # the weights' dtype — without this a bf16 train step fails to
@@ -664,7 +675,7 @@ class PiZero:
             bsz, s.max_image_text_tokens, s.num_proprio_tokens, s.num_action_tokens
         )
         inputs_embeds = self._embed_merge(
-            params, input_ids, pixel_values, remat=remat
+            params, input_ids, pixel_values, remat=remat, sp_axis=sp_axis
         )
         proprio_embeds = self._encode_proprio(params, proprios)
         time_emb = self._time_embedding(t).astype(actions.dtype)
@@ -679,6 +690,7 @@ class PiZero:
             time_cond,
             remat=remat,
             pipeline=pipeline,
+            sp_axis=sp_axis,
         )
         v_psi = self._decode_action(params, hidden)
         d_psi = actions - (1 - s.flow_sig_min) * x0

@@ -80,12 +80,19 @@ def patchify(pixel_values: jax.Array, patch_size: int) -> jax.Array:
 
 
 def siglip_forward(
-    params: Dict, pixel_values: jax.Array, cfg: Dict, remat: bool = False
+    params: Dict,
+    pixel_values: jax.Array,
+    cfg: Dict,
+    remat: bool = False,
+    sp_axis=None,
 ) -> jax.Array:
     """[B, C, H, W] -> [B, N_patches, hidden]. ``remat`` checkpoints the
     scanned layer for the training backward (27 layers of [B, 256, 1152+]
     activations dominate the train-step HBM at batch >= 16 once the joint
-    stack is rematerialized — measured in docs/results/remat_memory_v5e.csv)."""
+    stack is rematerialized — measured in docs/results/remat_memory_v5e.csv).
+    ``sp_axis`` sequence-shards the patch tokens over that mesh axis (GSPMD
+    SP; see parallel/mesh.py:sp_constrain) — attention all-gathers K/V, the
+    LN/MLP work splits 1/n per device."""
     d = cfg["hidden_size"]
     num_heads = cfg["num_attention_heads"]
     head_dim = d // num_heads
@@ -95,6 +102,10 @@ def siglip_forward(
     patches = patchify(pixel_values, p)
     h = patches @ params["patch_w"] + params["patch_b"]
     h = h + params["pos_embed"][None]
+    if sp_axis is not None:
+        from blurr_tpu.parallel.mesh import sp_constrain
+
+        h = sp_constrain(h, sp_axis)
 
     def split_heads(x):  # [B, S, D] -> [B, S, H, hd] (flat-attn layout)
         b, s, _ = x.shape
@@ -112,6 +123,10 @@ def siglip_forward(
         x = layer_norm(h, lp["ln2_w"], lp["ln2_b"], eps)
         x = jax.nn.gelu(mm(x, lp["fc1_w"]) + lp["fc1_b"], approximate=True)
         h = resid + (mm(x, lp["fc2_w"]) + lp["fc2_b"])
+        if sp_axis is not None:
+            from blurr_tpu.parallel.mesh import sp_constrain
+
+            h = sp_constrain(h, sp_axis)  # keep the scan carry token-sharded
         return h, None
 
     layer_fn = jax.checkpoint(layer) if remat else layer

@@ -28,13 +28,34 @@ log = logging.getLogger(__name__)
 
 
 def make_mesh(
-    data: int = 1, model: int = 1, devices: Optional[Sequence] = None
+    data: int = 1,
+    model: int = 1,
+    seq: int = 1,
+    devices: Optional[Sequence] = None,
 ) -> Mesh:
+    """('data', 'seq', 'model') mesh. 'seq' is the sequence-parallel axis:
+    activations shard over their token dimension (P(None, 'seq', None)
+    constraints in the forward, see models/pi0/joint.py:naive_forward) while
+    weights stay governed by the 'model'/'data' rules — GSPMD inserts the
+    per-layer K/V all-gathers that sequence-sharded attention needs. Axes of
+    size 1 are free, so existing ('data','model') callers are unchanged."""
     devices = list(devices if devices is not None else jax.devices())
-    n = data * model
+    n = data * seq * model
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    arr = np.asarray(devices[:n]).reshape(data, model)
-    return Mesh(arr, ("data", "model"))
+    arr = np.asarray(devices[:n]).reshape(data, seq, model)
+    return Mesh(arr, ("data", "seq", "model"))
+
+
+def sp_constrain(x, sp_axis: Optional[str]):
+    """Sequence-parallel sharding constraint for a [B, S, ...] activation:
+    shard the token axis over ``sp_axis`` (mesh axis name, normally 'seq')
+    and leave every other dimension to GSPMD propagation. A None axis is a
+    no-op so single-device callers pay nothing. Must be traced under the
+    target Mesh (the train step runs inside ``with mesh:``)."""
+    if sp_axis is None:
+        return x
+    spec = P(*([None, sp_axis] + [None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, spec)
 
 
 def init_multihost(

@@ -66,7 +66,8 @@ def make_train_step(model: PiZero, learning_rate: float = 1e-4):
 
 
 def make_optax_train_step(model: PiZero, tx, remat: bool = False,
-                          donate: bool = False, pipeline=None):
+                          donate: bool = False, pipeline=None,
+                          sp_axis: str = None):
     """The REAL training step: optax GradientTransformation (e.g.
     ``optax.masked(optax.adamw(schedule), mask)``) with in-step noise/flow-time
     sampling (beta flow-time, cfg ``flow_sampling: beta``). This is the step
@@ -96,7 +97,13 @@ def make_optax_train_step(model: PiZero, tx, remat: bool = False,
     ``pipeline`` (a ``parallel.pipeline.PipelineCtx``) stages the joint
     layer scan over the ctx's ('pipe',) mesh — microbatches rotate between
     stages via ppermute while each stage holds 1/S of the stacked joint
-    weights (weights outside the joint stack stay replicated)."""
+    weights (weights outside the joint stack stay replicated).
+
+    ``sp_axis`` (mesh axis name, normally 'seq') turns on GSPMD sequence
+    parallelism: SigLIP patch tokens and the vlm mixture's 277 tokens shard
+    over that axis (see joint.naive_forward) — activation HBM and the
+    norm/MLP work split 1/n per device, composing with 'data' and 'model'
+    on a make_mesh(data, model, seq) mesh. Must be traced under the mesh."""
     import optax
 
     def loss_fn(params, batch, noise, t):
@@ -111,6 +118,7 @@ def make_optax_train_step(model: PiZero, tx, remat: bool = False,
             noise,
             remat=remat,
             pipeline=pipeline,
+            sp_axis=sp_axis,
         )
 
     def step(params, opt_state, batch, key):
@@ -378,9 +386,27 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
         err_msg="pipeline-parallel flow loss diverges from the plain scan",
     )
 
+    # 5) sequence-parallel flow loss: the same model with its SigLIP/vlm
+    # token axes sharded over a ('data'=2,'seq'=2) mesh (GSPMD SP,
+    # parallel/mesh.py:sp_constrain) must also equal the plain scan.
+    sp_mesh = make_mesh(data=2, seq=2, devices=devices[:4])
+    sp_params = shard_params(params_pp, sp_mesh)
+    sp_bsh = batch_sharding(sp_mesh)
+    with sp_mesh:
+        loss_sp = float(
+            jax.jit(
+                lambda p, *a: model_pp.flow_loss(p, *a, sp_axis="seq")
+            )(sp_params, *(jax.device_put(x, sp_bsh) for x in flow_args))
+        )
+    np.testing.assert_allclose(
+        loss_sp, loss_plain, rtol=5e-4, atol=5e-5,
+        err_msg="sequence-parallel flow loss diverges from the plain scan",
+    )
+
     return {
         "loss": float(loss),
         "infer_ok": infer_ok,
         "matches_single_device": True,
         "pipeline_parallel_ok": True,
+        "sequence_parallel_ok": True,
     }

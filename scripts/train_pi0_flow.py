@@ -52,6 +52,13 @@ def parse_args():
     )
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel devices: SigLIP patch tokens and "
+                        "the 277 vlm tokens shard over a 'seq' mesh axis "
+                        "(GSPMD inserts the attention K/V all-gathers); "
+                        "norm/MLP work and activation HBM split 1/n per "
+                        "device. Composes with --dp/--tp on a "
+                        "('data','seq','model') mesh; not with --pp.")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize joint layers in the backward pass "
                         "(jax.checkpoint per scanned layer): activation HBM "
@@ -220,8 +227,8 @@ def main():
     pipeline = None
     if args.fsdp and args.dp <= 1:
         sys.exit("--fsdp shards over the 'data' axis; it needs --dp > 1")
-    if args.pp > 1 and (args.tp > 1 or args.fsdp):
-        sys.exit("--pp composes with --dp only; drop --tp/--fsdp")
+    if args.pp > 1 and (args.tp > 1 or args.sp > 1 or args.fsdp):
+        sys.exit("--pp composes with --dp only; drop --tp/--sp/--fsdp")
     if args.pp > 1:
         from blurr_tpu.parallel.pipeline import (
             PipelineCtx,
@@ -236,8 +243,8 @@ def main():
         )
         if args.dp > 1:
             mesh = pp_mesh  # batch_sharding splits over its 'data' axis
-    elif args.dp * args.tp > 1:
-        mesh = make_mesh(data=args.dp, model=args.tp)
+    elif args.dp * args.tp * args.sp > 1:
+        mesh = make_mesh(data=args.dp, model=args.tp, seq=args.sp)
         params = shard_params(params, mesh, fsdp=args.fsdp)
     # init AFTER sharding: adamw mu/nu inherit the params' NamedShardings
     # (initializing first would materialize a full replicated fp32 moment
@@ -252,7 +259,8 @@ def main():
     # donate=True: params/opt_state update in place — peak HBM drops by a
     # full params+moments copy (legal on the canonical tree: no aliases)
     train_step = make_optax_train_step(
-        model, tx, remat=args.remat, donate=True, pipeline=pipeline
+        model, tx, remat=args.remat, donate=True, pipeline=pipeline,
+        sp_axis="seq" if args.sp > 1 else None,
     )
 
     nrng = np.random.RandomState(args.seed)
@@ -333,6 +341,11 @@ def main():
     t0 = time.time()
     loss = float("nan")
     steps_done = start_step
+    # the mesh context lets the step's bare-PartitionSpec sharding
+    # constraints (sequence parallelism) resolve at trace time
+    import contextlib
+
+    mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
     for step in range(start_step, args.steps):
         if feed is not None:
             batch = next(feed)
@@ -342,7 +355,8 @@ def main():
             if bsh is not None:
                 batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
         rng, sub = jax.random.split(rng)
-        params, opt_state, loss = train_step(params, opt_state, batch, sub)
+        with mesh_ctx:
+            params, opt_state, loss = train_step(params, opt_state, batch, sub)
         steps_done = step + 1
         if args.stop_after and steps_done >= args.stop_after:
             log.info("Stopping after %d steps (--stop-after)", steps_done)

@@ -74,6 +74,8 @@ def test_dryrun_multichip_8():
     assert out["matches_single_device"]
     # pipeline-parallel flow loss proven equal to the plain scan in-call
     assert out["pipeline_parallel_ok"]
+    # sequence-parallel flow loss proven equal to the plain scan in-call
+    assert out["sequence_parallel_ok"]
 
 
 def test_trainable_masks(model_and_params):
@@ -509,3 +511,99 @@ def test_w4a8_scale_sharding_replicates_with_q4(model_and_params):
     sh4 = pi0_param_sharding(p4, mesh)
     assert sh4["joint"]["vlm"]["q_w"]["s"].spec == P()
     assert sh4["joint"]["vlm"]["q_w"]["q4"].spec == P()
+
+
+# ---------------------------------------------------------------------------
+# Sequence parallelism (GSPMD SP over a 'seq' mesh axis) — new design, the
+# reference has no sequence scaling (SURVEY.md §5)
+# ---------------------------------------------------------------------------
+
+
+def _flow_args(model, rng_seed=1):
+    rng = np.random.RandomState(rng_seed)
+    inputs = tiny_inputs(model.cfg)
+    return (
+        inputs["input_ids"], inputs["attention_mask"],
+        inputs["pixel_values"], inputs["proprios"],
+        jnp.asarray(rng.randn(2, 4, 7).astype(np.float32)),
+        jnp.asarray([0.2, 0.7], jnp.float32),
+        inputs["noise"],
+    )
+
+
+def test_sp_flow_loss_and_grads_match(model_and_params):
+    """Sequence-sharding the vlm/SigLIP token axis is a layout annotation,
+    never math: loss and grads on a ('data'=1,'seq'=2) mesh must equal the
+    unsharded run."""
+    model, params = model_and_params
+    args = _flow_args(model)
+
+    l0, g0 = jax.value_and_grad(lambda p: model.flow_loss(p, *args))(params)
+
+    mesh = make_mesh(data=1, seq=2)
+    sharded = shard_params(params, mesh)
+    with mesh:
+        l1, g1 = jax.jit(
+            jax.value_and_grad(
+                lambda p: model.flow_loss(p, *args, sp_axis="seq")
+            )
+        )(sharded)
+        jax.block_until_ready(l1)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=5e-5)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_sp_composes_with_dp_and_remat(model_and_params):
+    """SP x DP on a (2, 2, 1) mesh with rematerialized layers: the full
+    composition the train CLI wires (--dp 2 --sp 2 --remat)."""
+    model, params = model_and_params
+    args = _flow_args(model, rng_seed=2)
+
+    l0 = float(model.flow_loss(params, *args))
+
+    mesh = make_mesh(data=2, seq=2)
+    sharded = shard_params(params, mesh)
+    bsh = batch_sharding(mesh)
+    sh_args = tuple(jax.device_put(a, bsh) for a in args[:5]) + (
+        jax.device_put(args[5], bsh), jax.device_put(args[6], bsh))
+    with mesh:
+        l1 = jax.jit(
+            lambda p, *a: model.flow_loss(p, *a, sp_axis="seq", remat=True)
+        )(sharded, *sh_args)
+        l1 = float(l1)
+    np.testing.assert_allclose(l1, l0, rtol=5e-5)
+
+
+def test_sp_compile_shards_sequence_axis(model_and_params):
+    """Compile-level evidence that SP actually shards: the lowered program
+    carries a device assignment splitting dimension 1 (tokens) across the
+    2-device 'seq' axis."""
+    model, params = model_and_params
+    args = _flow_args(model, rng_seed=3)
+    mesh = make_mesh(data=1, seq=2)
+    sharded = shard_params(params, mesh)
+    with mesh:
+        txt = (
+            jax.jit(lambda p, *a: model.flow_loss(p, *a, sp_axis="seq"))
+            .lower(sharded, *args)
+            .as_text()
+        )
+    # Shardy renders P(None,'seq',None) as sdy.sharding_constraint
+    # [{}, {"seq"}, {}]; legacy GSPMD as a @Sharding custom-call with
+    # devices=[1,2,1]
+    assert ('sdy.sharding_constraint' in txt and '{"seq"}' in txt) or (
+        "devices=[1,2,1]" in txt
+    ), "no token-axis sharding in lowered HLO"
+
+
+def test_sp_rejects_pipeline_combination(model_and_params):
+    model, params = model_and_params
+    args = _flow_args(model)
+
+    class _FakePipe:  # naive_forward only checks for non-None
+        pass
+
+    with pytest.raises(ValueError, match="sequence parallelism"):
+        model.flow_loss(params, *args, sp_axis="seq", pipeline=_FakePipe())
