@@ -1,0 +1,210 @@
+"""Batched closed-loop evaluation: N environments stepped in lockstep with
+ONE batched device program per control step.
+
+TPU-native extension with no reference counterpart — the reference evaluates
+strictly serially (src/agent/eval.py:104-306, one env, batch-1 forwards).
+On a v5e the batch-1 control step is weight-bandwidth-bound
+(docs/results/stage_budget_v5e.md), so stepping N episodes concurrently
+amortizes the same weight traffic over N inferences: evaluation throughput
+(episodes/hour) scales with N until the MXU saturates (~batch 8 measured by
+benchmark_pi0 --batch-size), while per-episode semantics stay those of the
+serial agent — per-env adapters keep their own state (EDR sticky gripper),
+episodes reset independently with staggered episode_ids, and the summary
+lines keep the collector contract.
+
+Finished slots stay in the batch (static shapes — no recompiles) with their
+outputs discarded until every requested episode has run.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+import jax
+
+from blurr_tpu.agent.eval_agent import EvalAgent
+from blurr_tpu.agent.fake_env import make_env
+from blurr_tpu.config.core import instantiate
+
+log = logging.getLogger(__name__)
+
+
+class BatchedEvalAgent(EvalAgent):
+    """EvalAgent with ``cfg['batch_envs']`` environments in lockstep."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.n_envs = int(cfg.get("batch_envs", 1))
+        assert self.n_envs >= 1
+        if self.n_video > 0:
+            log.warning(
+                "Video recording is not supported in batched eval; "
+                "set --batch-envs 1 (serial agent) to record. Disabling."
+            )
+            self.n_video = 0
+        # slot 0 reuses the serial agent's env/adapter; the rest are fresh
+        self.envs = [self.env] + [
+            make_env(cfg["env"]["task"]) for _ in range(self.n_envs - 1)
+        ]
+        self.adapters = [self.env_adapter] + [
+            instantiate(cfg["env"]["adapter"]) for _ in range(self.n_envs - 1)
+        ]
+
+        import jax.numpy as jnp
+
+        noise_shape = (
+            self.n_envs,
+            self.model.spec.num_action_tokens,
+            self.model.spec.action_dim,
+        )
+        base = (
+            self.model.infer_action
+            if self.use_prefix_kv_cache
+            else self.model.infer_action_naive
+        )
+
+        def step(params, ids, am, px, pr, key, idx):
+            noise = jax.random.normal(
+                jax.random.fold_in(key, idx), noise_shape, self.dtype
+            )
+            return base(params, ids, am, px, pr, noise)
+
+        self._infer_batched = jax.jit(step)
+
+    def _batched_infer(self, stacked: dict) -> np.ndarray:
+        out = self._infer_batched(
+            self.params,
+            stacked["input_ids"],
+            stacked["attention_mask"],
+            stacked["pixel_values"].astype(self.dtype),
+            stacked["proprios"].astype(self.dtype),
+            self._base_key,
+            self._step_idx,
+        )
+        self._step_idx += 1
+        out = np.asarray(out, np.float32)
+        if not np.isfinite(out).all():
+            log.warning("Non-finite actions (nan/inf) replaced with zeros.")
+            out = np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+        return out
+
+    def run(self):
+        n_target = self.n_eval_episode
+        log.info(
+            "BatchedEvalAgent.run start: n_eval_episode=%d, batch_envs=%d, "
+            "act_steps=%d",
+            n_target, self.n_envs, self.act_steps,
+        )
+        successes = []
+        infer_times = []
+        env_steps_total = 0
+        next_episode = 0  # next episode_id to hand to a freed slot
+
+        class Slot:
+            __slots__ = ("env", "adapter", "episode", "obs", "instruction",
+                         "steps", "active", "inputs")
+
+        slots = []
+        for i in range(self.n_envs):
+            s = Slot()
+            s.env, s.adapter = self.envs[i], self.adapters[i]
+            s.active = next_episode < n_target
+            if s.active:
+                s.episode = next_episode
+                next_episode += 1
+                obs, reset_info = s.env.reset(
+                    options={"obj_init_options": {"episode_id": s.episode}}
+                )
+                s.adapter.reset()
+                s.obs = obs
+                s.instruction = s.env.get_language_instruction()
+                s.steps = 0
+                log.info(
+                    "Reset info: %s Instruction: %s Max episode length: %s",
+                    reset_info, s.instruction,
+                    getattr(s.env.spec, "max_episode_steps", None),
+                )
+            slots.append(s)
+
+        t_run = time.time()
+        while any(s.active for s in slots):
+            # preprocess every slot (inactive slots resend their last inputs
+            # so the batch shape — and the compiled program — never changes)
+            for s in slots:
+                if s.active:
+                    s.inputs = s.adapter.preprocess(s.env, s.obs, s.instruction)
+            stacked = {
+                k: np.concatenate([np.asarray(s.inputs[k]) for s in slots])
+                for k in slots[0].inputs
+            }
+            t0 = time.time()
+            actions = self._batched_infer(stacked)  # [N, horizon, act_dim]
+            infer_times.append(time.time() - t0)
+
+            for i, s in enumerate(slots):
+                if not s.active:
+                    continue
+                env_actions = s.adapter.postprocess(actions[i])
+                truncated = False
+                success = False
+                for env_action in env_actions[: self.act_steps]:
+                    s.steps += 1
+                    env_steps_total += 1
+                    s.obs, _, success, truncated, _ = s.env.step(env_action)
+                    if truncated:
+                        break
+                s.instruction = s.env.get_language_instruction()
+                if truncated:
+                    successes.append(success)
+                    log.info(
+                        "Episode %d finished. success=%s, total_steps=%d",
+                        s.episode, success, s.steps,
+                    )
+                    if next_episode < n_target:
+                        s.episode = next_episode
+                        next_episode += 1
+                        s.obs, reset_info = s.env.reset(
+                            options={
+                                "obj_init_options": {"episode_id": s.episode}
+                            }
+                        )
+                        s.adapter.reset()
+                        s.instruction = s.env.get_language_instruction()
+                        s.steps = 0
+                        log.info(
+                            "Reset info: %s Instruction: %s "
+                            "Max episode length: %s",
+                            reset_info, s.instruction,
+                            getattr(s.env.spec, "max_episode_steps", None),
+                        )
+                    else:
+                        s.active = False
+
+        elapsed = time.time() - t_run
+        success_rate = float(np.mean(successes)) if successes else 0.0
+        # NOTE: the literal strings below are regex-matched by the result
+        # collectors (collect_bridge_eval_results.py) — do not change.
+        log.info("============ Evaluation Summary ============")
+        log.info(f"Number of episodes: {len(successes)}")
+        log.info(f"Success rate: {success_rate}")
+        if len(infer_times) > 1:
+            steady = sorted(infer_times[1:])
+            log.info(
+                "Inference wall-clock: first %.1f ms (incl. compile), "
+                "steady p50 %.1f ms / mean %.1f ms over %d steps",
+                infer_times[0] * 1000,
+                steady[len(steady) // 2] * 1000,
+                float(np.mean(steady)) * 1000,
+                len(steady),
+            )
+        log.info(
+            "Batched eval: %d envs in lockstep, %d env steps in %.1f s "
+            "(%.1f env-steps/s aggregate)",
+            self.n_envs, env_steps_total, elapsed,
+            env_steps_total / max(elapsed, 1e-9),
+        )
+        log.info("============================================")
+        return success_rate

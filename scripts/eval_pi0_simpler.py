@@ -115,6 +115,13 @@ def parse_args() -> argparse.Namespace:
         help="Overlap TPU inference with env stepping: the next chunk is "
              "dispatched after the first sub-step of the current one "
              "(actions land act_steps-1 env steps stale; needs act_steps>=2).")
+    parser.add_argument(
+        "--batch-envs", type=int, default=1,
+        help="TPU extension: step N environments in lockstep with one "
+             "batched device program per control step — the batch-1 step is "
+             "weight-bound, so eval throughput (episodes/hour) scales with "
+             "N. Per-episode semantics match the serial agent; videos are "
+             "unavailable in this mode.")
     return parser.parse_args()
 
 
@@ -155,9 +162,15 @@ def main() -> None:
     cfg["log_dir"] = str(log_dir)
     _setup_logging(log_dir)
 
-    from blurr_tpu.agent.eval_agent import EvalAgent
+    if args.batch_envs > 1:
+        from blurr_tpu.agent.batched_eval import BatchedEvalAgent
 
-    EvalAgent(cfg).run()
+        cfg["batch_envs"] = args.batch_envs
+        BatchedEvalAgent(cfg).run()
+    else:
+        from blurr_tpu.agent.eval_agent import EvalAgent
+
+        EvalAgent(cfg).run()
     print(f"\nDone. Logs written to: {log_dir}\n")
 
 
