@@ -112,16 +112,21 @@ class BatchedEvalAgent(EvalAgent):
             s = Slot()
             s.env, s.adapter = self.envs[i], self.adapters[i]
             s.active = next_episode < n_target
+            s.episode = next_episode if s.active else -1
             if s.active:
-                s.episode = next_episode
                 next_episode += 1
-                obs, reset_info = s.env.reset(
-                    options={"obj_init_options": {"episode_id": s.episode}}
-                )
-                s.adapter.reset()
-                s.obs = obs
-                s.instruction = s.env.get_language_instruction()
-                s.steps = 0
+            # inactive-from-start slots (n_eval_episode < batch_envs) still
+            # need valid inputs to keep the batch shape — reset them too,
+            # their outputs are simply never consumed
+            obs, reset_info = s.env.reset(
+                options={"obj_init_options": {"episode_id": max(s.episode, 0)}}
+            )
+            s.adapter.reset()
+            s.obs = obs
+            s.instruction = s.env.get_language_instruction()
+            s.steps = 0
+            s.inputs = s.adapter.preprocess(s.env, s.obs, s.instruction)
+            if s.active:
                 log.info(
                     "Reset info: %s Instruction: %s Max episode length: %s",
                     reset_info, s.instruction,

@@ -18,6 +18,10 @@ python scripts/eval_pi0_simpler.py --preset blurr --config config/eval/bridge_ti
 python scripts/eval_pi0_simpler.py --preset blurr --config config/eval/fractal_tiny.yaml \
   --task fake_google_robot_pick_coke_can --checkpoint random --n-eval-episode 1 \
   | grep -E "Success rate" >/dev/null && echo "eval_pi0_fractal (EDR adapter) OK"
+python scripts/eval_pi0_simpler.py --preset blurr --config config/eval/bridge_tiny.yaml \
+  --task fake_widowx_carrot_on_plate --checkpoint random --n-eval-episode 2 \
+  --batch-envs 2 | grep -E "Batched eval: 2 envs" >/dev/null \
+  && echo "eval_pi0_simpler --batch-envs OK"
 python scripts/benchmark_hf_vla.py --model-id random --warmup 1 --iters 2 \
   --skip-flops | grep "Average latency"
 python scripts/collect_bridge_eval_results.py >/dev/null && echo "collector OK"
@@ -46,6 +50,10 @@ XLA_FLAGS="--xla_force_host_platform_device_count=2 ${XLA_FLAGS:-}" \
   python scripts/train_pi0_flow.py --config config/eval/bridge_tiny_pp.yaml \
   --steps 2 --batch-size 2 --pp 2 --save-dir "" 2>&1 \
   | grep -q "Done. final loss" && echo "train --pp 2 OK"
+XLA_FLAGS="--xla_force_host_platform_device_count=2 ${XLA_FLAGS:-}" \
+  python scripts/train_pi0_flow.py --config config/eval/bridge_tiny.yaml \
+  --steps 2 --batch-size 2 --sp 2 --save-dir "" 2>&1 \
+  | grep -q "Done. final loss" && echo "train --sp 2 OK"
 rm -rf "$SWEEP_DIR"
 
 echo "==== driver contracts ===="

@@ -91,3 +91,16 @@ def test_batched_rows_match_single_inference():
             )
         )
         np.testing.assert_allclose(batched[i], row[0], rtol=2e-5, atol=2e-6)
+
+
+def test_more_envs_than_episodes(tmp_path, caplog):
+    """batch_envs > n_eval_episode: the surplus slots stay in the batch
+    (static shapes) with their outputs discarded; accounting stays exact."""
+    from blurr_tpu.agent.batched_eval import BatchedEvalAgent
+
+    cfg = _mk_cfg(tmp_path, n_episodes=2, batch_envs=4, act_steps=2)
+    with caplog.at_level(logging.INFO):
+        rate = BatchedEvalAgent(cfg).run()
+    assert 0.0 <= rate <= 1.0
+    m = re.search(r"Number of episodes:\s*([0-9]+)", caplog.text)
+    assert m and int(m.group(1)) == 2
