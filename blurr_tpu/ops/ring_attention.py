@@ -94,12 +94,16 @@ def _local_ring(
     l0 = jnp.zeros((b, kvh, g, sq), jnp.float32)
     # the scan carry must be marked device-varying over the ring axis
     # (constants are 'unvarying' under shard_map's manual-axes typing, but
-    # the fold's outputs vary — pvary reconciles the carry types)
-    pvary = getattr(jax.lax, "pvary", None)
-    if pvary is not None:
-        o0, m0, l0 = (pvary(x, (axis_name,)) for x in (o0, m0, l0))
-        if synthesized_valid:  # a passed-in k_valid is already varying
-            k_valid = pvary(k_valid, (axis_name,))
+    # the fold's outputs vary — pcast/pvary reconciles the carry types)
+    if hasattr(jax.lax, "pcast"):
+        mark = lambda x: jax.lax.pcast(x, (axis_name,), to="varying")
+    elif hasattr(jax.lax, "pvary"):
+        mark = lambda x: jax.lax.pvary(x, (axis_name,))
+    else:  # older jax: carries type fine without explicit marking
+        mark = lambda x: x
+    o0, m0, l0 = (mark(x) for x in (o0, m0, l0))
+    if synthesized_valid:  # a passed-in k_valid is already varying
+        k_valid = mark(k_valid)
     (o, m, l, *_), _ = jax.lax.scan(
         fold, (o0, m0, l0, k, v, k_valid), jnp.arange(n_shards)
     )
