@@ -83,6 +83,15 @@ def parse_args():
                         "weight (and adamw moment) additionally shards over "
                         "the 'data' axis; GSPMD all-gathers weights per use "
                         "and reduce-scatters grads. Needs --dp > 1.")
+    p.add_argument("--grad-clip", type=float, default=0.0,
+                   help="clip the TRAINABLE gradient to this global L2 norm "
+                        "before adamw (0 = off). Sits inside the parameter-"
+                        "group mask, so frozen groups don't dilute the norm; "
+                        "with --accum-steps it clips the averaged update "
+                        "gradient (MultiSteps wraps outside).")
+    p.add_argument("--metrics-csv", type=str, default="",
+                   help="append per-logged-step training metrics (step, "
+                        "loss, lr, wall_s, samples_per_s) to this CSV.")
     p.add_argument("--save-dir", type=str, default="")
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--save-state", type=str, default="",
@@ -215,7 +224,13 @@ def main():
         min_lr=args.lr * 0.01,
         warmup_steps=warmup,
     )
-    tx = optax.masked(optax.adamw(schedule), mask)
+    inner = optax.adamw(schedule)
+    if args.grad_clip > 0:
+        # clip INSIDE the mask: the global norm is taken over the trainable
+        # group only (a frozen 3B VLM would otherwise dominate the norm and
+        # effectively rescale the action expert's clip threshold)
+        inner = optax.chain(optax.clip_by_global_norm(args.grad_clip), inner)
+    tx = optax.masked(inner, mask)
     if args.accum_steps > 1:
         # accumulation sits OUTSIDE the mask/adamw: k micro-grads average in
         # the accumulator, the inner tx sees one averaged update every k-th
@@ -364,11 +379,31 @@ def main():
         if step % args.log_every == 0 or step == args.steps - 1:
             # the applied LR is the schedule at the optimizer-update count
             # (step // k), not the micro-step index
+            elapsed = time.time() - t0
             log.info(
                 "step %d/%d loss %.5f lr %.2e elapsed %.1fs",
                 step, args.steps, float(loss), log_schedule(step // k),
-                time.time() - t0,
+                elapsed,
             )
+            if args.metrics_csv:
+                import csv as _csv
+
+                path = Path(args.metrics_csv)
+                path.parent.mkdir(parents=True, exist_ok=True)
+                new = not path.exists()
+                with path.open("a", newline="") as f:
+                    w = _csv.writer(f)
+                    if new:
+                        w.writerow(
+                            ["step", "loss", "lr", "wall_s", "samples_per_s"]
+                        )
+                    done = step - start_step + 1
+                    w.writerow([
+                        step, f"{float(loss):.6f}",
+                        f"{log_schedule(step // k):.3e}",
+                        f"{elapsed:.2f}",
+                        f"{done * args.batch_size / max(elapsed, 1e-9):.2f}",
+                    ])
 
     if loader is not None:
         loader.close()

@@ -521,3 +521,26 @@ def test_train_cli_pipeline_parallel(monkeypatch):
          "--steps", "2", "--batch-size", "2", "--pp", "2"],
     )
     cli.main()
+
+
+def test_train_cli_grad_clip_and_metrics_csv(tmp_path, monkeypatch):
+    """--grad-clip trains to a finite loss (the clip chain sits inside the
+    parameter-group mask) and --metrics-csv appends the per-step metrics
+    rows with the documented header."""
+    import csv
+    import sys
+
+    import scripts.train_pi0_flow as cli
+
+    mcsv = tmp_path / "metrics.csv"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train_pi0_flow.py", "--config", "config/eval/bridge_tiny.yaml",
+         "--steps", "3", "--batch-size", "2", "--log-every", "1",
+         "--grad-clip", "1.0", "--metrics-csv", str(mcsv)],
+    )
+    cli.main()
+    rows = list(csv.reader(mcsv.open()))
+    assert rows[0] == ["step", "loss", "lr", "wall_s", "samples_per_s"]
+    assert len(rows) == 4  # header + 3 logged steps
+    assert all(float(r[1]) == float(r[1]) for r in rows[1:])  # finite losses
