@@ -23,8 +23,6 @@ import time
 
 import numpy as np
 
-import jax
-
 from blurr_tpu.agent.eval_agent import EvalAgent
 from blurr_tpu.agent.fake_env import make_env
 from blurr_tpu.config.core import instantiate
@@ -45,6 +43,12 @@ class BatchedEvalAgent(EvalAgent):
                 "set --batch-envs 1 (serial agent) to record. Disabling."
             )
             self.n_video = 0
+        if self.async_pipeline:
+            log.warning(
+                "--async-pipeline has no effect in batched eval (the batched "
+                "step already amortizes device time over N envs); ignoring."
+            )
+            self.async_pipeline = False
         # slot 0 reuses the serial agent's env/adapter; the rest are fresh
         self.envs = [self.env] + [
             make_env(cfg["env"]["task"]) for _ in range(self.n_envs - 1)
@@ -53,26 +57,14 @@ class BatchedEvalAgent(EvalAgent):
             instantiate(cfg["env"]["adapter"]) for _ in range(self.n_envs - 1)
         ]
 
-        import jax.numpy as jnp
-
-        noise_shape = (
-            self.n_envs,
-            self.model.spec.num_action_tokens,
-            self.model.spec.action_dim,
-        )
         base = (
             self.model.infer_action
             if self.use_prefix_kv_cache
             else self.model.infer_action_naive
         )
-
-        def step(params, ids, am, px, pr, key, idx):
-            noise = jax.random.normal(
-                jax.random.fold_in(key, idx), noise_shape, self.dtype
-            )
-            return base(params, ids, am, px, pr, noise)
-
-        self._infer_batched = jax.jit(step)
+        # the serial agent's jit wrapper with an N-row noise batch — one
+        # key-derivation contract for both agents (EvalAgent._make_infer)
+        self._infer_batched = self._make_infer(base, self.n_envs)
 
     def _batched_infer(self, stacked: dict) -> np.ndarray:
         out = self._infer_batched(
@@ -85,11 +77,7 @@ class BatchedEvalAgent(EvalAgent):
             self._step_idx,
         )
         self._step_idx += 1
-        out = np.asarray(out, np.float32)
-        if not np.isfinite(out).all():
-            log.warning("Non-finite actions (nan/inf) replaced with zeros.")
-            out = np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
-        return out
+        return self._sanitize(np.asarray(out, np.float32))
 
     def run(self):
         n_target = self.n_eval_episode

@@ -74,24 +74,8 @@ class EvalAgent:
                 "(results do not reflect the quantized preset): %s", exc
             )
         # jit boundary (the reference's torch.compile(mode="reduce-overhead")).
-        # Noise is sampled IN-GRAPH from (base_key, step_idx): sampling on the
-        # host would dispatch two extra device programs per control step
-        # (split + normal), which costs real round-trips on the axon tunnel.
-        noise_shape = (
-            1, self.model.spec.num_action_tokens, self.model.spec.action_dim
-        )
-
-        def _with_noise(fn):
-            def step(params, ids, am, px, pr, key, idx):
-                noise = jax.random.normal(
-                    jax.random.fold_in(key, idx), noise_shape, self.dtype
-                )
-                return fn(params, ids, am, px, pr, noise)
-
-            return jax.jit(step)
-
-        self._infer_cached = _with_noise(self.model.infer_action)
-        self._infer_naive = _with_noise(self.model.infer_action_naive)
+        self._infer_cached = self._make_infer(self.model.infer_action, 1)
+        self._infer_naive = self._make_infer(self.model.infer_action_naive, 1)
         log.info("Using device: %s dtype: %s", jax.devices()[0], self.dtype)
         log_allocated_tpu_memory(log, "loading model")
 
@@ -118,6 +102,36 @@ class EvalAgent:
         log.info("Instantiating env adapter: %s", cfg["env"]["adapter"]["_target_"])
         self.env_adapter = instantiate(cfg["env"]["adapter"])
         log.info("Env adapter instantiated.")
+
+    def _make_infer(self, fn, batch_size: int):
+        """Jitted control step with IN-GRAPH noise from (base_key, step_idx):
+        sampling on the host would dispatch two extra device programs per
+        control step (split + normal), which costs real round-trips on the
+        axon tunnel. ``batch_size`` is the noise batch — 1 for the serial
+        agent, N for batched lockstep eval (the single key-derivation
+        contract lives HERE for both)."""
+        noise_shape = (
+            batch_size,
+            self.model.spec.num_action_tokens,
+            self.model.spec.action_dim,
+        )
+
+        def step(params, ids, am, px, pr, key, idx):
+            noise = jax.random.normal(
+                jax.random.fold_in(key, idx), noise_shape, self.dtype
+            )
+            return fn(params, ids, am, px, pr, noise)
+
+        return jax.jit(step)
+
+    @staticmethod
+    def _sanitize(out: np.ndarray) -> np.ndarray:
+        """Non-finite action guard shared by the serial and batched fetch
+        paths (reference eval_hf_vla_simpler.py:968-975 semantics)."""
+        if not np.isfinite(out).all():
+            log.warning("Non-finite actions (nan/inf) replaced with zeros.")
+            out = np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
+        return out
 
     @log_execution_time(log)
     def load_checkpoint(self, path):
@@ -174,11 +188,7 @@ class EvalAgent:
         return actions
 
     def _fetch(self, pending) -> np.ndarray:
-        out = np.asarray(pending[0], np.float32)
-        if not np.isfinite(out).all():
-            log.warning("Non-finite actions (nan/inf) replaced with zeros.")
-            out = np.nan_to_num(out, nan=0.0, posinf=0.0, neginf=0.0)
-        return out
+        return self._sanitize(np.asarray(pending[0], np.float32))
 
     def _infer(self, inputs: dict) -> np.ndarray:
         return self._fetch(self._dispatch(inputs))

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from blurr_tpu.ops.attention import DEFAULT_SOFTCLAMP
+
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
@@ -61,8 +63,9 @@ def _local_ring(
     if synthesized_valid:
         k_valid = jnp.ones((b, skv), bool)
 
-    def fold(carry, t):
-        o, m, l, k_c, v_c, kval_c = carry
+    def fold(acc, block, t):
+        o, m, l = acc
+        k_c, v_c, kval_c = block
         j = (my + t) % n_shards  # original owner of the visiting block
         logits = (
             jnp.einsum("bkgqd,bksd->bkgqs", qg, k_c,
@@ -84,10 +87,7 @@ def _local_ring(
         o = o * corr[..., None] + jnp.einsum(
             "bkgqs,bksd->bkgqd", p, v_c.astype(jnp.float32)
         )
-        k_c = jax.lax.ppermute(k_c, axis_name, perm)
-        v_c = jax.lax.ppermute(v_c, axis_name, perm)
-        kval_c = jax.lax.ppermute(kval_c, axis_name, perm)
-        return (o, m_new, l, k_c, v_c, kval_c), None
+        return (o, m_new, l)
 
     o0 = jnp.zeros((b, kvh, g, sq, d), jnp.float32)
     m0 = jnp.full((b, kvh, g, sq), _NEG, jnp.float32)
@@ -104,9 +104,24 @@ def _local_ring(
     o0, m0, l0 = (mark(x) for x in (o0, m0, l0))
     if synthesized_valid:  # a passed-in k_valid is already varying
         k_valid = mark(k_valid)
-    (o, m, l, *_), _ = jax.lax.scan(
-        fold, (o0, m0, l0, k, v, k_valid), jnp.arange(n_shards)
+
+    # fold the resident block first, then rotate-and-fold n-1 times — the
+    # final rotation (which would only return blocks to their origin) never
+    # happens, saving one full K/V-block ICI transfer per call
+    acc = fold((o0, m0, l0), (k, v, k_valid), 0)
+
+    def body(carry, t):
+        acc, (k_c, v_c, kval_c) = carry
+        k_c = jax.lax.ppermute(k_c, axis_name, perm)
+        v_c = jax.lax.ppermute(v_c, axis_name, perm)
+        kval_c = jax.lax.ppermute(kval_c, axis_name, perm)
+        acc = fold(acc, (k_c, v_c, kval_c), t)
+        return (acc, (k_c, v_c, kval_c)), None
+
+    (acc, _), _ = jax.lax.scan(
+        body, (acc, (k, v, k_valid)), jnp.arange(1, n_shards)
     )
+    o, m, l = acc
     out = jnp.where(l[..., None] > 0, o / jnp.maximum(l, 1e-30)[..., None], 0.0)
     return out.reshape(b, nh, sq, d).astype(q.dtype)
 
@@ -119,7 +134,8 @@ def ring_attention(
     axis_name: str = "seq",
     causal: bool = True,
     k_valid: Optional[jax.Array] = None,  # bool [B, S]
-    softclamp: Optional[float] = None,
+    softclamp: Optional[float] = DEFAULT_SOFTCLAMP,  # same default as
+    # grouped_attention (Gemma tanh clamp 50.0); pass None to disable
     scale: Optional[float] = None,
 ) -> jax.Array:
     """Sequence-parallel GQA attention over ``mesh[axis_name]``; the token

@@ -389,7 +389,9 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
     # 5) sequence-parallel flow loss: the same model with its SigLIP/vlm
     # token axes sharded over a ('data'=2,'seq'=2) mesh (GSPMD SP,
     # parallel/mesh.py:sp_constrain) must also equal the plain scan.
-    sp_mesh = make_mesh(data=2, seq=2, devices=devices[:4])
+    # (data axis degrades to 1 when the contract runs on only 2 devices)
+    sp_data = 2 if n_devices >= 4 else 1
+    sp_mesh = make_mesh(data=sp_data, seq=2, devices=devices[: 2 * sp_data])
     sp_params = shard_params(params_pp, sp_mesh)
     sp_bsh = batch_sharding(sp_mesh)
     with sp_mesh:

@@ -38,7 +38,7 @@ def test_ring_matches_plain(n_shards, causal):
     mask = _causal_mask(b, s) if causal else None
     ref = grouped_attention(q, k, v, mask=mask, softclamp=None)
     mesh = make_mesh(seq=n_shards)
-    out = ring_attention(q, k, v, mesh, causal=causal)
+    out = ring_attention(q, k, v, mesh, causal=causal, softclamp=None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
 
@@ -68,7 +68,8 @@ def test_ring_padding_mask():
     mask = _causal_mask(b, s) & k_valid[:, None, :]
     ref = grouped_attention(q, k, v, mask=mask, softclamp=None)
     mesh = make_mesh(seq=4)
-    out = ring_attention(q, k, v, mesh, causal=True, k_valid=k_valid)
+    out = ring_attention(q, k, v, mesh, causal=True, k_valid=k_valid,
+                         softclamp=None)
     valid_rows = np.asarray(mask.any(-1))  # [B, Sq]
     np.testing.assert_allclose(
         np.asarray(out)[valid_rows[:, None, :].repeat(q.shape[1], 1)],
@@ -89,7 +90,8 @@ def test_ring_gradients_match():
         return (grouped_attention(q, k, v, mask=mask, softclamp=None) ** 2).sum()
 
     def loss_ring(q, k, v):
-        return (ring_attention(q, k, v, mesh, causal=True) ** 2).sum()
+        return (ring_attention(q, k, v, mesh, causal=True,
+                               softclamp=None) ** 2).sum()
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
@@ -106,9 +108,20 @@ def test_ring_bf16_long_sequence():
     ref = grouped_attention(
         q, k, v, mask=_causal_mask(q.shape[0], q.shape[2]), softclamp=None
     )
-    out = ring_attention(q, k, v, mesh, causal=True)
+    out = ring_attention(q, k, v, mesh, causal=True, softclamp=None)
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_ring_default_softclamp_matches_grouped_default():
+    """Both APIs default to the Gemma tanh soft-clamp (50.0), so a drop-in
+    swap keeps reference semantics."""
+    q, k, v = _qkv(s=8, seed=5)
+    mesh = make_mesh(seq=2)
+    ref = grouped_attention(q, k, v, mask=None)  # default softclamp
+    out = ring_attention(q, k, v, mesh, causal=False)  # default softclamp
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
