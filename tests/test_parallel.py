@@ -607,3 +607,25 @@ def test_sp_rejects_pipeline_combination(model_and_params):
 
     with pytest.raises(ValueError, match="sequence parallelism"):
         model.flow_loss(params, *args, sp_axis="seq", pipeline=_FakePipe())
+
+
+def test_sp_composes_with_fsdp(model_and_params):
+    """--fsdp --sp 2 --dp 2: weights (and downstream moments) shard over
+    'data' while activations token-shard over 'seq'; the loss must still
+    equal the unsharded run."""
+    model, params = model_and_params
+    params = model.canonicalize_tied_weights(params)
+    args = _flow_args(model, rng_seed=4)
+    l0 = float(model.flow_loss(params, *args))
+
+    mesh = make_mesh(data=2, seq=2)
+    sharded = shard_params(params, mesh, fsdp=True)
+    bsh = batch_sharding(mesh)
+    sh_args = tuple(jax.device_put(a, bsh) for a in args)
+    with mesh:
+        l1 = float(
+            jax.jit(lambda p, *a: model.flow_loss(p, *a, sp_axis="seq"))(
+                sharded, *sh_args
+            )
+        )
+    np.testing.assert_allclose(l1, l0, rtol=5e-5)
