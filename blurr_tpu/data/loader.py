@@ -45,12 +45,17 @@ class ShardedBatchLoader:
         :class:`~blurr_tpu.data.transform.Pi0TrainTransform`).
     prefetch: 0 = synchronous; k > 0 = background thread keeps up to k
         prepared batches queued.
+    example_range: optional (lo, hi) half-open window of dataset indices
+        this loader draws from — the train/validation split mechanism
+        (train gets [0, N-k), validation [N-k, N)). The stream stays a pure
+        function of (seed, consumed, range), so exact resume is unaffected.
     """
 
     def __init__(self, dataset, batch_size: int, seed: int = 0,
                  shuffle: bool = True,
                  transform: Optional[Callable[[Batch], Batch]] = None,
-                 prefetch: int = 0):
+                 prefetch: int = 0,
+                 example_range: Optional[tuple] = None):
         self.dataset = (
             dataset if isinstance(dataset, ShardedDataset)
             else ShardedDataset(dataset)
@@ -58,10 +63,18 @@ class ShardedBatchLoader:
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.batch_size = int(batch_size)
-        self.batches_per_epoch = self.dataset.num_examples // self.batch_size
+        lo, hi = example_range or (0, self.dataset.num_examples)
+        if not (0 <= lo < hi <= self.dataset.num_examples):
+            raise ValueError(
+                f"example_range {example_range} outside "
+                f"[0, {self.dataset.num_examples})"
+            )
+        self._lo, self._hi = int(lo), int(hi)
+        self.num_examples = self._hi - self._lo
+        self.batches_per_epoch = self.num_examples // self.batch_size
         if self.batches_per_epoch == 0:
             raise ValueError(
-                f"dataset has {self.dataset.num_examples} examples; "
+                f"window has {self.num_examples} examples; "
                 f"< one batch of {batch_size}"
             )
         self.seed = int(seed)
@@ -83,9 +96,9 @@ class ShardedBatchLoader:
                 rs = np.random.RandomState(
                     (self.seed * 1000003 + epoch) % (2 ** 31)
                 )
-                self._perm = rs.permutation(self.dataset.num_examples)
+                self._perm = self._lo + rs.permutation(self.num_examples)
             else:
-                self._perm = np.arange(self.dataset.num_examples)
+                self._perm = np.arange(self._lo, self._hi)
             self._perm_epoch = epoch
         return self._perm
 

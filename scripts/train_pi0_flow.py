@@ -83,6 +83,15 @@ def parse_args():
                         "weight (and adamw moment) additionally shards over "
                         "the 'data' axis; GSPMD all-gathers weights per use "
                         "and reduce-scatters grads. Needs --dp > 1.")
+    p.add_argument("--val-examples", type=int, default=0,
+                   help="hold out the LAST k examples of the sharded "
+                        "dataset as a validation split (training draws only "
+                        "from the first N-k). Validation flow loss uses "
+                        "FIXED per-batch (t, x0) draws so the metric is "
+                        "comparable across evals.")
+    p.add_argument("--val-every", type=int, default=0,
+                   help="validate every M optimizer steps (0 = only at the "
+                        "end). Needs --val-examples > 0.")
     p.add_argument("--grad-clip", type=float, default=0.0,
                    help="clip the TRAINABLE gradient to this global L2 norm "
                         "before adamw (0 = off). Sits inside the parameter-"
@@ -298,13 +307,24 @@ def main():
             transform = transform_for_config(
                 cfg, dataset_statistics=ds.statistics
             )
+        train_hi = ds.num_examples
+        if args.val_examples > 0:
+            if ds.num_examples - args.val_examples < args.batch_size:
+                sys.exit(
+                    f"--val-examples {args.val_examples} leaves fewer than "
+                    f"one training batch of {args.batch_size}"
+                )
+            train_hi = ds.num_examples - args.val_examples
         loader = ShardedBatchLoader(
             ds, args.batch_size, seed=args.seed,
             transform=transform, prefetch=max(args.data_prefetch, 0),
+            example_range=(0, train_hi),
         )
         log.info(
-            "Sharded dataset %s: %d examples, %d batches/epoch%s",
-            args.data, ds.num_examples, loader.batches_per_epoch,
+            "Sharded dataset %s: %d examples (%d train / %d val), "
+            "%d batches/epoch%s",
+            args.data, ds.num_examples, train_hi,
+            ds.num_examples - train_hi, loader.batches_per_epoch,
             " (raw keys -> Pi0TrainTransform)" if transform else "",
         )
     elif args.data != "synthetic":
@@ -345,6 +365,55 @@ def main():
         log.info("Resumed training state from %s at step %d",
                  args.resume_state, start_step)
 
+    if args.val_examples > 0 and loader is None:
+        sys.exit("--val-examples needs a sharded dataset (--data <dir>)")
+
+    run_validation = None
+    if args.val_examples > 0:
+        from blurr_tpu.data import ShardedBatchLoader as _Loader
+
+        val_bs = min(args.batch_size, args.val_examples)
+        val_loader = _Loader(
+            ds, val_bs, seed=args.seed, shuffle=False, transform=transform,
+            example_range=(train_hi, ds.num_examples),
+        )
+        # materialize the (small) fixed split once; fixed per-batch (t, x0)
+        # draws make the metric comparable across evals — a resampled flow
+        # time would move the loss more than the weights do
+        val_batches = [
+            val_loader.next_batch()
+            for _ in range(val_loader.batches_per_epoch)
+        ]
+        vrng = np.random.RandomState(args.seed + 999)
+        val_fixed = [
+            (
+                jnp.asarray(vrng.beta(1.5, 1.0, b["actions"].shape[0]),
+                            jnp.float32),
+                jnp.asarray(vrng.randn(*b["actions"].shape), jnp.float32),
+            )
+            for b in val_batches
+        ]
+        val_loss_fn = jax.jit(model.flow_loss)
+
+        def run_validation(p):
+            tot = 0.0
+            for b, (t_f, x0_f) in zip(val_batches, val_fixed):
+                tot += float(val_loss_fn(
+                    p,
+                    jnp.asarray(b["input_ids"]),
+                    jnp.asarray(b["attention_mask"]),
+                    jnp.asarray(b["pixel_values"]),
+                    jnp.asarray(b["proprios"]),
+                    jnp.asarray(b["actions"]),
+                    t_f, x0_f,
+                ))
+            return tot / len(val_batches)
+
+        log.info(
+            "Validation split: %d examples (%d batches of %d)",
+            args.val_examples, len(val_batches), val_bs,
+        )
+
     bsh = batch_sharding(mesh) if mesh else None
     feed = None
     if loader is not None and args.data_prefetch > 0:
@@ -373,6 +442,11 @@ def main():
         with mesh_ctx:
             params, opt_state, loss = train_step(params, opt_state, batch, sub)
         steps_done = step + 1
+        val = None
+        if (run_validation is not None and args.val_every > 0
+                and steps_done % args.val_every == 0):
+            val = run_validation(params)
+            log.info("step %d validation loss %.5f", step, val)
         if args.stop_after and steps_done >= args.stop_after:
             log.info("Stopping after %d steps (--stop-after)", steps_done)
             break
@@ -395,7 +469,8 @@ def main():
                     w = _csv.writer(f)
                     if new:
                         w.writerow(
-                            ["step", "loss", "lr", "wall_s", "samples_per_s"]
+                            ["step", "loss", "lr", "wall_s",
+                             "samples_per_s", "val_loss"]
                         )
                     done = step - start_step + 1
                     w.writerow([
@@ -403,8 +478,11 @@ def main():
                         f"{log_schedule(step // k):.3e}",
                         f"{elapsed:.2f}",
                         f"{done * args.batch_size / max(elapsed, 1e-9):.2f}",
+                        "" if val is None else f"{val:.6f}",
                     ])
 
+    if run_validation is not None:
+        log.info("Final validation loss %.5f", run_validation(params))
     if loader is not None:
         loader.close()
     if args.save_dir:

@@ -327,3 +327,68 @@ class TestTrainCLIShardedData:
         res = restore_params(str(d_res))
         for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(res)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_loader_example_range_split():
+    """Train/val windows partition the index space: a (0, n-k) loader never
+    emits a held-out index, the (n-k, n) loader emits exactly those, and
+    the windowed stream stays O(1)-restorable."""
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as d:
+        path = Path(d) / "ds"
+        write_dataset(path, {"idx": np.arange(20, dtype=np.int64)[:, None]},
+                      shard_size=6)
+        tr = ShardedBatchLoader(path, 4, seed=7, example_range=(0, 16))
+        seen = set()
+        for _ in range(2 * tr.batches_per_epoch):
+            seen.update(tr.next_batch()["idx"].ravel().tolist())
+        assert seen == set(range(16))
+
+        va = ShardedBatchLoader(path, 4, seed=7, shuffle=False,
+                                example_range=(16, 20))
+        assert va.next_batch()["idx"].ravel().tolist() == [16, 17, 18, 19]
+
+        # windowed resume: replaying from a fresh loader reproduces batch t
+        t = 3
+        probe = ShardedBatchLoader(path, 4, seed=7, example_range=(0, 16))
+        probe.restore(t)
+        tr2 = ShardedBatchLoader(path, 4, seed=7, example_range=(0, 16))
+        for _ in range(t):
+            tr2.next_batch()
+        np.testing.assert_array_equal(
+            probe.next_batch()["idx"], tr2.next_batch()["idx"]
+        )
+
+
+class TestTrainCLIValidation:
+    def test_val_split_and_metrics(self, tmp_path, monkeypatch):
+        """--val-examples holds out the dataset tail, --val-every logs a
+        comparable fixed-draw validation loss, and the metrics CSV carries
+        the val_loss column on validation steps."""
+        import csv
+        import sys
+
+        import scripts.train_pi0_flow as cli
+        from blurr_tpu.benchmarks import load_cfg
+
+        cfg = load_cfg("config/eval/bridge_tiny.yaml")
+        data = tmp_path / "raw_ds"
+        _write_raw_tiny_dataset(data, n=12, cfg=cfg)
+        mcsv = tmp_path / "metrics.csv"
+        monkeypatch.setattr(
+            sys, "argv",
+            ["train_pi0_flow.py", "--config", "config/eval/bridge_tiny.yaml",
+             "--data", str(data), "--batch-size", "2", "--steps", "4",
+             "--val-examples", "4", "--val-every", "2", "--log-every", "1",
+             "--metrics-csv", str(mcsv)],
+        )
+        cli.main()
+        rows = list(csv.reader(mcsv.open()))
+        assert rows[0][-1] == "val_loss"
+        vals = [r[-1] for r in rows[1:]]
+        # steps 2 and 4 validated (1-indexed steps_done), finite values
+        assert vals[1] != "" and vals[3] != ""
+        assert float(vals[1]) > 0 and float(vals[3]) > 0
+        assert vals[0] == "" and vals[2] == ""

@@ -541,6 +541,7 @@ def test_train_cli_grad_clip_and_metrics_csv(tmp_path, monkeypatch):
     )
     cli.main()
     rows = list(csv.reader(mcsv.open()))
-    assert rows[0] == ["step", "loss", "lr", "wall_s", "samples_per_s"]
+    assert rows[0] == ["step", "loss", "lr", "wall_s", "samples_per_s",
+                       "val_loss"]
     assert len(rows) == 4  # header + 3 logged steps
     assert all(float(r[1]) == float(r[1]) for r in rows[1:])  # finite losses
