@@ -49,3 +49,66 @@ def get_num_params_in_billions(params) -> float:
 def cast_params(params, dtype):
     """The ``optimizer_to`` analogue: move/cast a parameter pytree."""
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+
+
+def params_ema(decay: float = 0.999):
+    """Optax transform that tracks an exponential moving average of the
+    POST-UPDATE parameters in its state (new design — flow/diffusion
+    policies are commonly served from EMA weights; the reference has no
+    training pipeline at all, SURVEY.md §0).
+
+    Chain it AFTER the optimizer proper::
+
+        tx = optax.chain(optax.masked(optax.adamw(sched), mask),
+                         params_ema(0.999))
+
+    The EMA tree lives inside ``opt_state``, so checkpoint/exact-resume
+    (save_train_state) and GSPMD shardings (opt_state inherits the params')
+    cover it with zero extra plumbing; pull it out with
+    :func:`extract_ema`. Updates pass through unchanged.
+    """
+    import optax
+
+    def init(params):
+        # a REAL copy: jnp.asarray would alias the param buffers, and an
+        # aliased ema makes donate_argnums=(0,1) donate the same buffer
+        # twice (params once, opt_state once) — XLA rejects the execute
+        ema = jax.tree.map(lambda p: jnp.array(p, copy=True), params)
+        return {"ema": ema, "count": jnp.zeros((), jnp.int32)}
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("params_ema needs params (optax passes them "
+                             "when the chain receives them)")
+        new_params = optax.apply_updates(params, updates)
+        # bias-corrected like adamw's moments: early steps track the actual
+        # weights instead of the init
+        count = state["count"] + 1
+        d = jnp.minimum(decay, (1.0 + count) / (10.0 + count))
+        ema = jax.tree.map(
+            lambda e, p: (d * e.astype(jnp.float32)
+                          + (1.0 - d) * p.astype(jnp.float32)).astype(e.dtype),
+            state["ema"], new_params,
+        )
+        return updates, {"ema": ema, "count": count}
+
+    return optax.GradientTransformation(init, update)
+
+
+def extract_ema(opt_state):
+    """Pull the EMA parameter tree from an opt_state produced by a chain
+    containing :func:`params_ema` (searched by the state's dict shape)."""
+    found = []
+
+    def walk(s):
+        if isinstance(s, dict) and set(s.keys()) == {"ema", "count"}:
+            found.append(s["ema"])
+            return
+        if isinstance(s, (tuple, list)):
+            for x in s:
+                walk(x)
+
+    walk(opt_state)
+    if not found:
+        raise ValueError("no params_ema state found in opt_state")
+    return found[0]

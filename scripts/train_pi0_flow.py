@@ -98,6 +98,12 @@ def parse_args():
                         "group mask, so frozen groups don't dilute the norm; "
                         "with --accum-steps it clips the averaged update "
                         "gradient (MultiSteps wraps outside).")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="track an exponential moving average of the post-"
+                        "update parameters (bias-corrected; 0 = off). The "
+                        "EMA rides opt_state (exact resume + shardings come "
+                        "free) and is saved to <save-dir>_ema at the end — "
+                        "flow policies are commonly served from EMA weights.")
     p.add_argument("--metrics-csv", type=str, default="",
                    help="append per-logged-step training metrics (step, "
                         "loss, lr, wall_s, samples_per_s) to this CSV.")
@@ -240,6 +246,13 @@ def main():
         # effectively rescale the action expert's clip threshold)
         inner = optax.chain(optax.clip_by_global_norm(args.grad_clip), inner)
     tx = optax.masked(inner, mask)
+    if args.ema_decay > 0:
+        from blurr_tpu.utils.optim import params_ema
+
+        # AFTER the mask so the EMA tracks the actual post-update weights
+        # (frozen groups stay pinned at their values); with --accum-steps
+        # the MultiSteps wrapper below gates it to once per real update
+        tx = optax.chain(tx, params_ema(args.ema_decay))
     if args.accum_steps > 1:
         # accumulation sits OUTSIDE the mask/adamw: k micro-grads average in
         # the accumulator, the inner tx sees one averaged update every k-th
@@ -490,6 +503,11 @@ def main():
 
         save_params(params, args.save_dir)
         log.info("Saved params to %s", args.save_dir)
+        if args.ema_decay > 0:
+            from blurr_tpu.utils.optim import extract_ema
+
+            save_params(extract_ema(opt_state), args.save_dir + "_ema")
+            log.info("Saved EMA params to %s_ema", args.save_dir)
     if args.save_state:
         from blurr_tpu.models.pi0.checkpoint import save_train_state
 

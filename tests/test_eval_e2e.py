@@ -545,3 +545,33 @@ def test_train_cli_grad_clip_and_metrics_csv(tmp_path, monkeypatch):
                        "val_loss"]
     assert len(rows) == 4  # header + 3 logged steps
     assert all(float(r[1]) == float(r[1]) for r in rows[1:])  # finite losses
+
+
+def test_train_cli_ema_save(tmp_path, monkeypatch):
+    """--ema-decay saves a loadable EMA tree next to the params; EMA differs
+    from the final params (it lags the trajectory) but shares the pytree
+    structure."""
+    import sys
+
+    import jax
+    import numpy as np
+
+    import scripts.train_pi0_flow as cli
+    from blurr_tpu.models.pi0.checkpoint import restore_params
+
+    save = tmp_path / "ck"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train_pi0_flow.py", "--config", "config/eval/bridge_tiny.yaml",
+         "--steps", "3", "--batch-size", "2", "--lr", "1e-2",
+         "--ema-decay", "0.9", "--save-dir", str(save)],
+    )
+    cli.main()
+    final = restore_params(str(save))
+    ema = restore_params(str(save) + "_ema")
+    assert jax.tree.structure(final) == jax.tree.structure(ema)
+    diffs = [
+        float(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).max())
+        for a, b in zip(jax.tree.leaves(final), jax.tree.leaves(ema))
+    ]
+    assert max(diffs) > 0  # the EMA lags the trained weights

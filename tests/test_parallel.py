@@ -629,3 +629,43 @@ def test_sp_composes_with_fsdp(model_and_params):
             )
         )
     np.testing.assert_allclose(l1, l0, rtol=5e-5)
+
+
+def test_params_ema_tracks_post_update_weights(model_and_canon_params):
+    """params_ema chained after the masked optimizer: the opt_state-resident
+    EMA equals the bias-corrected recurrence over the actual post-update
+    parameter trajectory, and extract_ema pulls it out of the full chain
+    (incl. through MultiSteps-style nesting of tuples)."""
+    import optax
+
+    from blurr_tpu.models.pi0.trainable import action_expert_mask
+    from blurr_tpu.parallel.train import make_optax_train_step
+    from blurr_tpu.utils.optim import extract_ema, params_ema
+
+    model, params = model_and_canon_params
+    decay = 0.9
+    tx = optax.chain(
+        optax.masked(optax.adamw(1e-2), action_expert_mask(params)),
+        params_ema(decay),
+    )
+    opt_state = tx.init(params)
+    step = make_optax_train_step(model, tx)
+    batch = _train_batch(model)
+
+    history = [params]
+    p = params
+    for i in range(3):
+        p, opt_state, _ = step(p, opt_state, batch, jax.random.PRNGKey(i))
+        history.append(p)
+
+    # manual bias-corrected recurrence over the post-update trees
+    ref = jax.tree.map(np.asarray, history[0])
+    for c, post in enumerate(history[1:], start=1):
+        d = min(decay, (1.0 + c) / (10.0 + c))
+        ref = jax.tree.map(
+            lambda e, q: d * e + (1 - d) * np.asarray(q, np.float32), ref, post
+        )
+    ema = extract_ema(opt_state)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(ema)):
+        np.testing.assert_allclose(np.asarray(b, np.float32), a,
+                                   rtol=2e-6, atol=2e-7)
