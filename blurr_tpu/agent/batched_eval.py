@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import logging
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -65,6 +66,13 @@ class BatchedEvalAgent(EvalAgent):
         # the serial agent's jit wrapper with an N-row noise batch — one
         # key-derivation contract for both agents (EvalAgent._make_infer)
         self._infer_batched = self._make_infer(base, self.n_envs)
+        # per-slot host preprocessing (cv2 resize + tokenize) runs in a
+        # thread pool — cv2 releases the GIL, so N slots' image work
+        # overlaps instead of serializing in front of every device step
+        self._pool = (
+            ThreadPoolExecutor(max_workers=min(8, self.n_envs))
+            if self.n_envs > 1 else None
+        )
 
     def _batched_infer(self, stacked: dict) -> np.ndarray:
         out = self._infer_batched(
@@ -126,8 +134,15 @@ class BatchedEvalAgent(EvalAgent):
         while any(s.active for s in slots):
             # preprocess every slot (inactive slots resend their last inputs
             # so the batch shape — and the compiled program — never changes)
-            for s in slots:
-                if s.active:
+            active = [s for s in slots if s.active]
+            if self._pool is not None and len(active) > 1:
+                for s, inp in zip(active, self._pool.map(
+                    lambda s: s.adapter.preprocess(s.env, s.obs, s.instruction),
+                    active,
+                )):
+                    s.inputs = inp
+            else:
+                for s in active:
                     s.inputs = s.adapter.preprocess(s.env, s.obs, s.instruction)
             stacked = {
                 k: np.concatenate([np.asarray(s.inputs[k]) for s in slots])
