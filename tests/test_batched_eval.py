@@ -104,3 +104,21 @@ def test_more_envs_than_episodes(tmp_path, caplog):
     assert 0.0 <= rate <= 1.0
     m = re.search(r"Number of episodes:\s*([0-9]+)", caplog.text)
     assert m and int(m.group(1)) == 2
+
+
+def test_batched_eval_with_w8a8_preset(tmp_path, caplog):
+    """Batched lockstep eval composes with the W8A8 quantized preset — the
+    quantized tree must actually apply (no graceful-degradation warning)
+    and the closed loop must finish with exact accounting."""
+    from blurr_tpu.agent.batched_eval import BatchedEvalAgent
+
+    cfg = _mk_cfg(tmp_path, n_episodes=2, batch_envs=2, act_steps=2)
+    cfg["use_bf16"] = True
+    cfg["vlm_quantization"] = {"mode": "w8a8", "include_vision": True}
+    cfg["action_quantization"] = {"mode": "w8a8"}
+    with caplog.at_level(logging.INFO):
+        rate = BatchedEvalAgent(cfg).run()
+    assert 0.0 <= rate <= 1.0
+    assert "Quantization failed" not in caplog.text
+    m = re.search(r"Number of episodes:\s*([0-9]+)", caplog.text)
+    assert m and int(m.group(1)) == 2
