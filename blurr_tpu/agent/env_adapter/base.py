@@ -13,6 +13,27 @@ import numpy as np
 _EPS = 1e-8
 
 
+def hoist_field_stats(stats: dict, fields=("action", "proprio")) -> dict:
+    """Per-field {stat_name: float64 array} from a dataset-statistics dict
+    (bridge_statistics.json schema) — the ONE hoisting helper shared by the
+    env adapters and the training transform, so the two preprocessing paths
+    cannot drift. Accepts JSON lists and numpy arrays; scalar metadata
+    (num_transitions etc.) passes through the filter."""
+    out = {}
+    for field in fields:
+        out[field] = {
+            k: np.asarray(v, np.float64)
+            for k, v in stats[field].items()
+            if isinstance(v, (list, np.ndarray))
+        }
+        if not out[field]:
+            raise ValueError(
+                f"dataset statistics field {field!r} has no array-valued "
+                f"stats (keys: {list(stats[field])})"
+            )
+    return out
+
+
 def bound_normalize(data, lo, hi, clip_min=-1.0, clip_max=1.0, eps=_EPS):
     """Map [lo, hi] -> [-1, 1] (p01/p99 bounds), clipped to the clip range."""
     span = hi - lo + eps

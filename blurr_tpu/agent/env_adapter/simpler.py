@@ -16,7 +16,7 @@ from typing import List, Tuple
 
 import numpy as np
 
-from blurr_tpu.agent.env_adapter.base import BaseEnvAdapter
+from blurr_tpu.agent.env_adapter.base import BaseEnvAdapter, hoist_field_stats
 from blurr_tpu.config.core import register
 from blurr_tpu.models.pi0.processing import VLAProcessor
 from blurr_tpu.paths import package_root
@@ -97,15 +97,9 @@ class SimplerAdapter(BaseEnvAdapter):
             self.dataset_statistics = json.load(f)
         # hoist the per-control-step arrays out of the hot loop (the JSON
         # lists would otherwise be re-converted on every preprocess/
-        # postprocess call)
-        self._stats = {
-            field: {
-                k: np.asarray(v, np.float64)
-                for k, v in self.dataset_statistics[field].items()
-                if isinstance(v, list)
-            }
-            for field in ("action", "proprio")
-        }
+        # postprocess call); shared with Pi0TrainTransform so train and
+        # serve normalization cannot drift
+        self._stats = hoist_field_stats(self.dataset_statistics)
 
         self.tokenizer = _load_tokenizer(pretrained_model_path)
         self.processor = VLAProcessor(

@@ -131,9 +131,18 @@ class ShardedBatchLoader:
         if self._prefetch > 0:
             self._ensure_producer()
             t, batch = self._q.get()
+            if isinstance(batch, BaseException):
+                # a producer failure (corrupt shard, transform error) must
+                # surface HERE, not hang the consumer on an empty queue
+                self._stop_producer()
+                raise batch
             # the producer restarts from self._consumed after restore(), so
             # indices always arrive in consumption order
-            assert t == self._consumed, (t, self._consumed)
+            if t != self._consumed:
+                raise RuntimeError(
+                    f"prefetch stream out of sync: got batch {t}, expected "
+                    f"{self._consumed}"
+                )
         else:
             batch = self._batch_at(self._consumed)
         self._consumed += 1
@@ -150,17 +159,25 @@ class ShardedBatchLoader:
     def _ensure_producer(self) -> None:
         if self._thread is not None and self._thread.is_alive():
             return
-        self._stop.clear()
-        self._q = queue.Queue(maxsize=self._prefetch)
+        # PER-GENERATION stop event + queue, captured as locals: a previous
+        # producer that outlived join(timeout) (slow cold-page gather) keeps
+        # ITS stop/queue and can never push stale-indexed batches into a new
+        # generation's queue — which would break the exact-resume stream
+        stop = self._stop = threading.Event()
+        q = self._q = queue.Queue(maxsize=self._prefetch)
         start = self._consumed
 
         def run():
             t = start
-            while not self._stop.is_set():
-                batch = self._batch_at(t)
-                while not self._stop.is_set():
+            while not stop.is_set():
+                try:
+                    batch = self._batch_at(t)
+                except BaseException as exc:  # surface in next_batch()
+                    q.put((t, exc))
+                    return
+                while not stop.is_set():
                     try:
-                        self._q.put((t, batch), timeout=0.1)
+                        q.put((t, batch), timeout=0.1)
                         break
                     except queue.Full:
                         continue

@@ -178,9 +178,9 @@ class ShardedDataset:
             self._mmaps[name] = arr
         return arr
 
-    def gather(self, key: str, idx: np.ndarray) -> np.ndarray:
-        """Rows ``idx`` (global indices, any order, duplicates OK) of ``key``
-        as a materialized array in the request's order."""
+    def _gather_plan(self, idx: np.ndarray):
+        """Pure index math shared by every key of a batch: per touched shard,
+        (shard, positions-in-request, sorted local rows)."""
         idx = np.asarray(idx, np.int64)
         if idx.ndim != 1:
             raise ValueError(f"idx must be 1-D, got shape {idx.shape}")
@@ -190,21 +190,34 @@ class ShardedDataset:
                 f"[{idx.min()}, {idx.max()}]"
             )
         shard_ids = np.searchsorted(self._offsets[1:], idx, side="right")
-        key_info = self.keys[key]
-        out = np.empty(
-            (idx.size, *key_info["shape"]), dtype=np.dtype(key_info["dtype"])
-        )
-        # one mmap fancy-index per touched shard (sorted rows within a shard
-        # read mostly-sequential pages)
+        plan = []
         for shard in np.unique(shard_ids):
             sel = np.nonzero(shard_ids == shard)[0]
             local = idx[sel] - self._offsets[shard]
             order = np.argsort(local, kind="stable")
-            out[sel[order]] = self._shard_array(int(shard), key)[local[order]]
+            plan.append((int(shard), sel[order], local[order]))
+        return idx.size, plan
+
+    def _gather_planned(self, key: str, n: int, plan) -> np.ndarray:
+        key_info = self.keys[key]
+        out = np.empty((n, *key_info["shape"]), dtype=np.dtype(key_info["dtype"]))
+        # one mmap fancy-index per touched shard (sorted rows within a shard
+        # read mostly-sequential pages)
+        for shard, dest, local in plan:
+            out[dest] = self._shard_array(shard, key)[local]
         return out
 
+    def gather(self, key: str, idx: np.ndarray) -> np.ndarray:
+        """Rows ``idx`` (global indices, any order, duplicates OK) of ``key``
+        as a materialized array in the request's order."""
+        n, plan = self._gather_plan(idx)
+        return self._gather_planned(key, n, plan)
+
     def gather_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        return {k: self.gather(k, idx) for k in self.keys}
+        # the searchsorted/unique/argsort plan is identical for every key —
+        # compute it once per batch, not once per key
+        n, plan = self._gather_plan(idx)
+        return {k: self._gather_planned(k, n, plan) for k in self.keys}
 
     def example(self, i: int) -> Dict[str, np.ndarray]:
         b = self.gather_batch(np.asarray([i]))

@@ -53,15 +53,11 @@ class Pi0TrainTransform:
                  action_normalization_type: str = "bound",
                  proprio_normalization_type: str = "bound",
                  cond_steps: int = 1):
-        stats = _load_stats(statistics)
-        self._stats = {
-            field: {
-                k: np.asarray(v, np.float64)
-                for k, v in stats[field].items()
-                if isinstance(v, list)
-            }
-            for field in ("action", "proprio")
-        }
+        from blurr_tpu.agent.env_adapter.base import hoist_field_stats
+
+        # the adapters' own hoisting helper: train and serve normalization
+        # read the statistics identically by construction
+        self._stats = hoist_field_stats(_load_stats(statistics))
         self.image_size = (int(image_size[0]), int(image_size[1]))
         assert action_normalization_type in ("bound", "gaussian")
         assert proprio_normalization_type in ("bound", "gaussian")

@@ -74,20 +74,10 @@ class VLAProcessor:
         )
         self.tokenizer = tokenizer
 
-    def __call__(
-        self,
-        text: List[str],
-        images,  # uint8 array-like [B, 3, H, W]
-        truncation: bool = True,
-    ) -> dict:
-        images = np.asarray(images)
-        assert len(images) == len(
-            text
-        ), f"Received {len(images)} images for {len(text)} prompts."
-        assert images.dtype == np.uint8, f"Expected uint8 images, got {images.dtype}."
-
-        pixel_values = process_images(images)
-
+    def tokenize(self, text: List[str], truncation: bool = True) -> dict:
+        """Text-only half of __call__: image-token-prefixed prompt ->
+        padded (input_ids, attention_mask). The serving instruction cache
+        uses this directly so a cache miss never pays the image pipeline."""
         input_strings = [
             add_image_tokens_to_prompt(
                 prefix_prompt=prompt,
@@ -105,9 +95,28 @@ class VLAProcessor:
             truncation=truncation,
         )
         return {
-            "pixel_values": pixel_values,
             "input_ids": jnp.asarray(inputs["input_ids"], jnp.int32),
             "attention_mask": jnp.asarray(inputs["attention_mask"], jnp.int32),
+        }
+
+    def __call__(
+        self,
+        text: List[str],
+        images,  # uint8 array-like [B, 3, H, W]
+        truncation: bool = True,
+    ) -> dict:
+        images = np.asarray(images)
+        assert len(images) == len(
+            text
+        ), f"Received {len(images)} images for {len(text)} prompts."
+        assert images.dtype == np.uint8, f"Expected uint8 images, got {images.dtype}."
+
+        pixel_values = process_images(images)
+        out = self.tokenize(text, truncation=truncation)
+        return {
+            "pixel_values": pixel_values,
+            "input_ids": out["input_ids"],
+            "attention_mask": out["attention_mask"],
         }
 
 

@@ -40,17 +40,34 @@ def send_msg(sock: socket.socket, obj: dict) -> None:
 MAX_MSG_BYTES = 64 * 1024 * 1024
 
 
+class ProtocolError(ValueError):
+    """Malformed wire data. ``recoverable`` says whether the stream is
+    still framed (bad JSON in a complete frame) or lost (oversized length
+    prefix whose payload was never consumed)."""
+
+    def __init__(self, msg: str, recoverable: bool):
+        super().__init__(msg)
+        self.recoverable = recoverable
+
+
 def recv_msg(sock: socket.socket) -> Optional[dict]:
     header = _recv_exact(sock, 4)
     if header is None:
         return None
     (length,) = struct.unpack(">I", header)
     if length > MAX_MSG_BYTES:
-        return None
+        raise ProtocolError(
+            f"frame length {length} exceeds MAX_MSG_BYTES={MAX_MSG_BYTES}",
+            recoverable=False,
+        )
     payload = _recv_exact(sock, length)
     if payload is None:
         return None
-    return json.loads(payload.decode("utf-8"))
+    try:
+        return json.loads(payload.decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as exc:
+        # the frame was fully consumed — the connection can keep serving
+        raise ProtocolError(f"invalid JSON payload: {exc}", recoverable=True)
 
 
 class _PendingRequest:
@@ -71,13 +88,13 @@ class _PendingRequest:
 
 
 def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
-    buf = b""
+    buf = bytearray()  # linear-time accumulate (bytes += is O(n^2))
     while len(buf) < n:
         chunk = sock.recv(n - len(buf))
         if not chunk:
             return None
-        buf += chunk
-    return buf
+        buf.extend(chunk)
+    return bytes(buf)
 
 
 class ActionServer:
@@ -254,7 +271,9 @@ class ActionServer:
         if cached is not None:
             ids, am = cached
         else:
-            out = self.processor(text=[instruction], images=chw)
+            # text-only tokenize: a cache miss must not pay process_images
+            # twice (px is computed once below for every request)
+            out = self.processor.tokenize([instruction])
             ids, am = out["input_ids"], out["attention_mask"]
             with self._tok_lock:
                 if len(self._tok_cache) >= 1024:  # bound daemon memory
@@ -407,7 +426,17 @@ class ActionServer:
     def _handle(self, conn: socket.socket) -> None:
         with conn:
             while True:
-                req = recv_msg(conn)
+                try:
+                    req = recv_msg(conn)
+                except ProtocolError as exc:
+                    log.warning("protocol error from client: %s", exc)
+                    try:
+                        send_msg(conn, {"error": f"ProtocolError: {exc}"})
+                    except OSError:
+                        pass
+                    if not exc.recoverable:
+                        return  # framing lost — drop the connection
+                    continue
                 if req is None:
                     return
                 try:

@@ -392,3 +392,35 @@ class TestTrainCLIValidation:
         assert vals[1] != "" and vals[3] != ""
         assert float(vals[1]) > 0 and float(vals[3]) > 0
         assert vals[0] == "" and vals[2] == ""
+
+
+def test_prefetch_producer_error_propagates():
+    """A transform that raises on some batch must surface in next_batch()
+    (the old producer died silently and the consumer hung forever)."""
+    import tempfile
+    from pathlib import Path
+
+    import pytest
+
+    with tempfile.TemporaryDirectory() as d:
+        path = Path(d) / "ds"
+        write_dataset(path, {"x": np.arange(8, dtype=np.float32)[:, None]},
+                      shard_size=4)
+
+        calls = {"n": 0}
+
+        def poison(batch):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("corrupt example")
+            return batch
+
+        loader = ShardedBatchLoader(path, 2, seed=0, transform=poison,
+                                    prefetch=2)
+        try:
+            loader.next_batch()  # first batch fine
+            with pytest.raises(RuntimeError, match="corrupt example"):
+                for _ in range(4):
+                    loader.next_batch()
+        finally:
+            loader.close()

@@ -320,3 +320,52 @@ def test_tp_w4a8_raises():
     cfg["vlm_quantization"] = {"mode": "w4a8"}
     with pytest.raises(NotImplementedError, match="w4a8"):
         ActionServer(cfg, checkpoint_path="random", tp=2)
+
+
+def test_invalid_json_gets_error_reply_and_connection_survives(server):
+    """A well-framed but non-JSON payload must produce an {'error': ...}
+    reply (not a dead handler thread), and the SAME connection must then
+    serve a valid request."""
+    import socket
+    import struct
+
+    from blurr_tpu.serving.server import recv_msg, send_msg
+
+    sock = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+    try:
+        bad = b"\x00not json"
+        sock.sendall(struct.pack(">I", len(bad)) + bad)
+        resp = recv_msg(sock)
+        assert "error" in resp and "ProtocolError" in resp["error"]
+
+        import base64
+
+        img = np.zeros((8, 8, 3), np.uint8)
+        send_msg(sock, {
+            "image": base64.b64encode(img.tobytes()).decode(),
+            "image_shape": list(img.shape),
+            "instruction": "pick",
+            "proprio": [0.0] * 7,
+        })
+        resp = recv_msg(sock)
+        assert "actions" in resp
+    finally:
+        sock.close()
+
+
+def test_oversized_frame_gets_error_then_close(server):
+    """A hostile length prefix is answered with an error and the connection
+    is dropped (framing is unrecoverable)."""
+    import socket
+    import struct
+
+    from blurr_tpu.serving.server import MAX_MSG_BYTES, recv_msg
+
+    sock = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+    try:
+        sock.sendall(struct.pack(">I", MAX_MSG_BYTES + 1))
+        resp = recv_msg(sock)
+        assert resp is not None and "ProtocolError" in resp.get("error", "")
+        assert recv_msg(sock) is None  # server closed the connection
+    finally:
+        sock.close()
