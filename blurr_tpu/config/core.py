@@ -43,9 +43,7 @@ class Config(dict):
 
     @staticmethod
     def wrap(obj: Any) -> Any:
-        if isinstance(obj, dict) and not isinstance(obj, Config):
-            return Config({k: Config.wrap(v) for k, v in obj.items()})
-        if isinstance(obj, Config):
+        if isinstance(obj, dict):  # Config included — rewrap recursively
             return Config({k: Config.wrap(v) for k, v in obj.items()})
         if isinstance(obj, list):
             return [Config.wrap(v) for v in obj]
@@ -119,7 +117,12 @@ def resolve_interpolations(node: Any, root: Any) -> Any:
             return resolve_interpolations(val, root)
 
         def sub(m):
-            return str(_resolve_token(m.group(1), root))
+            # recurse like the full-match path: a looked-up value may itself
+            # interpolate (OmegaConf semantics), e.g. "${base}/run_${seed}"
+            # with base: ${oc.env:...} must not leak literal ${...} text
+            return str(
+                resolve_interpolations(_resolve_token(m.group(1), root), root)
+            )
 
         if _INTERP_INNER_RE.search(node):
             return _INTERP_INNER_RE.sub(sub, node)

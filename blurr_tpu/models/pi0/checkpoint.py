@@ -42,7 +42,6 @@ def load_torch_state_dict(path: str) -> Dict[str, "np.ndarray"]:
 
 def load_safetensors_dir(path: str) -> Dict[str, "np.ndarray"]:
     import glob
-    import os
 
     from safetensors import safe_open
 
@@ -256,13 +255,27 @@ def restore_params(path: str, like=None):
 
     ckptr = ocp.StandardCheckpointer()
     if like is not None:
-        import jax
-
-        template = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), like
+        return ckptr.restore(
+            os.path.abspath(path), target=_template_like(like)
         )
-        return ckptr.restore(os.path.abspath(path), target=template)
     return ckptr.restore(os.path.abspath(path))
+
+
+def _template_like(tree):
+    """ShapeDtypeStruct template carrying each leaf's sharding when it has
+    one, so orbax restores sharded trees PLACED (a multi-chip state larger
+    than one chip would otherwise OOM restoring unsharded, and single-chip
+    restores would pay a full re-transfer at the next jit)."""
+    import jax
+    from jax.sharding import Sharding
+
+    def mk(a):
+        sh = getattr(a, "sharding", None)
+        if isinstance(sh, Sharding):
+            return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh)
+        return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+    return jax.tree.map(mk, tree)
 
 
 def save_train_state(path: str, params, opt_state, step: int, rng) -> None:
@@ -271,7 +284,6 @@ def save_train_state(path: str, params, opt_state, step: int, rng) -> None:
     key — for EXACT resume (capability extension; reference is load-only).
     The caller must also resynchronize its data stream to ``step`` (the CLI
     fast-forwards its batch RNG by replaying ``step`` draws)."""
-    import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
     state = {
@@ -289,18 +301,15 @@ def restore_train_state(path: str, like_params, like_opt_state, like_rng):
     """Restore a save_train_state tree. Returns (params, opt_state, step,
     rng). ``like_*`` provide the target structure (build like_opt_state
     with ``tx.init(like_params)`` from the same optimizer configuration)."""
-    import jax
-    import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
-    template = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+    template = _template_like(
         {
             "params": like_params,
             "opt_state": like_opt_state,
             "step": jnp.asarray(0, jnp.int32),
             "rng": like_rng,
-        },
+        }
     )
     state = ocp.StandardCheckpointer().restore(
         os.path.abspath(path), target=template

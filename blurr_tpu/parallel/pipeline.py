@@ -110,10 +110,11 @@ def pipelined_scan(
       - ``layer_fn`` is batch-parallel (no cross-example mixing) and its
         carry output matches the carry input structure/dtypes.
 
-    The microbatch count M defaults to the largest valid divisor of B that
-    is ≤ S (explicit ``ctx.microbatches`` overrides; raise it above S to
-    shrink the bubble). Returns the final carry for the full batch
-    (microbatches reassembled).
+    The microbatch count M defaults to the most microbatches that keep
+    >= 8 rows per microbatch per data shard (MXU sublane tile) and >= S —
+    large batches get a small bubble fraction (S-1)/(M+S-1) automatically;
+    explicit ``ctx.microbatches`` overrides. Returns the final carry for
+    the full batch (microbatches reassembled).
     """
     mesh, axis = ctx.mesh, ctx.axis
     num_stages = mesh.shape[axis]
@@ -126,7 +127,7 @@ def pipelined_scan(
         out, _ = jax.lax.scan(layer_fn, as_packet(carry, consts), stacked)
         return out[0] if split else out
 
-    data_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    data_size = mesh.shape.get("data", 1)
     batch = jax.tree.leaves(carry)[0].shape[0]
     if ctx.microbatches:
         n_micro = ctx.microbatches
@@ -138,9 +139,15 @@ def pipelined_scan(
             f"'data' axis ({data_size})"
         )
     else:
+        # Default: the most microbatches that still keep >= 8 rows per
+        # microbatch per data shard (MXU sublane tile) — large batches get
+        # a small bubble fraction (S-1)/(M+S-1) instead of being capped at
+        # M = S; small batches fall back to the largest valid divisor <= S.
+        min_rows = 8 * data_size
+        cap = max(num_stages, batch // min_rows)
         valid = [
             m
-            for m in range(min(num_stages, batch), 0, -1)
+            for m in range(min(cap, batch), 0, -1)
             if batch % m == 0 and (batch // m) % data_size == 0
         ]
         assert valid, (

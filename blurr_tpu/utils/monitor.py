@@ -15,6 +15,16 @@ def log_allocated_tpu_memory(log=None, stage: str = "loading model", device=None
     equivalent)."""
     device = device or jax.local_devices()[0]
     stats = device.memory_stats() or {}
+    if not stats:
+        # e.g. the axon tunnel: memory_stats() is empty — say so instead of
+        # printing a fabricated "0.00 GB" (use compiled_hbm_gb for an exact
+        # per-program footprint there)
+        msg = (
+            f"Allocated TPU HBM after {stage}: unavailable "
+            f"(memory_stats empty on {device.platform})"
+        )
+        (log.info if log else print)(msg)
+        return 0.0
     allocated = stats.get("bytes_in_use", 0) / 1024**3
     msg = f"Allocated TPU HBM after {stage}: {allocated:.2f} GB"
     (log.info if log else print)(msg)
@@ -160,6 +170,12 @@ def timed_call(fn, *args, warmup: int = 3, iters: int = 20):
         return time.perf_counter() - t0
 
     t_base = min(run(1) for _ in range(3))
-    t_full = min(run(1 + iters) for _ in range(2))
+    t_fulls = [run(1 + iters) for _ in range(2)]
+    t_full = min(t_fulls)
     per_iter = max((t_full - t_base) / iters, 1e-9)
-    return per_iter, per_iter, {"t_base": t_base, "t_full": t_full, "iters": iters}
+    # second value: the MEAN over the full-run repeats (>= the min-based
+    # estimate); the first is the jitter-free floor callers report as p50
+    per_iter_mean = max((sum(t_fulls) / len(t_fulls) - t_base) / iters, 1e-9)
+    return per_iter, per_iter_mean, {
+        "t_base": t_base, "t_full": t_full, "iters": iters,
+    }

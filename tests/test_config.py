@@ -168,3 +168,22 @@ def test_kv_dtype_float16_warns_and_maps_to_bf16(caplog):
         model = PiZero(cfg)
     assert model.kv_dequant_dtype == jnp.bfloat16
     assert "float16" in caplog.text and "bfloat16" in caplog.text
+
+
+def test_embedded_interpolation_resolves_recursively(monkeypatch):
+    """A composite string's looked-up value may itself interpolate
+    (OmegaConf semantics): '${base}/run' with base: '${oc.env:X,runs}' must
+    not leak literal '${...}' text into the result."""
+    from blurr_tpu.config.core import Config, resolve_interpolations
+
+    monkeypatch.delenv("BLURR_TEST_DIR", raising=False)
+    cfg = Config.wrap({
+        "base": "${oc.env:BLURR_TEST_DIR,runs}",
+        "seed": 7,
+        "run_dir": "${base}/run_${seed}",
+    })
+    out = resolve_interpolations(cfg, cfg)
+    assert out["run_dir"] == "runs/run_7"
+    monkeypatch.setenv("BLURR_TEST_DIR", "/tmp/x")
+    out = resolve_interpolations(cfg, cfg)
+    assert out["run_dir"] == "/tmp/x/run_7"
