@@ -15,7 +15,8 @@ to XLA's compilation model:
   cache modes map to dedicated entry points:
     * ``append_non_active``  -> ``prefill`` + ``decode``   (fast action path)
     * ``no_append``          -> ``naive_forward``           (ablation path)
-    * ``append``             -> ``single_prefill`` / ``single_decode_step``
+    * ``append``             -> ``single_forward`` (driven by
+      ``pizero.infer_text_prefill`` / ``infer_text_decode_step``)
                                 (autoregressive text path, preallocated buffer)
 - The last prefill layer computes only K/V: its attention output is discarded
   by the reference anyway (final_layer_post_attn_skip_names, joint_model.py

@@ -77,7 +77,12 @@ def spec_from_config(cfg: dict) -> PiZeroSpec:
         proprio_dim=cfg["proprio_dim"],
         num_inference_steps=cfg["num_inference_steps"],
         final_action_clip_value=cfg.get("final_action_clip_value"),
-        flow_sig_min=float(cfg.get("flow_sig_min", 0.001) or 0.001),
+        # explicit 0.0 is a valid choice (flow matching without min noise);
+        # only an absent/None key falls back to the reference default
+        flow_sig_min=(
+            0.001 if cfg.get("flow_sig_min") is None
+            else float(cfg["flow_sig_min"])
+        ),
         image_token_index=cfg["image_token_index"],
         pad_token_id=cfg["pad_token_id"],
         vocab_size=cfg["vocab_size"],
@@ -88,6 +93,20 @@ def spec_from_config(cfg: dict) -> PiZeroSpec:
     )
 
 
+def _checked_mode(qcfg: dict, name: str, allowed: set):
+    """Normalized quantization mode: ''/'none' -> None (the reference's
+    empty-config stubs), anything else must be in ``allowed``."""
+    mode = (str(qcfg.get("mode") or "")).lower()
+    if mode in ("", "none"):
+        return None
+    if mode not in allowed:
+        raise ValueError(
+            f"{name}.mode {mode!r} is not supported; expected one of "
+            f"{sorted(allowed)} (or empty to disable)"
+        )
+    return mode
+
+
 class PiZero:
     """Holds static config; parameters are an explicit pytree argument."""
 
@@ -95,15 +114,23 @@ class PiZero:
         self.cfg = cfg
         self.spec = spec_from_config(cfg)
         self.joint_spec = JointSpec.from_config(dict(cfg["joint"]["config"]))
-        # quantization config (reference bridge.yaml:39-46 stubs)
+        # quantization config (reference bridge.yaml:39-46 stubs). Unknown
+        # NON-empty modes raise here: silently falling through would report
+        # quantized-preset numbers measured on unquantized weights (the
+        # empty-mode stubs in the reference configs stay a clean no-op).
         aq = cfg.get("action_quantization") or {}
         kq = cfg.get("kv_quantization") or {}
-        self.action_quant_mode = (str(aq.get("mode") or "")).lower() or None
+        self.action_quant_mode = _checked_mode(
+            aq, "action_quantization",
+            {"int8", "int8_cached", "bnb_int8", "w8a8", "w4a8"},
+        )
         self.action_quant_cache_fp = bool(aq.get("cache_fp_weight", False))
-        self.kv_quant_mode = (str(kq.get("mode") or "")).lower() or None
+        self.kv_quant_mode = _checked_mode(kq, "kv_quantization", {"int8"})
         self.kv_quant_clip = kq.get("activation_clip")
         vq = cfg.get("vlm_quantization") or {}
-        self.vlm_quant_mode = (str(vq.get("mode") or "")).lower() or None
+        self.vlm_quant_mode = _checked_mode(
+            vq, "vlm_quantization", {"w8a8", "w4a8"}
+        )
         self.vlm_quant_vision = bool(vq.get("include_vision", False))
         # kv_quantization.dtype is the DEQUANTIZATION dtype (the fp dtype
         # cached int8 chunks are restored to — reference kv_cache.py:100-106
@@ -238,7 +265,13 @@ class PiZero:
             quantize_mixture_w8a8,
         )
 
-        tied = params["joint"].get("proprio") is params["joint"].get("action")
+        from blurr_tpu.models.pi0.trainable import _subtrees_tied
+
+        # leaf-level tie detection (subtree identity breaks when sharding /
+        # device_put rebuilds the dicts while keeping the leaves aliased)
+        tied = _subtrees_tied(
+            params["joint"].get("proprio"), params["joint"].get("action")
+        )
         params = dict(params)
         params["joint"] = dict(params["joint"])
         if self.action_quant_mode in ("w8a8", "w4a8"):
@@ -522,6 +555,11 @@ class PiZero:
             vel = self._decode_action(params, hidden)
             return (action + delta_t * vel, t + delta_t), None
 
+        # t accumulates in the MODEL dtype on purpose: the reference's
+        # Euler loop does `t = torch.zeros(bsz, dtype=dtype); t += delta_t`
+        # (pizero.py:517,538), so bf16 presets carry bf16 time — matching
+        # its rounding is a parity requirement, not an oversight (fp32 t
+        # would deviate from the reference's bf16 actions).
         t0 = jnp.zeros((bsz,), dtype)
         (action, _), _ = jax.lax.scan(flow_step, (noise, t0), None, length=steps)
         if s.final_action_clip_value is not None:
@@ -619,6 +657,11 @@ class PiZero:
             vel = self._decode_action(params, hidden)
             return (action + delta_t * vel, t + delta_t), None
 
+        # t accumulates in the MODEL dtype on purpose: the reference's
+        # Euler loop does `t = torch.zeros(bsz, dtype=dtype); t += delta_t`
+        # (pizero.py:517,538), so bf16 presets carry bf16 time — matching
+        # its rounding is a parity requirement, not an oversight (fp32 t
+        # would deviate from the reference's bf16 actions).
         t0 = jnp.zeros((bsz,), dtype)
         (action, _), _ = jax.lax.scan(flow_step, (noise, t0), None, length=steps)
         if s.final_action_clip_value is not None:

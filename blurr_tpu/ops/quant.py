@@ -24,8 +24,22 @@ import jax
 import jax.numpy as jnp
 
 
+# leaves whose fp32 upcast would exceed this are quantized one leading-axis
+# slice at a time: the full-stack transient for e.g. the VLM gate_w
+# [18, 2048, 16384] is 2.4 GB of fp32 next to the resident bf16 tree —
+# CLAUDE.md's "fp32 transients OOM the 16GB chip" hazard (the 7B Llama
+# needed quantize_llama_streaming for exactly this)
+_QUANT_CHUNK_BYTES = 512 * 1024**2
+
+
 def quantize_weight_int8(w: jax.Array, cache_fp_dtype=None) -> dict:
     """[..., in, out] -> {"q": int8, "s": [..., out]} (per-out-channel)."""
+    if w.ndim >= 3 and w.size * 4 > _QUANT_CHUNK_BYTES:
+        parts = [
+            quantize_weight_int8(w[i], cache_fp_dtype=cache_fp_dtype)
+            for i in range(w.shape[0])
+        ]
+        return {k: jnp.stack([p[k] for p in parts]) for k in parts[0]}
     wf = w.astype(jnp.float32)
     scale = jnp.clip(jnp.max(jnp.abs(wf), axis=-2), 1e-6) / 127.0  # [..., out]
     q = jnp.clip(jnp.round(wf / scale[..., None, :]), -128, 127).astype(jnp.int8)
