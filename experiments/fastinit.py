@@ -20,17 +20,29 @@ def fake_like_tree(shapes_dtypes_tree, scale=0.02):
 
 
 def fake_params(model, dtype=jnp.bfloat16, scale=0.02):
-    """Build a PiZero param tree with fake values via eval_shape (no RNG)."""
+    """Build a PiZero param tree with fake values via eval_shape (no RNG).
+
+    The whole tree is built by ONE jitted program (bench.py's recipe): the
+    eager per-leaf version compiled one remote program per distinct leaf
+    shape — dozens of ~15 s axon compiles before the experiment even
+    started."""
     shapes = jax.eval_shape(lambda: model.init_params(jax.random.PRNGKey(0), dtype))
 
-    def mk(leaf):
-        n = 1
-        for s in leaf.shape:
-            n *= s
-        flat = (jnp.arange(n, dtype=jnp.float32) % 101 - 50) * (scale / 50)
-        return flat.reshape(leaf.shape).astype(leaf.dtype)
+    @jax.jit
+    def make_all():
+        pattern = (jnp.arange(128, dtype=jnp.float32) % 101 - 50) * (scale / 50)
 
-    return jax.tree.map(mk, shapes)
+        def mk(leaf):
+            n = 1
+            for s in leaf.shape:
+                n *= s
+            rows = -(-n // 128)
+            tiled = jnp.broadcast_to(pattern, (rows, 128)).reshape(-1)
+            return tiled[:n].reshape(leaf.shape).astype(leaf.dtype)
+
+        return jax.tree.map(mk, shapes)
+
+    return make_all()
 
 
 def iota_weights(shape, dtype=jnp.bfloat16, scale=0.02):
