@@ -24,3 +24,23 @@ if _os.environ.get("BLURR_PLATFORM"):
         _jax.config.update("jax_platforms", _os.environ["BLURR_PLATFORM"])
     except Exception:
         pass
+
+if _os.environ.get("BLURR_COMPILE_CACHE"):
+    # Persistent XLA compilation cache (host-attached TPU deployments): the
+    # first process pays the ~20-40 s compile per program shape, every later
+    # process (server restarts, eval sweeps, preset ladders) loads the
+    # serialized executable from disk instead. min_entry_size_bytes=0 +
+    # min_compile_time_secs=0 cache everything, including the tiny warmup
+    # shapes a server compiles at startup. NOTE: over this dev container's
+    # axon tunnel compilation happens on the REMOTE server, so the local
+    # cache cannot help here — this knob is for real deployments.
+    import jax as _jax
+
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir", _os.environ["BLURR_COMPILE_CACHE"]
+        )
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass

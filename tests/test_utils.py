@@ -106,3 +106,32 @@ def test_compiled_hbm_analysis():
     assert stats["output_gb"] == 4 / 1024
     assert stats["peak_gb"] >= 12 / 1024
     assert program_peak_hbm_gb(lambda a, b: a @ b, x, y) == stats["peak_gb"]
+
+
+def test_compile_cache_env_knob(tmp_path):
+    """BLURR_COMPILE_CACHE=<dir> wires JAX's persistent compilation cache at
+    import time: a jitted program in a fresh process leaves serialized
+    executables in the directory (min entry size / compile time forced to 0
+    so even tiny warmup shapes are cached). Host-attached deployments get
+    compile-once server restarts from this; over the axon tunnel compilation
+    is remote so the knob is a no-op there (documented in __init__)."""
+    import os
+    import subprocess
+    import sys
+
+    cache_dir = tmp_path / "xla_cache"
+    cache_dir.mkdir()
+    env = dict(os.environ)
+    env.update(
+        BLURR_PLATFORM="cpu",
+        BLURR_COMPILE_CACHE=str(cache_dir),
+        JAX_PLATFORMS="cpu",
+    )
+    code = (
+        "import blurr_tpu, jax, jax.numpy as jnp;"
+        "jax.jit(lambda x: (x * 2 + 1).sum())(jnp.ones((64, 64)))"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   timeout=120)
+    entries = list(cache_dir.iterdir())
+    assert entries, "persistent compile cache left no entries"
