@@ -67,7 +67,7 @@ def make_train_step(model: PiZero, learning_rate: float = 1e-4):
 
 def make_optax_train_step(model: PiZero, tx, remat: bool = False,
                           donate: bool = False, pipeline=None,
-                          sp_axis: str = None):
+                          sp_axis: str = None, compute_dtype=None):
     """The REAL training step: optax GradientTransformation (e.g.
     ``optax.masked(optax.adamw(schedule), mask)``) with in-step noise/flow-time
     sampling (beta flow-time, cfg ``flow_sampling: beta``). This is the step
@@ -103,12 +103,31 @@ def make_optax_train_step(model: PiZero, tx, remat: bool = False,
     parallelism: SigLIP patch tokens and the vlm mixture's 277 tokens shard
     over that axis (see joint.naive_forward) — activation HBM and the
     norm/MLP work split 1/n per device, composing with 'data' and 'model'
-    on a make_mesh(data, model, seq) mesh. Must be traced under the mesh."""
+    on a make_mesh(data, model, seq) mesh. Must be traced under the mesh.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) turns on MASTER-WEIGHT mixed
+    precision: ``params`` stay in their own (fp32) dtype — that's what the
+    optimizer updates and the moments live in — while the forward/backward
+    run on a cast-to-``compute_dtype`` copy. Autodiff through the cast
+    upcasts the cotangents, so tiny updates the bf16 grid would round away
+    (|lr·g| < ulp(p)/2, the classic bf16-training stall) accumulate in the
+    fp32 masters. Costs one transient bf16 param copy in the forward
+    (+50% of the bf16 footprint); the copy inherits the masters' GSPMD
+    shardings, so it composes with DP/TP/FSDP/SP/PP unchanged."""
     import optax
+
+    def _cast_params(params):
+        if compute_dtype is None:
+            return params
+        return jax.tree.map(
+            lambda p: p.astype(compute_dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            params,
+        )
 
     def loss_fn(params, batch, noise, t):
         return model.flow_loss(
-            params,
+            _cast_params(params),
             batch["input_ids"],
             batch["attention_mask"],
             batch["pixel_values"],
@@ -122,7 +141,16 @@ def make_optax_train_step(model: PiZero, tx, remat: bool = False,
         )
 
     def step(params, opt_state, batch, key):
-        batch = _cast_batch_to_param_dtype(params, batch)
+        if compute_dtype is not None:
+            # the forward runs in compute_dtype; casting the batch to the
+            # MASTER dtype would re-leak fp32 into the layer-scan carry
+            batch = {
+                k: v.astype(compute_dtype)
+                if jnp.issubdtype(v.dtype, jnp.floating) else v
+                for k, v in batch.items()
+            }
+        else:
+            batch = _cast_batch_to_param_dtype(params, batch)
         k1, k2 = jax.random.split(key)
         noise = jax.random.normal(k1, batch["actions"].shape, jnp.float32)
         t = jax.random.beta(k2, 1.5, 1.0, (batch["actions"].shape[0],))

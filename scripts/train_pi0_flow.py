@@ -50,6 +50,16 @@ def parse_args():
         choices=["all", "action_expert", "vlm"],
         help="Parameter group to train (others frozen via mask).",
     )
+    p.add_argument(
+        "--dtype", type=str, default="fp32",
+        choices=["fp32", "bf16", "master-fp32"],
+        help="Training numerics: fp32 (default), bf16 (params + compute in "
+             "bf16 — full-dims fits one chip with --remat, see "
+             "docs/results/remat_memory_v5e.csv), or master-fp32 (fp32 "
+             "master weights + adamw moments, bf16 forward/backward — tiny "
+             "updates below the bf16 ulp still accumulate; ~3x the bf16 "
+             "param memory, pair with --fsdp at full dims).",
+    )
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1,
@@ -209,6 +219,19 @@ def main():
         params = restore_params(args.resume, like=params)
         log.info("Resumed from %s", args.resume)
 
+    # numerics: bf16 casts the masters themselves; master-fp32 keeps fp32
+    # masters (what adamw updates / the moments' dtype) and lowers only the
+    # forward/backward to bf16 inside the step (compute_dtype below)
+    compute_dtype = None
+    if args.dtype == "bf16":
+        params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            params,
+        )
+    elif args.dtype == "master-fp32":
+        compute_dtype = jnp.bfloat16
+
     mask_fn = {
         "all": all_trainable_mask,
         "action_expert": action_expert_mask,
@@ -298,6 +321,7 @@ def main():
     train_step = make_optax_train_step(
         model, tx, remat=args.remat, donate=True, pipeline=pipeline,
         sp_axis="seq" if args.sp > 1 else None,
+        compute_dtype=compute_dtype,
     )
 
     nrng = np.random.RandomState(args.seed)
@@ -409,15 +433,34 @@ def main():
         val_loss_fn = jax.jit(model.flow_loss)
 
         def run_validation(p):
+            # validate in the TRAINING compute dtype: master-fp32 casts the
+            # masters down (matches what the train step optimizes), and the
+            # float batch leaves follow the weights' dtype — an fp32 batch
+            # against bf16 weights flips the joint layer-scan carry dtype
+            # and fails to trace (see parallel/train.py).
+            if compute_dtype is not None:
+                p = jax.tree.map(
+                    lambda a: a.astype(compute_dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, p)
+            vdt = next(
+                a.dtype for a in jax.tree.leaves(p)
+                if jnp.issubdtype(a.dtype, jnp.inexact)
+            )
+
+            def fcast(x):
+                x = jnp.asarray(x)
+                return x.astype(vdt) if jnp.issubdtype(
+                    x.dtype, jnp.floating) else x
+
             tot = 0.0
             for b, (t_f, x0_f) in zip(val_batches, val_fixed):
                 tot += float(val_loss_fn(
                     p,
                     jnp.asarray(b["input_ids"]),
                     jnp.asarray(b["attention_mask"]),
-                    jnp.asarray(b["pixel_values"]),
-                    jnp.asarray(b["proprios"]),
-                    jnp.asarray(b["actions"]),
+                    fcast(b["pixel_values"]),
+                    fcast(b["proprios"]),
+                    fcast(b["actions"]),
                     t_f, x0_f,
                 ))
             return tot / len(val_batches)
