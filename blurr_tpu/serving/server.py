@@ -117,11 +117,19 @@ class ActionServer:
     rules from ``blurr_tpu/parallel/mesh.py``, requests are replicated, and
     GSPMD inserts the ICI collectives — the capacity path for models whose
     weights exceed one chip's HBM. Composes with dynamic batching.
+
+    With ``dp > 1`` the server runs DATA-PARALLEL over the 'data' mesh axis:
+    weights replicate (or TP-shard when combined with ``tp``) and each
+    dynamic batch splits over the ``dp`` chips — the THROUGHPUT path, since
+    one chip's dynamic batching saturates at the compute-bound batch size
+    (590 chunks/s w8a8 on one v5e, docs/results/serving_slo_v5e.md). dp must
+    be a power of 2 (batch buckets stay mesh-divisible) and requires dynamic
+    batching with ``max_batch >= dp``.
     """
 
     def __init__(self, cfg, checkpoint_path: Optional[str] = None,
                  seed: int = 42, max_batch: int = 1,
-                 batch_window_ms: float = 2.0, tp: int = 1):
+                 batch_window_ms: float = 2.0, tp: int = 1, dp: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -130,6 +138,20 @@ class ActionServer:
 
         self.cfg = cfg
         self.tp = max(1, int(tp))
+        self.dp = max(1, int(dp))
+        if self.dp > 1:
+            if self.dp & (self.dp - 1):
+                raise ValueError(
+                    f"dp={self.dp}: must be a power of 2 so every "
+                    "power-of-2 batch bucket >= dp splits evenly over the "
+                    "'data' mesh axis"
+                )
+            if max_batch < self.dp:
+                raise ValueError(
+                    f"dp={self.dp} needs dynamic batching with max_batch >= "
+                    f"dp (got max_batch={max_batch}): DP serving splits the "
+                    "batch over chips"
+                )
         self.dtype = jnp.bfloat16 if cfg.get("use_bf16") else jnp.float32
         self.model = PiZeroInference(cfg)
         if not checkpoint_path or str(checkpoint_path).lower() in {"random", "none"}:
@@ -146,29 +168,38 @@ class ActionServer:
         params = self.model.enable_action_quantization(params)
         params = self.model.enable_vlm_quantization(params)
         self._replicate = None
-        if self.tp > 1:
+        self._batch_shard = None
+        if self.tp > 1 or self.dp > 1:
             # tensor-parallel serving over a (1, tp) device mesh: Q heads /
             # MLP intermediate split over 'model' (parallel/mesh.py rules,
             # incl. the int8/w8a8 quant-dict leaves); GSPMD inserts the ICI
             # collectives. This is the capacity path — models whose weights
             # exceed one chip's HBM (e.g. OpenVLA-7B-class on v5e-1-sized
             # hosts) serve from tp chips with per-chip weight bytes / tp.
-            for qcfg in (cfg.get("vlm_quantization"), cfg.get("action_quantization")):
-                mode = (qcfg or {}).get("mode") if hasattr(qcfg, "get") else None
-                if mode == "w4a8":
-                    raise NotImplementedError(
-                        "tp>1 with w4a8: the Pallas int4 kernel's block-major "
-                        "packing is laid out per-chip; repack-per-shard is not "
-                        "implemented. Serve w4a8 single-chip or use w8a8."
-                    )
+            if self.tp > 1:
+                for qcfg in (cfg.get("vlm_quantization"),
+                             cfg.get("action_quantization")):
+                    mode = (qcfg or {}).get("mode") if hasattr(qcfg, "get") else None
+                    if mode == "w4a8":
+                        raise NotImplementedError(
+                            "tp>1 with w4a8: the Pallas int4 kernel's block-major "
+                            "packing is laid out per-chip; repack-per-shard is not "
+                            "implemented. Serve w4a8 single-chip or use w8a8."
+                            " (dp-only replicates the weights and is fine.)"
+                        )
             from jax.sharding import NamedSharding, PartitionSpec
-            from blurr_tpu.parallel.mesh import make_mesh, shard_params
+            from blurr_tpu.parallel.mesh import (
+                batch_sharding, make_mesh, shard_params,
+            )
 
-            self.mesh = make_mesh(data=1, model=self.tp)
+            self.mesh = make_mesh(data=self.dp, model=self.tp)
             params = shard_params(params, self.mesh)
-            # requests are replicated over the mesh (batch stays whole: TP
-            # serving is about capacity, not splitting the batch)
+            # per-request tensors are replicated over the mesh (TP serving
+            # keeps the batch whole); with dp > 1 the BATCHED bucket is then
+            # re-committed split over 'data' in _run_batch/warmup
             self._replicate = NamedSharding(self.mesh, PartitionSpec())
+            if self.dp > 1:
+                self._batch_shard = batch_sharding(self.mesh)
         self.params = params
         self.processor = build_processor(cfg)
         # noise sampled in-graph from (base_key, request_idx): one device
@@ -230,12 +261,18 @@ class ActionServer:
         inputs = self._prepare(dummy, "warmup", proprio)
         import jax.numpy as jnp
 
-        bucket = 1
+        bucket = self.dp
         while True:
             batched = tuple(
                 jnp.concatenate([a] * bucket, axis=0) if bucket > 1 else a
                 for a in inputs
             )
+            if self._batch_shard is not None:
+                import jax
+
+                batched = tuple(
+                    jax.device_put(a, self._batch_shard) for a in batched
+                )
             with self._lock:
                 out = self._step(self.params, *batched, self._base_key, 0)
                 np.asarray(out)  # block until compiled + executed
@@ -363,7 +400,7 @@ class ActionServer:
         import jax.numpy as jnp
 
         n = len(batch)
-        bucket = 1
+        bucket = self.dp  # smallest bucket the 'data' axis divides
         while bucket < n:
             bucket *= 2
         pad = bucket - n
@@ -374,6 +411,15 @@ class ActionServer:
 
         try:
             ids, am, px, pr = (cat(i) for i in range(4))
+            if self._batch_shard is not None:
+                import jax
+
+                # split the bucket over the 'data' chips (one reshard per
+                # batch; the per-request tensors arrive mesh-replicated)
+                ids, am, px, pr = (
+                    jax.device_put(a, self._batch_shard)
+                    for a in (ids, am, px, pr)
+                )
             with self._lock:
                 actions = self._step(
                     self.params, ids, am, px, pr, self._base_key, self._req_idx

@@ -41,6 +41,11 @@ def main():
                    help="Tensor-parallel serving over a (1, tp) device mesh "
                         "(capacity path: per-chip weight bytes divided by tp; "
                         "heads/MLP split per blurr_tpu/parallel/mesh.py).")
+    p.add_argument("--dp", type=int, default=1,
+                   help="Data-parallel serving over the 'data' mesh axis "
+                        "(throughput path: each dynamic batch splits over dp "
+                        "chips; power of 2, requires --max-batch >= dp; "
+                        "composes with --tp on a (dp, tp) mesh).")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(message)s")
@@ -54,7 +59,8 @@ def main():
     _apply_preset(cfg, args.preset)
     server = ActionServer(cfg, args.checkpoint, seed=args.seed,
                           max_batch=args.max_batch,
-                          batch_window_ms=args.batch_window_ms, tp=args.tp)
+                          batch_window_ms=args.batch_window_ms, tp=args.tp,
+                          dp=args.dp)
     logging.info("warming up (XLA compile)...")
     logging.info("warmup took %.1f s", server.warmup())
     server.serve_forever(args.host, args.port)

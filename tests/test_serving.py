@@ -369,3 +369,82 @@ def test_oversized_frame_gets_error_then_close(server):
         assert recv_msg(sock) is None  # server closed the connection
     finally:
         sock.close()
+
+
+def _run_direct_batch(srv, requests):
+    """Drive one dynamic batch deterministically (no batcher-thread racing):
+    same code path as live traffic, but the batch composition is exact."""
+    from blurr_tpu.serving.server import _PendingRequest
+
+    pend = [_PendingRequest(srv._prepare(*r)) for r in requests]
+    srv._run_batch(pend)
+    for p in pend:
+        if p.error is not None:
+            raise p.error
+    return [p.result for p in pend]
+
+
+def test_dp2_matches_single_device_batch():
+    """dp=2 serving splits the batch bucket over the 'data' axis and returns
+    the SAME actions as a one-chip server serving the same bucket
+    (partitionable threefry: in-graph noise is identical under sharding)."""
+    cfg = _tp_cfg()
+    reqs = [_request(0), _request(1)]
+    srv1 = ActionServer(cfg, checkpoint_path="random", seed=7, max_batch=2)
+    srv2 = ActionServer(cfg, checkpoint_path="random", seed=7, max_batch=2,
+                        dp=2)
+    ref = _run_direct_batch(srv1, reqs)
+    out = _run_direct_batch(srv2, reqs)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+    srv1.stop()
+    srv2.stop()
+
+
+def test_dp2_composes_with_tp2():
+    """(dp=2, tp=2) = 4-chip serving mesh: batch split x weight split, same
+    actions as the single-chip bucket."""
+    cfg = _tp_cfg()
+    reqs = [_request(0), _request(1)]
+    srv1 = ActionServer(cfg, checkpoint_path="random", seed=7, max_batch=2)
+    srv4 = ActionServer(cfg, checkpoint_path="random", seed=7, max_batch=2,
+                        dp=2, tp=2)
+    ref = _run_direct_batch(srv1, reqs)
+    out = _run_direct_batch(srv4, reqs)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+    srv1.stop()
+    srv4.stop()
+
+
+def test_dp2_live_concurrent_requests():
+    """End-to-end concurrency smoke: dp=2 with the real batcher thread and
+    warmup (buckets start at dp so every live bucket is mesh-divisible)."""
+    cfg = _tp_cfg()
+    srv = ActionServer(cfg, checkpoint_path="random", seed=7, max_batch=4,
+                       batch_window_ms=50.0, dp=2)
+    srv.warmup()
+    outs = {}
+
+    def hit(i):
+        img, instr, prop = _request(i)
+        outs[i] = srv.predict(img, instr, prop)
+
+    ts = [threading.Thread(target=hit, args=(i,), daemon=True)
+          for i in range(3)]  # odd count: pads 3 -> bucket 4, splits 2+2
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(180)
+    assert set(outs) == {0, 1, 2}
+    for a in outs.values():
+        assert a.shape == (4, 7) and np.isfinite(a).all()
+    srv.stop()
+
+
+def test_dp_requires_dynamic_batching_and_pow2():
+    cfg = _tp_cfg()
+    with pytest.raises(ValueError, match="max_batch"):
+        ActionServer(cfg, checkpoint_path="random", dp=2)  # max_batch=1
+    with pytest.raises(ValueError, match="power of 2"):
+        ActionServer(cfg, checkpoint_path="random", dp=3, max_batch=6)
