@@ -320,3 +320,152 @@ def restore_train_state(path: str, like_params, like_opt_state, like_rng):
         int(state["step"]),
         state["rng"],
     )
+
+
+# ---------------------------------------------------------------------------
+# JAX -> torch export (capability extension: the reference is load-only; this
+# closes the interop loop — weights trained/quantize-prepped here deploy on
+# the reference stack unchanged). Exact inverse of
+# pizero_params_from_torch_checkpoint: same key names
+# (reference src/model/vla/pizero.py module tree), [in, out] -> [out, in]
+# transposes undone, the [L, ...] scan stacks unstacked into per-layer keys.
+# ---------------------------------------------------------------------------
+
+
+def _n(x) -> np.ndarray:
+    return np.asarray(x, np.float32)
+
+
+def _siglip_state_from_params(sig: Dict, prefix: str, out: Dict) -> None:
+    patch_w = _n(sig["patch_w"])  # [p*p*C, D] <- conv [D, C, p, p]
+    d = patch_w.shape[1]
+    p = int(round((patch_w.shape[0] // 3) ** 0.5))
+    assert p * p * 3 == patch_w.shape[0], patch_w.shape
+    out[prefix + "embeddings.patch_embedding.weight"] = (
+        patch_w.reshape(p, p, 3, d).transpose(3, 2, 0, 1)
+    )
+    out[prefix + "embeddings.patch_embedding.bias"] = _n(sig["patch_b"])
+    out[prefix + "embeddings.position_embedding.weight"] = _n(sig["pos_embed"])
+    out[prefix + "post_layernorm.weight"] = _n(sig["post_ln_w"])
+    out[prefix + "post_layernorm.bias"] = _n(sig["post_ln_b"])
+    names = {
+        "ln1_w": "layer_norm1.weight", "ln1_b": "layer_norm1.bias",
+        "ln2_w": "layer_norm2.weight", "ln2_b": "layer_norm2.bias",
+        "q_w": "self_attn.q_proj.weight", "q_b": "self_attn.q_proj.bias",
+        "k_w": "self_attn.k_proj.weight", "k_b": "self_attn.k_proj.bias",
+        "v_w": "self_attn.v_proj.weight", "v_b": "self_attn.v_proj.bias",
+        "out_w": "self_attn.out_proj.weight",
+        "out_b": "self_attn.out_proj.bias",
+        "fc1_w": "mlp.fc1.weight", "fc1_b": "mlp.fc1.bias",
+        "fc2_w": "mlp.fc2.weight", "fc2_b": "mlp.fc2.bias",
+    }
+    layers = sig["layers"]
+    n_layers = next(iter(layers.values())).shape[0]
+    for i in range(n_layers):
+        for ours, theirs in names.items():
+            v = _n(layers[ours][i])
+            if ours.endswith("_w") and not ours.startswith("ln"):
+                v = v.T  # linear weights back to torch [out, in]
+            out[f"{prefix}encoder.layers.{i}.{theirs}"] = v
+
+
+def _mixture_state_from_params(mix: Dict, prefix: str, out: Dict) -> None:
+    lin_names = {
+        "q_w": "self_attn.q_proj.weight", "k_w": "self_attn.k_proj.weight",
+        "v_w": "self_attn.v_proj.weight", "o_w": "self_attn.o_proj.weight",
+        "gate_w": "mlp.gate_proj.weight", "up_w": "mlp.up_proj.weight",
+        "down_w": "mlp.down_proj.weight",
+    }
+    n_layers = _n(mix["q_w"]).shape[0]
+    for i in range(n_layers):
+        for ours, theirs in lin_names.items():
+            out[f"{prefix}layers.{i}.{theirs}"] = _n(mix[ours][i]).T
+        if "scale" in mix["input_norm"]:  # plain Gemma RMSNorm
+            out[f"{prefix}layers.{i}.input_layernorm.weight"] = _n(
+                mix["input_norm"]["scale"][i]
+            )
+            out[f"{prefix}layers.{i}.post_attention_layernorm.weight"] = _n(
+                mix["post_norm"]["scale"][i]
+            )
+        else:  # adaptive (adaLN / adaLN-Zero)
+            for ours, theirs in (
+                ("input_norm", "input_layernorm"),
+                ("post_norm", "post_attention_layernorm"),
+            ):
+                ada = mix[ours]
+                out[f"{prefix}layers.{i}.{theirs}.to_gamma.0.weight"] = _n(
+                    ada["to_gamma_w"][i]
+                ).T
+                out[f"{prefix}layers.{i}.{theirs}.to_gamma.0.bias"] = _n(
+                    ada["to_gamma_b"][i]
+                )
+                out[f"{prefix}layers.{i}.{theirs}.to_beta.weight"] = _n(
+                    ada["to_beta_w"][i]
+                ).T
+            if "post_scale" in mix:
+                for ours, theirs in (
+                    ("post_scale", "post_adaptive_scale"),
+                    ("final_scale", "final_adaptive_scale"),
+                ):
+                    out[
+                        f"{prefix}layers.{i}.{theirs}.to_adaln_zero_gamma.weight"
+                    ] = _n(mix[ours]["gamma_w"][i]).T
+                    out[
+                        f"{prefix}layers.{i}.{theirs}.to_adaln_zero_gamma.bias"
+                    ] = _n(mix[ours]["gamma_b"][i])
+    fn = mix.get("final_norm")
+    if fn is not None:
+        if "scale" in fn:
+            out[prefix + "norm.weight"] = _n(fn["scale"])
+        else:  # AdaptiveRMSNorm (reference modules.py:78-99)
+            out[prefix + "norm.to_gamma.0.weight"] = _n(fn["to_gamma_w"]).T
+            out[prefix + "norm.to_gamma.0.bias"] = _n(fn["to_gamma_b"])
+            out[prefix + "norm.to_beta.weight"] = _n(fn["to_beta_w"]).T
+
+
+def torch_state_dict_from_pizero_params(params: Dict) -> Dict:
+    """Parameter pytree -> reference-format flat state dict (numpy fp32
+    values; ``save_torch_checkpoint`` tensorizes). A training-canonical tree
+    (tied proprio mixture = None) exports the action weights under BOTH
+    mixtures' keys, which is exactly what the reference's torch state_dict
+    contains when the Parameters are shared."""
+    joint = dict(params["joint"])
+    if joint.get("proprio") is None:  # canonical tied form
+        joint["proprio"] = joint["action"]
+
+    out: Dict[str, np.ndarray] = {}
+    out["embed_tokens.weight"] = _n(params["embed_tokens"])
+    _siglip_state_from_params(
+        params["siglip"], "vision_tower.vision_model.", out
+    )
+    out["multi_modal_projector.linear.weight"] = _n(params["projector"]["w"]).T
+    out["multi_modal_projector.linear.bias"] = _n(params["projector"]["b"])
+    for name in ("vlm", "proprio", "action"):
+        _mixture_state_from_params(
+            joint[name], f"joint_model.mixtures.{name}.", out
+        )
+    enc = params["action_encoder"]
+    for n_ in (1, 2, 3):
+        out[f"action_encoder.linear_{n_}.weight"] = _n(enc[f"w{n_}"]).T
+        out[f"action_encoder.linear_{n_}.bias"] = _n(enc[f"b{n_}"])
+    for ours, theirs in (("proprio_encoder", "proprio_encoder"),
+                         ("action_decoder", "action_decoder")):
+        out[theirs + ".weight"] = _n(params[ours]["w"]).T
+        out[theirs + ".bias"] = _n(params[ours]["b"])
+    return out
+
+
+def save_torch_checkpoint(params: Dict, path: str) -> None:
+    """Write a reference-loadable ``.pt`` checkpoint ({"model": state_dict},
+    the format load_torch_state_dict / the reference's eval.py:308-316
+    consume). Values are fp32 torch tensors regardless of the tree's compute
+    dtype — the reference casts at load time."""
+    import torch
+
+    state = {
+        # copy=True: jnp-backed buffers arrive read-only and torch.from_numpy
+        # warns on (and would alias) them
+        k: torch.from_numpy(np.array(v, copy=True))
+        for k, v in torch_state_dict_from_pizero_params(params).items()
+    }
+    torch.save({"model": state}, path)

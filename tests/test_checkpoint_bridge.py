@@ -229,3 +229,74 @@ def test_adaptive_checkpoint_bridge(tmp_path):
     out = np.asarray(model.infer_action(params, **inputs))
     assert out.shape == (2, 4, 7)
     assert np.isfinite(out).all()
+
+
+class TestTorchExport:
+    """JAX -> torch export (save_torch_checkpoint): the inverse bridge."""
+
+    def test_roundtrip_bitwise(self, tmp_path):
+        """export -> re-import is the identity on an fp32 tree (transposes
+        and the conv/patch permutation are exact inverses)."""
+        import jax
+
+        from blurr_tpu.models.pi0.checkpoint import save_torch_checkpoint
+
+        cfg = tiny_pi0_cfg()
+        model = PiZero(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), jnp.float32)
+        params = model.tie_action_proprio_weights(params)
+        path = tmp_path / "export.pt"
+        save_torch_checkpoint(params, str(path))
+        back = pizero_params_from_torch_checkpoint(str(path), dtype=jnp.float32)
+        flat_a, tree_a = jax.tree.flatten(params)
+        flat_b, tree_b = jax.tree.flatten(back)
+        assert tree_a == tree_b
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_canonical_tree_duplicates_tied_mixture(self, tmp_path):
+        """A training-canonical tree (tied proprio -> None) exports the
+        action weights under BOTH mixture prefixes — the layout a torch
+        state_dict with shared Parameters produces."""
+        import jax
+
+        from blurr_tpu.models.pi0.checkpoint import (
+            save_torch_checkpoint,
+            torch_state_dict_from_pizero_params,
+        )
+
+        cfg = tiny_pi0_cfg()
+        model = PiZero(cfg)
+        params = model.init_params(jax.random.PRNGKey(0), jnp.float32)
+        params = model.tie_action_proprio_weights(params)
+        canon = model.canonicalize_tied_weights(params)
+        sd = torch_state_dict_from_pizero_params(canon)
+        np.testing.assert_array_equal(
+            sd["joint_model.mixtures.proprio.layers.0.self_attn.q_proj.weight"],
+            sd["joint_model.mixtures.action.layers.0.self_attn.q_proj.weight"],
+        )
+        # and the re-imported tied tree equals the original aliased one
+        path = tmp_path / "canon.pt"
+        save_torch_checkpoint(canon, str(path))
+        back = pizero_params_from_torch_checkpoint(str(path), dtype=jnp.float32)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_exported_keys_match_reference_layout(self):
+        """The exported key set is EXACTLY the synthetic reference-format
+        state dict's key set (same fixture the import tests load)."""
+        import jax
+
+        from blurr_tpu.models.pi0.checkpoint import (
+            torch_state_dict_from_pizero_params,
+        )
+
+        cfg = tiny_pi0_cfg()
+        model = PiZero(cfg)
+        params = model.init_params(jax.random.PRNGKey(1), jnp.float32)
+        params = model.tie_action_proprio_weights(params)
+        sd = torch_state_dict_from_pizero_params(params)
+        ref_keys = set(synth_torch_state(cfg))
+        assert set(sd) == ref_keys
+        for k, v in sd.items():
+            assert v.shape == tuple(synth_torch_state(cfg)[k].shape), k

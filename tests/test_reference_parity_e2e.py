@@ -424,3 +424,68 @@ def test_infer_action_cond_steps_2():
         inp["pixel_values"], inp["proprios"], jnp.asarray(t2n(noise)),
     )
     close(out_mine, t2n(out_ref))
+
+
+class TestTorchExportDifferential:
+    """The JAX->torch exporter (models/pi0/checkpoint.py:
+    save_torch_checkpoint) validated against the REFERENCE model itself:
+    strict load_state_dict proves key/shape exactness over the reference's
+    full module tree, and the loaded reference reproduces the donor's
+    actions."""
+
+    def _roundtrip_and_compare(self, mode=None):
+        if mode is None:
+            ref_model, mine, params, cfg = build_pair(seed=11)
+        else:
+            overrides = {"action_expert_adaptive_mode": mode}
+            cfg = tiny_pi0_cfg(**overrides)
+            cfg["mixture"]["proprio"]["adaptive_mode"] = mode
+            cfg["mixture"]["action"]["adaptive_mode"] = mode
+            cfg["joint"]["config"]["action_expert_adaptive_mode"] = mode
+            cfg["joint"]["config"]["mixture"] = cfg["mixture"]
+            ref_model = build_ref_pizero(cfg)
+            randomize_(ref_model, seed=11)
+            params = jax.tree.map(jnp.asarray, bridge_pizero(ref_model))
+
+        from blurr_tpu.models.pi0.checkpoint import (
+            torch_state_dict_from_pizero_params,
+        )
+
+        sd = {
+            k: torch.from_numpy(np.array(v, copy=True))
+            for k, v in torch_state_dict_from_pizero_params(params).items()
+        }
+        ref2 = build_ref_pizero(cfg)
+        missing, unexpected = ref2.load_state_dict(sd, strict=False)
+        assert not unexpected, unexpected
+        # every reference parameter must be covered (buffers excluded)
+        param_keys = {k for k, _ in ref2.named_parameters()}
+        assert not (set(missing) & param_keys), set(missing) & param_keys
+        for k, v in ref_model.state_dict().items():
+            if k in sd:
+                np.testing.assert_array_equal(t2n(v), t2n(sd[k]), err_msg=k)
+        return ref_model, ref2, cfg
+
+    def test_strict_export_roundtrips_reference_state(self):
+        self._roundtrip_and_compare()
+
+    @pytest.mark.parametrize("mode", ["adaLN", "adaLN-Zero"])
+    def test_strict_export_adaptive(self, mode):
+        self._roundtrip_and_compare(mode=mode)
+
+    def test_reloaded_reference_reproduces_actions(self):
+        """Donor reference -> JAX tree -> exported .pt -> fresh reference:
+        integrated actions are identical (torch determinism, same noise)."""
+        ref_model, ref2, cfg = self._roundtrip_and_compare()
+        inp = tiny_inputs(cfg, rng_seed=2)
+        tin = torch_inputs(inp)
+        _, prefix, action_m, vlm_pos, prop_pos, act_pos = ref_mask_bundle(
+            ref_model, tin["attention_mask"]
+        )
+        args = (tin["input_ids"], tin["pixel_values"], prefix, action_m,
+                vlm_pos, prop_pos, act_pos, tin["proprios"])
+        torch.manual_seed(0)
+        a1 = ref_model.infer_action(*args)
+        torch.manual_seed(0)
+        a2 = ref2.infer_action(*args)
+        np.testing.assert_array_equal(t2n(a1), t2n(a2))
