@@ -103,6 +103,50 @@ class OpenVLASpec:
             ),
         )
 
+    @staticmethod
+    def minivla(vocab_size: int = 32064) -> "OpenVLASpec":
+        """MiniVLA-style prismatic spec: SigLIP-only vision + the Qwen2.5-
+        0.5B architecture MiniVLA uses as its LLM backbone (attention QKV
+        biases, lm_head tied to the embedding matrix, rope theta 1e6, eps
+        1e-6). The default vocab keeps the OpenVLA 32064/32000 action-token
+        convention for the random-init stand-in; loading a real checkpoint
+        rebuilds the spec from the embedding shape."""
+        return OpenVLASpec(
+            llama=LlamaSpec(
+                vocab_size=vocab_size,
+                hidden_size=896,
+                intermediate_size=4864,
+                num_layers=24,
+                num_heads=14,
+                num_kv_heads=2,
+                rope_theta=1_000_000.0,
+                eps=1e-6,
+                qkv_bias=True,
+                tie_word_embeddings=True,
+            ),
+            siglip=SIGLIP_SO400M,
+            use_fused_vision=False,
+        )
+
+    @staticmethod
+    def tiny_minivla() -> "OpenVLASpec":
+        """Layer-reduced MiniVLA-shaped spec (SigLIP-only vision, QKV
+        biases, tied lm_head) for tests that must exercise the prismatic
+        code paths without full dims."""
+        return OpenVLASpec(
+            llama=LlamaSpec(
+                vocab_size=32064, hidden_size=64, intermediate_size=128,
+                num_layers=2, num_heads=4, num_kv_heads=2,
+                rope_theta=1_000_000.0, eps=1e-6, qkv_bias=True,
+                tie_word_embeddings=True,
+            ),
+            siglip=ViTSpec(
+                hidden_size=48, intermediate_size=96, num_layers=2, num_heads=2,
+                image_size=28, feature_layer=-1,
+            ),
+            use_fused_vision=False,
+        )
+
 
 class OpenVLA:
     def __init__(self, spec: OpenVLASpec, norm_stats: Optional[Dict] = None):

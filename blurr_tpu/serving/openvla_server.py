@@ -1,0 +1,217 @@
+"""OpenVLA-family action serving: the ActionServer runtime (TCP transport,
+dynamic batching, (dp, tp) mesh placement) driving the autoregressive
+OpenVLA/MiniVLA stack instead of Pi-0.
+
+The reference ships no serving daemon (SURVEY.md §0); its OpenVLA surface is
+the eval/bench scripts' ``predict_action`` loop
+(reference scripts/eval_hf_vla_simpler.py:566-620). Here that per-request
+path — prompt build + tokenize, DINOv2+SigLIP (or SigLIP-only) features,
+greedy AR decode of action_dim tokens, bin-center detokenize, optional
+q01/q99 unnormalization — runs behind the same dynamic batcher as Pi-0:
+requests pad to power-of-2 buckets, ragged prompts right-pad to a fixed
+text length (the llama decode keeps pad columns masked and continues RoPE
+at each example's own n_valid), and TP serving shards the 7B weights over
+the 'model' mesh axis (the capacity path for 16 GB chips).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import numpy as np
+
+from blurr_tpu.serving.server import ActionServer
+
+log = logging.getLogger(__name__)
+
+
+class OpenVLAActionServer(ActionServer):
+    """Serves OpenVLA-family action predictions over TCP.
+
+    ``model_id``: HF snapshot dir, or 'random' (tiny spec) / 'random-7b' /
+    'random-minivla' for checkpoint-free serving (same ids as
+    scripts/benchmark_hf_vla.py). ``unnorm_key`` selects the norm-stats
+    entry applied host-side after detokenization; None returns normalized
+    [-1, 1] actions (callers unnormalize with their own stats).
+    """
+
+    def __init__(self, model_id: str = "random",
+                 quantization: Optional[str] = None,
+                 unnorm_key: Optional[str] = None,
+                 use_bf16: bool = True, seed: int = 42,
+                 max_batch: int = 1, batch_window_ms: float = 2.0,
+                 tp: int = 1, dp: int = 1, max_text_tokens: int = 32):
+        from pathlib import Path
+
+        import jax
+        import jax.numpy as jnp
+
+        from blurr_tpu.models.openvla.model import (
+            EMPTY_TOKEN,
+            OpenVLA,
+            OpenVLASpec,
+        )
+        from blurr_tpu.models.openvla.processing import (
+            OpenVLAProcessor,
+            load_hf_tokenizer,
+        )
+
+        self._init_parallel(tp, dp, max_batch)
+        if quantization == "w4a8" and self.tp > 1:
+            raise NotImplementedError(
+                "tp>1 with w4a8: the Pallas int4 kernel's block-major packing "
+                "is laid out per-chip. Serve w4a8 single-chip or use w8a8."
+            )
+        self.dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        self.unnorm_key = unnorm_key
+        self.max_text_tokens = int(max_text_tokens)
+
+        norm_stats = None
+        tokenizer = None
+        path = Path(str(model_id)).expanduser()
+        if path.is_dir():
+            from blurr_tpu.models.openvla.checkpoint import (
+                load_norm_stats,
+                openvla_params_from_hf_dir,
+            )
+
+            spec = OpenVLASpec.from_snapshot_dir(path)
+            norm_stats = load_norm_stats(str(path))
+            self.model = OpenVLA(spec, norm_stats)
+            params = openvla_params_from_hf_dir(str(path), spec, self.dtype)
+            tokenizer = load_hf_tokenizer(str(path))
+        else:
+            random_specs = {
+                "random": OpenVLASpec.tiny,
+                "random-7b": OpenVLASpec,
+                "openvla-7b-random": OpenVLASpec,
+                "random-minivla": OpenVLASpec.minivla,
+                "minivla-random": OpenVLASpec.minivla,
+                "random-minivla-tiny": OpenVLASpec.tiny_minivla,
+            }
+            if str(model_id) not in random_specs:
+                raise ValueError(
+                    f"model_id {model_id!r}: pass an HF snapshot dir or "
+                    "'random' / 'random-7b' / 'random-minivla'"
+                )
+            spec = random_specs[str(model_id)]()
+            self.model = OpenVLA(spec)
+            params = self.model.init_params(jax.random.PRNGKey(0), self.dtype)
+        if quantization in ("w8a8", "w4a8"):
+            from blurr_tpu.models.openvla.llama import (
+                quantize_llama_w4a8,
+                quantize_llama_w8a8,
+            )
+
+            qfn = (quantize_llama_w8a8 if quantization == "w8a8"
+                   else quantize_llama_w4a8)
+            params["llama"] = qfn(params["llama"])
+        if self.unnorm_key is not None:
+            if not self.model.norm_stats or (
+                self.unnorm_key not in self.model.norm_stats
+            ):
+                raise ValueError(
+                    f"unnorm_key {self.unnorm_key!r} not in the model's "
+                    f"norm stats {sorted(self.model.norm_stats or {})}"
+                )
+        if self.mesh is not None:
+            from blurr_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, self.mesh)
+        self.params = params
+        self.spec = spec
+        self._empty_token = EMPTY_TOKEN
+        self.processor = OpenVLAProcessor(
+            tokenizer, image_size=spec.siglip.image_size,
+            fused=spec.use_fused_vision,
+        )
+
+        model = self.model
+
+        def _step_fn(params, ids, am, px, key, idx):
+            # key/idx keep the shared batcher contract; greedy decode is
+            # deterministic. Ragged right-padded prompts: validity covers
+            # [BOS, patches..., text[1:]] and the llama cache keeps pad
+            # columns masked (models/openvla/llama.py:greedy_generate).
+            from blurr_tpu.models.openvla import llama as llama_lib
+
+            embeds = model._build_prompt_embeds(params, ids, px)
+            b = embeds.shape[0]
+            n_patch = embeds.shape[1] - ids.shape[1]
+            valid = jnp.concatenate(
+                [
+                    jnp.ones((b, 1 + n_patch), jnp.int32),
+                    am[:, 1:].astype(jnp.int32),
+                ],
+                axis=1,
+            )
+            return llama_lib.greedy_generate(
+                params["llama"], model.spec.llama, embeds, valid,
+                model.spec.action_dim,
+            )
+
+        self._step = jax.jit(_step_fn)
+        self._init_runtime(seed, max_batch, batch_window_ms)
+
+    # ------------------------------------------------------------------
+
+    def _prepare(self, image: np.ndarray, instruction: str, proprio=None):
+        """proprio is accepted (shared request schema) and ignored — the
+        base OpenVLA policy conditions on image + instruction only."""
+        import jax.numpy as jnp
+
+        from blurr_tpu.models.openvla.processing import build_prompt
+
+        if image.ndim != 3 or image.shape[2] != 3:
+            raise ValueError(f"image must be HxWx3 uint8, got {image.shape}")
+        with self._tok_lock:
+            cached = self._tok_cache.get(instruction)
+        if cached is None:
+            out = self.processor(build_prompt(instruction), image)
+            ids = np.asarray(out["input_ids"])[0].tolist()
+            if ids[-1] != self._empty_token:
+                # the reference appends the empty token before decoding
+                ids.append(self._empty_token)
+            if len(ids) > self.max_text_tokens:
+                raise ValueError(
+                    f"instruction tokenizes to {len(ids)} tokens > "
+                    f"max_text_tokens={self.max_text_tokens}"
+                )
+            am = [1] * len(ids) + [0] * (self.max_text_tokens - len(ids))
+            ids = ids + [0] * (self.max_text_tokens - len(ids))
+            cached = (
+                np.asarray([ids], np.int32), np.asarray([am], np.int32),
+            )
+            with self._tok_lock:
+                if len(self._tok_cache) >= 1024:
+                    self._tok_cache.pop(next(iter(self._tok_cache)), None)
+                self._tok_cache[instruction] = cached
+            px = out["pixel_values"]
+        else:
+            from blurr_tpu.models.openvla.processing import process_image
+
+            px = process_image(
+                np.asarray(image), self.processor.image_size,
+                self.processor.fused,
+            )
+        ids, am = cached
+        out_t = (
+            jnp.asarray(ids), jnp.asarray(am),
+            jnp.asarray(px, self.dtype),
+        )
+        if self._replicate is not None:
+            import jax
+
+            out_t = tuple(jax.device_put(a, self._replicate) for a in out_t)
+        return out_t
+
+    def _post(self, token_ids: np.ndarray) -> np.ndarray:
+        actions = self.model.detokenize_actions(token_ids)
+        if self.unnorm_key is not None:
+            actions = self.model.unnormalize(actions, self.unnorm_key)
+        return actions.astype(np.float32)
+
+    def _dummy_request(self):
+        size = self.spec.siglip.image_size
+        return (np.zeros((size, size, 3), np.uint8), "warmup", None)

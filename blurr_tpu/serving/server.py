@@ -137,21 +137,7 @@ class ActionServer:
         from blurr_tpu.models.pi0.pizero import PiZeroInference
 
         self.cfg = cfg
-        self.tp = max(1, int(tp))
-        self.dp = max(1, int(dp))
-        if self.dp > 1:
-            if self.dp & (self.dp - 1):
-                raise ValueError(
-                    f"dp={self.dp}: must be a power of 2 so every "
-                    "power-of-2 batch bucket >= dp splits evenly over the "
-                    "'data' mesh axis"
-                )
-            if max_batch < self.dp:
-                raise ValueError(
-                    f"dp={self.dp} needs dynamic batching with max_batch >= "
-                    f"dp (got max_batch={max_batch}): DP serving splits the "
-                    "batch over chips"
-                )
+        self._init_parallel(tp, dp, max_batch)
         self.dtype = jnp.bfloat16 if cfg.get("use_bf16") else jnp.float32
         self.model = PiZeroInference(cfg)
         if not checkpoint_path or str(checkpoint_path).lower() in {"random", "none"}:
@@ -167,15 +153,7 @@ class ActionServer:
             )
         params = self.model.enable_action_quantization(params)
         params = self.model.enable_vlm_quantization(params)
-        self._replicate = None
-        self._batch_shard = None
-        if self.tp > 1 or self.dp > 1:
-            # tensor-parallel serving over a (1, tp) device mesh: Q heads /
-            # MLP intermediate split over 'model' (parallel/mesh.py rules,
-            # incl. the int8/w8a8 quant-dict leaves); GSPMD inserts the ICI
-            # collectives. This is the capacity path — models whose weights
-            # exceed one chip's HBM (e.g. OpenVLA-7B-class on v5e-1-sized
-            # hosts) serve from tp chips with per-chip weight bytes / tp.
+        if self.mesh is not None:
             if self.tp > 1:
                 for qcfg in (cfg.get("vlm_quantization"),
                              cfg.get("action_quantization")):
@@ -187,19 +165,9 @@ class ActionServer:
                             "implemented. Serve w4a8 single-chip or use w8a8."
                             " (dp-only replicates the weights and is fine.)"
                         )
-            from jax.sharding import NamedSharding, PartitionSpec
-            from blurr_tpu.parallel.mesh import (
-                batch_sharding, make_mesh, shard_params,
-            )
+            from blurr_tpu.parallel.mesh import shard_params
 
-            self.mesh = make_mesh(data=self.dp, model=self.tp)
             params = shard_params(params, self.mesh)
-            # per-request tensors are replicated over the mesh (TP serving
-            # keeps the batch whole); with dp > 1 the BATCHED bucket is then
-            # re-committed split over 'data' in _run_batch/warmup
-            self._replicate = NamedSharding(self.mesh, PartitionSpec())
-            if self.dp > 1:
-                self._batch_shard = batch_sharding(self.mesh)
         self.params = params
         self.processor = build_processor(cfg)
         # noise sampled in-graph from (base_key, request_idx): one device
@@ -225,6 +193,51 @@ class ActionServer:
             return infer(params, ids, am, px, pr, noise)
 
         self._step = jax.jit(_step_fn)
+        self._init_runtime(seed, max_batch, batch_window_ms)
+
+    # ------------------------------------------------------------------
+    # model-agnostic serving runtime (mesh, batcher, transport) — shared
+    # with the OpenVLA family server (blurr_tpu/serving/openvla_server.py)
+
+    def _init_parallel(self, tp: int, dp: int, max_batch: int) -> None:
+        """Validate dp/tp and build the (dp, tp) mesh + placement shardings.
+        ``self.mesh`` is None single-chip; a subclass shards its own params
+        with it. TP is the capacity path (per-chip weight bytes / tp), DP the
+        throughput path (each dynamic batch splits over 'data')."""
+        self.tp = max(1, int(tp))
+        self.dp = max(1, int(dp))
+        self.mesh = None
+        self._replicate = None
+        self._batch_shard = None
+        if self.dp > 1:
+            if self.dp & (self.dp - 1):
+                raise ValueError(
+                    f"dp={self.dp}: must be a power of 2 so every "
+                    "power-of-2 batch bucket >= dp splits evenly over the "
+                    "'data' mesh axis"
+                )
+            if max_batch < self.dp:
+                raise ValueError(
+                    f"dp={self.dp} needs dynamic batching with max_batch >= "
+                    f"dp (got max_batch={max_batch}): DP serving splits the "
+                    "batch over chips"
+                )
+        if self.tp > 1 or self.dp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from blurr_tpu.parallel.mesh import batch_sharding, make_mesh
+
+            self.mesh = make_mesh(data=self.dp, model=self.tp)
+            # per-request tensors are replicated over the mesh (TP serving
+            # keeps the batch whole); with dp > 1 the BATCHED bucket is then
+            # re-committed split over 'data' in _run_batch/warmup
+            self._replicate = NamedSharding(self.mesh, PartitionSpec())
+            if self.dp > 1:
+                self._batch_shard = batch_sharding(self.mesh)
+
+    def _init_runtime(self, seed: int, max_batch: int,
+                      batch_window_ms: float) -> None:
+        import jax
+
         self._base_key = jax.random.PRNGKey(seed)
         if self._replicate is not None:
             self._base_key = jax.device_put(self._base_key, self._replicate)
@@ -247,6 +260,18 @@ class ActionServer:
                                              daemon=True)
             self._batcher.start()
 
+    def _post(self, actions: np.ndarray) -> np.ndarray:
+        """Device outputs [B, ...] -> per-request results (host-side). The
+        Pi-0 chunk is already continuous; the OpenVLA server overrides this
+        with detokenize (+ optional unnormalize)."""
+        return actions.astype(np.float32)
+
+    def _dummy_request(self):
+        """(image, instruction, proprio) for warmup compiles."""
+        size = self.cfg["vision"]["config"]["image_size"]
+        return (np.zeros((size, size, 3), np.uint8), "warmup",
+                [0.0] * self.cfg["proprio_dim"])
+
     # ------------------------------------------------------------------
 
     def warmup(self) -> float:
@@ -255,10 +280,7 @@ class ActionServer:
         live batch of each size stalls on a fresh XLA compile under the
         device lock (~15s per program over the axon tunnel)."""
         t0 = time.time()
-        size = self.cfg["vision"]["config"]["image_size"]
-        dummy = np.zeros((size, size, 3), np.uint8)
-        proprio = [0.0] * self.cfg["proprio_dim"]
-        inputs = self._prepare(dummy, "warmup", proprio)
+        inputs = self._prepare(*self._dummy_request())
         import jax.numpy as jnp
 
         bucket = self.dp
@@ -338,7 +360,7 @@ class ActionServer:
                 )
                 self._req_idx += 1
                 # host-side indexing for the same reason as _run_batch below
-                return np.asarray(actions)[0].astype(np.float32)
+                return self._post(np.asarray(actions))[0]
         if self._closed:
             raise RuntimeError("ActionServer is shut down")
         pending = _PendingRequest(inputs)
@@ -410,19 +432,18 @@ class ActionServer:
             return jnp.concatenate(arrs, axis=0) if len(arrs) > 1 else arrs[0]
 
         try:
-            ids, am, px, pr = (cat(i) for i in range(4))
+            inputs = tuple(cat(i) for i in range(len(batch[0].inputs)))
             if self._batch_shard is not None:
                 import jax
 
                 # split the bucket over the 'data' chips (one reshard per
                 # batch; the per-request tensors arrive mesh-replicated)
-                ids, am, px, pr = (
-                    jax.device_put(a, self._batch_shard)
-                    for a in (ids, am, px, pr)
+                inputs = tuple(
+                    jax.device_put(a, self._batch_shard) for a in inputs
                 )
             with self._lock:
                 actions = self._step(
-                    self.params, ids, am, px, pr, self._base_key, self._req_idx
+                    self.params, *inputs, self._base_key, self._req_idx
                 )
                 self._req_idx += 1
             # fetch the FULL bucket and slice on host: device-side
@@ -431,7 +452,7 @@ class ActionServer:
             # under the device lock (measured: 8-10 s p99 spikes at 5
             # clients). The extra fetched padding rows are a few hundred
             # bytes.
-            out = np.asarray(actions)[:n].astype(np.float32)
+            out = self._post(np.asarray(actions)[:n])
             for i, b in enumerate(batch):
                 b.result = out[i]
                 b.event.set()

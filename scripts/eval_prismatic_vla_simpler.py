@@ -42,31 +42,11 @@ TOKENIZER_VOCAB_BY_EMBED_ROWS = {32064: 32000, 151936: 151643}
 
 
 def minivla_spec(vocab_size: int = 32064):
-    """MiniVLA-style prismatic spec: SigLIP-only vision + the Qwen2.5-0.5B
-    architecture MiniVLA uses as its LLM backbone (attention QKV biases,
-    lm_head tied to the embedding matrix, rope theta 1e6, eps 1e-6). The
-    default vocab keeps the OpenVLA 32064/32000 action-token convention for
-    the random-init stand-in; loading a real checkpoint rebuilds the spec
-    from the embedding shape."""
-    from blurr_tpu.models.openvla.llama import LlamaSpec
-    from blurr_tpu.models.openvla.model import SIGLIP_SO400M, OpenVLASpec
+    """MiniVLA-style prismatic spec (see OpenVLASpec.minivla; kept here as
+    the historical import point for the bench/eval scripts)."""
+    from blurr_tpu.models.openvla.model import OpenVLASpec
 
-    return OpenVLASpec(
-        llama=LlamaSpec(
-            vocab_size=vocab_size,
-            hidden_size=896,
-            intermediate_size=4864,
-            num_layers=24,
-            num_heads=14,
-            num_kv_heads=2,
-            rope_theta=1_000_000.0,
-            eps=1e-6,
-            qkv_bias=True,
-            tie_word_embeddings=True,
-        ),
-        siglip=SIGLIP_SO400M,
-        use_fused_vision=False,
-    )
+    return OpenVLASpec.minivla(vocab_size)
 
 
 def _infer_unnorm_key(norm_stats, dataset_stats, override):

@@ -1,0 +1,143 @@
+"""OpenVLA-family serving: the shared ActionServer runtime driving the AR
+decode path (ragged right-padded prompts in one bucket, detokenize +
+unnormalize host-side, TP/DP placement)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from blurr_tpu.serving.client import ActionClient
+from blurr_tpu.serving.openvla_server import OpenVLAActionServer
+
+
+def _request(seed=0, instruction="pick up the carrot"):
+    rng = np.random.RandomState(seed)
+    image = rng.randint(0, 256, (28, 28, 3), np.uint8)
+    return image, instruction, [0.0] * 7
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = OpenVLAActionServer("random", use_bf16=False, seed=3)
+    ready = threading.Event()
+    t = threading.Thread(
+        target=srv.serve_forever, kwargs={"port": 0, "ready_event": ready},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(60)
+    yield srv
+    srv.stop()
+
+
+def test_tcp_roundtrip_normalized_actions(server):
+    client = ActionClient(port=server.port)
+    img, instr, prop = _request()
+    actions = client.predict(img, instr, prop)
+    actions = np.asarray(actions)
+    assert actions.shape == (7,)
+    assert np.all(actions >= -1.0) and np.all(actions <= 1.0)  # bin centers
+    # deterministic greedy decode: same request -> same actions
+    again = np.asarray(client.predict(img, instr, prop))
+    np.testing.assert_array_equal(again, actions)
+
+
+def test_matches_model_predict_action(server):
+    """The served path (padded ragged prompt + masked decode) returns the
+    model's own predict_action (unpadded prompt) for the same request."""
+    img, instr, prop = _request(1)
+    served = server.predict(img, instr, prop)
+
+    from blurr_tpu.models.openvla.processing import build_prompt
+
+    out = server.processor(build_prompt(instr), img)
+    direct = server.model.predict_action(
+        server.params, out["input_ids"], out["pixel_values"]
+    )
+    np.testing.assert_allclose(served, np.asarray(direct, np.float32),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_ragged_instructions_batch_together():
+    """Two instructions with different token counts co-batch in one bucket
+    and each gets EXACTLY its solo answer (pad columns masked, per-example
+    RoPE continuation)."""
+    srv = OpenVLAActionServer("random", use_bf16=False, seed=3,
+                              max_batch=2, batch_window_ms=100.0)
+    reqs = [_request(0, "pick up the carrot"),
+            _request(1, "move the very shiny spoon onto the towel please")]
+    solo = [srv.predict(*r) for r in reqs]
+
+    from blurr_tpu.serving.server import _PendingRequest
+
+    pend = [_PendingRequest(srv._prepare(*r)) for r in reqs]
+    srv._run_batch(pend)
+    for p, s in zip(pend, solo):
+        assert p.error is None
+        np.testing.assert_array_equal(p.result, s)
+    srv.stop()
+
+
+def test_tp2_matches_single_device():
+    srv1 = OpenVLAActionServer("random", use_bf16=False, seed=5)
+    srv2 = OpenVLAActionServer("random", use_bf16=False, seed=5, tp=2)
+    img, instr, prop = _request(2)
+    a1 = srv1.predict(img, instr, prop)
+    a2 = srv2.predict(img, instr, prop)
+    # greedy argmax over near-continuous random logits can flip on reduction
+    # order; with the tiny spec the decoded bins match in practice
+    np.testing.assert_array_equal(a2, a1)
+    srv1.stop()
+    srv2.stop()
+
+
+def test_dp2_batch_matches_single_chip():
+    from blurr_tpu.serving.server import _PendingRequest
+
+    reqs = [_request(0), _request(1, "put the spoon on the towel")]
+    srv1 = OpenVLAActionServer("random", use_bf16=False, seed=5, max_batch=2)
+    srv2 = OpenVLAActionServer("random", use_bf16=False, seed=5, max_batch=2,
+                               dp=2)
+    p1 = [_PendingRequest(srv1._prepare(*r)) for r in reqs]
+    p2 = [_PendingRequest(srv2._prepare(*r)) for r in reqs]
+    srv1._run_batch(p1)
+    srv2._run_batch(p2)
+    for a, b in zip(p1, p2):
+        assert a.error is None and b.error is None
+        np.testing.assert_array_equal(b.result, a.result)
+    srv1.stop()
+    srv2.stop()
+
+
+def test_minivla_family_serves():
+    """The prismatic (SigLIP-only, QKV-bias, tied-lm_head) family runs
+    behind the same server; served path == model.predict_action."""
+    srv = OpenVLAActionServer("random-minivla-tiny", use_bf16=False, seed=3)
+    img, instr, prop = _request(4)
+    served = srv.predict(img, instr, prop)
+    assert served.shape == (7,) and np.isfinite(served).all()
+
+    from blurr_tpu.models.openvla.processing import build_prompt
+
+    out = srv.processor(build_prompt(instr), img)
+    direct = srv.model.predict_action(
+        srv.params, out["input_ids"], out["pixel_values"]
+    )
+    np.testing.assert_allclose(served, np.asarray(direct, np.float32),
+                               rtol=1e-6, atol=1e-6)
+    srv.stop()
+
+
+def test_unnorm_key_validation():
+    with pytest.raises(ValueError, match="unnorm_key"):
+        OpenVLAActionServer("random", unnorm_key="bridge_orig")
+
+
+def test_w8a8_serves():
+    srv = OpenVLAActionServer("random", quantization="w8a8",
+                              use_bf16=False, seed=3)
+    img, instr, prop = _request()
+    actions = srv.predict(img, instr, prop)
+    assert actions.shape == (7,) and np.isfinite(actions).all()
+    srv.stop()
