@@ -190,3 +190,124 @@ def maybe_merge_lora_adapter(llama_params: Dict, model_dir: str, dtype=jnp.bfloa
         except Exception as exc:
             log.warning("LoRA merge failed (%s); continuing without.", exc)
     return llama_params
+
+
+# ---------------------------------------------------------------------------
+# LoRA fine-tuning over parameter pytrees (train_pi0_flow.py --lora-rank)
+# ---------------------------------------------------------------------------
+# The reference ships only the inference-side PEFT merge above; training
+# adapters is the natural TPU-native extension: target weight leaves become
+# {"w", "lora_a", "lora_b", "lora_s"} dicts that ops.quant.mm dispatches
+# (y = x@W + s * (x@A)@B), optax.masked trains ONLY the factors, and the
+# base "w" may itself be a quantized dict (QLoRA-style).
+
+LORA_KEYS = frozenset({"w", "lora_a", "lora_b", "lora_s"})
+
+
+def is_lora_dict(x) -> bool:
+    return isinstance(x, dict) and "lora_a" in x
+
+
+def _leaf_in_out(w) -> Optional[Tuple[Tuple[int, ...], int, int]]:
+    """(leading_shape, in_dim, out_dim) of a weight leaf ([in, out] layout,
+    optionally layer-stacked [L, in, out]); None if it is not LoRA-able."""
+    if isinstance(w, dict):  # quantized base: recover dims from the int repr
+        if "q" in w or "q8a" in w:
+            q = w.get("q", w.get("q8a"))
+            return tuple(q.shape[:-2]), q.shape[-2], q.shape[-1]
+        return None  # w4a8 block-major packing hides the fp dims
+    if getattr(w, "ndim", 0) < 2:
+        return None
+    return tuple(w.shape[:-2]), w.shape[-2], w.shape[-1]
+
+
+def inject_lora_tree(
+    params,
+    rng: jax.Array,
+    rank: int,
+    targets: Tuple[str, ...] = ("q_w", "v_w"),
+    alpha: Optional[float] = None,
+    dtype=None,
+) -> Dict:
+    """Replace every ``targets`` weight leaf in the tree (2D [in, out] or
+    layer-stacked [L, in, out]; plain or int8/w8a8-quantized) with a LoRA
+    adapter dict. A ~ N(0, 1/r), B = 0 (identity start), per-layer scale
+    s = alpha/r stacked alongside so the factor dicts stay valid lax.scan
+    leaves. Returns a new tree; non-target leaves are shared, not copied."""
+    scale = float(alpha if alpha is not None else rank) / float(rank)
+    keys = iter(jax.random.split(rng, 4096))
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        if is_lora_dict(tree) or set(tree) & {"q", "q8a", "q4", "fp"}:
+            return tree  # never descend INTO an adapter / quant dict
+        out = {}
+        for k, v in tree.items():
+            dims = _leaf_in_out(v) if k in targets else None
+            if dims is None:
+                out[k] = walk(v) if isinstance(v, dict) else v
+                continue
+            lead, din, dout = dims
+            dt = dtype
+            if dt is None:
+                dt = v.dtype if not isinstance(v, dict) else jnp.float32
+            out[k] = {
+                "w": v,
+                "lora_a": jax.random.normal(
+                    next(keys), (*lead, din, rank), dt) * (rank ** -0.5),
+                "lora_b": jnp.zeros((*lead, rank, dout), dt),
+                "lora_s": jnp.full(lead or (), scale, jnp.float32),
+            }
+        return out
+
+    return walk(params)
+
+
+def merge_lora_tree(params) -> Dict:
+    """Fold every adapter dict back into a plain weight (W + s * A @ B) —
+    the zero-runtime-overhead inference form, matching the checkpoint
+    layout. Quantized bases cannot absorb the fp delta; keep those trees in
+    adapter form (mm dispatches them at full fidelity)."""
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        if is_lora_dict(tree):
+            if isinstance(tree["w"], dict):
+                raise ValueError(
+                    "merge_lora_tree: quantized base weights cannot absorb "
+                    "the LoRA delta without a dequant/requant round-trip; "
+                    "serve the adapter dict directly (mm dispatches it)."
+                )
+            a, b = tree["lora_a"], tree["lora_b"]
+            delta = jnp.einsum("...ir,...ro->...io", a, b)
+            s = tree["lora_s"].astype(delta.dtype)
+            return (tree["w"] + delta * s[..., None, None]).astype(
+                tree["w"].dtype
+            )
+        return {k: walk(v) for k, v in tree.items()}
+
+    return walk(params)
+
+
+def lora_trainable_mask(params) -> Dict:
+    """Boolean pytree for optax.masked: True ONLY on lora_a/lora_b factors
+    (the base weights and scales stay frozen). A canonical-tied None subtree
+    stays None (empty pytree) so the mask structure matches the params."""
+
+    def walk(tree):
+        if tree is None:
+            return None
+        if not isinstance(tree, dict):
+            return False
+        if is_lora_dict(tree):
+            return {
+                "w": jax.tree.map(lambda _: False, tree["w"]),
+                "lora_a": True,
+                "lora_b": True,
+                "lora_s": False,
+            }
+        return {k: walk(v) for k, v in tree.items()}
+
+    return walk(params)

@@ -52,8 +52,15 @@ def quantize_weight_int8(w: jax.Array, cache_fp_dtype=None) -> dict:
 def mm(x: jax.Array, w, activation_clip: Optional[float] = None) -> jax.Array:
     """Matmul dispatching on the weight representation: plain array, int8
     weight-only {"q","s"}, w8a8 {"q8a","s"}, w4a8 {"q4","s"} (block-major
-    packed int4, Pallas kernel), or cached-fp {"fp"}."""
+    packed int4, Pallas kernel), cached-fp {"fp"}, or a LoRA adapter dict
+    {"w","lora_a","lora_b","lora_s"} (ops/lora.py:inject_lora_tree) whose
+    base "w" may itself be any of the former — QLoRA-style quantized-base
+    fine-tuning comes from the recursion."""
     if isinstance(w, dict):
+        if "lora_a" in w:
+            y = mm(x, w["w"], activation_clip)
+            d = (x @ w["lora_a"].astype(x.dtype)) @ w["lora_b"].astype(x.dtype)
+            return y + d * w["lora_s"].astype(d.dtype)
         if "q8a" in w:
             return w8a8_mm(x, w, activation_clip)
         if "q4" in w:

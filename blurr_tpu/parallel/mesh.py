@@ -118,11 +118,28 @@ def _mixture_rules() -> Dict[str, P]:
 # the weight leaf, so the TP rule lives one path level up
 _QUANT_LEAF_KEYS = frozenset({"q", "q8a", "q4", "s", "fp"})
 
+# leaf keys of the LoRA adapter dicts (ops/lora.py:inject_lora_tree); like
+# the quant dicts they replace the weight leaf, so the base "w" inherits the
+# parent's TP rule, lora_a [.., in, r] keeps the in-dim axis (row-parallel
+# parents), lora_b [.., r, out] the out-dim axis (column-parallel parents) —
+# then y = x@W + (x@A)@B needs exactly the collectives W already needed.
+_LORA_LEAF_KEYS = frozenset({"w", "lora_a", "lora_b", "lora_s"})
+
 
 def _spec_for_path(path: str, leaf) -> P:
     rules = _mixture_rules()
     parts = path.split("/")
     name = parts[-1]
+    if name in _LORA_LEAF_KEYS and len(parts) >= 2:
+        parent = _spec_for_path("/".join(parts[:-1]), leaf)
+        if name == "w":
+            return parent
+        if name == "lora_s" or len(parent) < 2:
+            return P()  # scales / replicated parents
+        entries = list(parent)
+        if name == "lora_a":
+            return P(*entries[:-1], None)
+        return P(*entries[:-2], None, entries[-1])  # lora_b
     if name in _QUANT_LEAF_KEYS and len(parts) >= 2:
         parent = _spec_for_path("/".join(parts[:-1]), leaf)
         if name in ("q", "q8a", "fp"):

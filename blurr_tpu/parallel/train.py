@@ -69,7 +69,8 @@ def make_optax_train_step(model: PiZero, tx, remat: bool = False,
                           donate: bool = False, pipeline=None,
                           sp_axis: str = None, compute_dtype=None):
     """The REAL training step: optax GradientTransformation (e.g.
-    ``optax.masked(optax.adamw(schedule), mask)``) with in-step noise/flow-time
+    ``masked_freeze(optax.adamw(schedule), mask)`` — utils/optim.py; NOT
+    bare optax.masked, which passes frozen grads through) with in-step noise/flow-time
     sampling (beta flow-time, cfg ``flow_sampling: beta``). This is the step
     scripts/train_pi0_flow.py runs and the driver's multichip dryrun
     validates — sharded params imply sharded adamw moments via GSPMD.
@@ -293,7 +294,9 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
         # real optimizer path: masked adamw with warmup-cosine schedule; the
         # opt state is initialized AFTER sharding so the moments inherit the
         # params' NamedShardings (scripts/train_pi0_flow.py:154-163)
-        tx = optax.masked(
+        from blurr_tpu.utils.optim import masked_freeze
+
+        tx = masked_freeze(
             optax.adamw(
                 optax.warmup_cosine_decay_schedule(1e-6, 1e-4, 2, 10, 1e-6)
             ),
@@ -342,7 +345,7 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
         "proprios": jnp.asarray(batch["proprios"]),
         "actions": jnp.asarray(batch["actions"]),
     }
-    tx_1d = optax.masked(
+    tx_1d = masked_freeze(
         optax.adamw(optax.warmup_cosine_decay_schedule(1e-6, 1e-4, 2, 10, 1e-6)),
         action_expert_mask(params_1d),
     )

@@ -51,6 +51,26 @@ def cast_params(params, dtype):
     return jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
 
 
+def masked_freeze(inner, mask):
+    """``inner`` on mask==True leaves, ZERO updates everywhere else — the
+    parameter-group FREEZE (the reference's requires_grad_(False) semantics,
+    reference third_party/open_pi_zero/src/model/vla/pizero.py freeze_*).
+
+    Bare ``optax.masked(inner, mask)`` is NOT a freeze: optax defines it as
+    "transform the masked-in updates, pass the rest through UNCHANGED", so
+    apply_updates would ADD each raw gradient to every "frozen" parameter
+    (gradient ascent on the frozen group). The second masked stage pins
+    those updates to zero.
+    """
+    import optax
+
+    inv = jax.tree.map(lambda m: not m, mask)
+    return optax.chain(
+        optax.masked(inner, mask),
+        optax.masked(optax.set_to_zero(), inv),
+    )
+
+
 def params_ema(decay: float = 0.999):
     """Optax transform that tracks an exponential moving average of the
     POST-UPDATE parameters in its state (new design — flow/diffusion
@@ -59,7 +79,7 @@ def params_ema(decay: float = 0.999):
 
     Chain it AFTER the optimizer proper::
 
-        tx = optax.chain(optax.masked(optax.adamw(sched), mask),
+        tx = optax.chain(masked_freeze(optax.adamw(sched), mask),
                          params_ema(0.999))
 
     The EMA tree lives inside ``opt_state``, so checkpoint/exact-resume

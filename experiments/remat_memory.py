@@ -34,6 +34,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax
 import jax.numpy as jnp
 
+from blurr_tpu.utils.optim import masked_freeze
 from blurr_tpu.config.core import load_yaml
 from blurr_tpu.models.pi0.pizero import PiZero
 from blurr_tpu.paths import config_root
@@ -89,7 +90,7 @@ def main():
             "action_expert": trainable.action_expert_mask,
             "all": trainable.all_trainable_mask,
         }[scope](shapes)
-        tx = optax.masked(
+        tx = masked_freeze(
             optax.adamw(optax.warmup_cosine_decay_schedule(1e-6, 1e-4, 10, 100)),
             mask,
         )

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from blurr_tpu.utils.optim import masked_freeze
 from blurr_tpu.config.core import load_yaml
 from blurr_tpu.models.pi0 import trainable
 from blurr_tpu.models.pi0.pizero import PiZero
@@ -60,7 +61,7 @@ def main():
     params = model.canonicalize_tied_weights(
         model.tie_action_proprio_weights(fake_params(model, jnp.bfloat16))
     )
-    tx = optax.masked(
+    tx = masked_freeze(
         optax.adamw(optax.warmup_cosine_decay_schedule(1e-6, 1e-4, 10, 1000)),
         trainable.action_expert_mask(params),
     )

@@ -50,6 +50,21 @@ def parse_args():
         choices=["all", "action_expert", "vlm"],
         help="Parameter group to train (others frozen via mask).",
     )
+    p.add_argument("--lora-rank", type=int, default=0,
+                   help="LoRA fine-tuning: inject rank-r adapter factors "
+                        "into the --lora-targets projections of the "
+                        "--train-scope group and train ONLY those factors "
+                        "(base weights frozen; ~1000x fewer trainable "
+                        "params at full dims). --save-dir folds the "
+                        "adapters back into plain weights (W + s*A@B), so "
+                        "the checkpoint serves unchanged.")
+    p.add_argument("--lora-alpha", type=float, default=0.0,
+                   help="LoRA scale numerator: s = alpha/rank (0 = alpha"
+                        "=rank, i.e. s=1).")
+    p.add_argument("--lora-targets", type=str, default="q_w,v_w",
+                   help="comma list of projection keys to adapt (any of "
+                        "q_w,k_w,v_w,o_w,gate_w,up_w,down_w; siglip fc1_w/"
+                        "fc2_w/out_w also match under --train-scope vlm/all).")
     p.add_argument(
         "--dtype", type=str, default="fp32",
         choices=["fp32", "bf16", "master-fp32"],
@@ -219,6 +234,32 @@ def main():
         params = restore_params(args.resume, like=params)
         log.info("Resumed from %s", args.resume)
 
+    if args.lora_rank > 0:
+        from blurr_tpu.ops.lora import inject_lora_tree
+
+        targets = tuple(
+            t.strip() for t in args.lora_targets.split(",") if t.strip()
+        )
+        lrng = jax.random.PRNGKey(args.seed + 7)
+        alpha = args.lora_alpha or None
+        inject = lambda t: inject_lora_tree(  # noqa: E731
+            t, lrng, args.lora_rank, targets, alpha
+        )
+        # adapters go ONLY into the --train-scope group: the mask below then
+        # trains exactly the injected factors, and out-of-scope mixtures pay
+        # zero adapter compute
+        if args.train_scope == "all":
+            params = inject(params)
+        elif args.train_scope == "action_expert":
+            params = dict(params)
+            params["joint"] = dict(params["joint"])
+            params["joint"]["action"] = inject(params["joint"]["action"])
+        else:  # vlm
+            params = dict(params)
+            params["siglip"] = inject(params["siglip"])
+            params["joint"] = dict(params["joint"])
+            params["joint"]["vlm"] = inject(params["joint"]["vlm"])
+
     # numerics: bf16 casts the masters themselves; master-fp32 keeps fp32
     # masters (what adamw updates / the moments' dtype) and lowers only the
     # forward/backward to bf16 inside the step (compute_dtype below)
@@ -232,12 +273,24 @@ def main():
     elif args.dtype == "master-fp32":
         compute_dtype = jnp.bfloat16
 
-    mask_fn = {
-        "all": all_trainable_mask,
-        "action_expert": action_expert_mask,
-        "vlm": vlm_mask,
-    }[args.train_scope]
-    mask = mask_fn(params)
+    if args.lora_rank > 0:
+        from blurr_tpu.ops.lora import lora_trainable_mask
+
+        mask = lora_trainable_mask(params)
+    else:
+        mask_fn = {
+            "all": all_trainable_mask,
+            "action_expert": action_expert_mask,
+            "vlm": vlm_mask,
+        }[args.train_scope]
+        mask = mask_fn(params)
+    n_train = sum(
+        int(np.prod(p.shape))
+        for p, m in zip(jax.tree.leaves(params), jax.tree.leaves(mask)) if m
+    )
+    log.info("Trainable parameters: %s (%s)", f"{n_train:,}",
+             f"LoRA rank {args.lora_rank}" if args.lora_rank > 0
+             else args.train_scope)
 
     # jit-compatible schedule for the optimizer; the host-side
     # cosine_annealing_warmup_restarts (utils.optim) is used for logging.
@@ -268,7 +321,11 @@ def main():
         # group only (a frozen 3B VLM would otherwise dominate the norm and
         # effectively rescale the action expert's clip threshold)
         inner = optax.chain(optax.clip_by_global_norm(args.grad_clip), inner)
-    tx = optax.masked(inner, mask)
+    from blurr_tpu.utils.optim import masked_freeze
+
+    # NOT bare optax.masked: that passes frozen groups' raw grads through as
+    # updates (see masked_freeze) — the freeze must zero them
+    tx = masked_freeze(inner, mask)
     if args.ema_decay > 0:
         from blurr_tpu.utils.optim import params_ema
 
@@ -544,12 +601,20 @@ def main():
     if args.save_dir:
         from blurr_tpu.models.pi0.checkpoint import save_params
 
-        save_params(params, args.save_dir)
+        finalize = (lambda p: p)
+        if args.lora_rank > 0:
+            # fold adapters into plain weights: the checkpoint keeps the
+            # standard layout and serves with zero adapter overhead
+            from blurr_tpu.ops.lora import merge_lora_tree
+
+            finalize = merge_lora_tree
+        save_params(finalize(params), args.save_dir)
         log.info("Saved params to %s", args.save_dir)
         if args.ema_decay > 0:
             from blurr_tpu.utils.optim import extract_ema
 
-            save_params(extract_ema(opt_state), args.save_dir + "_ema")
+            save_params(finalize(extract_ema(opt_state)),
+                        args.save_dir + "_ema")
             log.info("Saved EMA params to %s_ema", args.save_dir)
     if args.save_state:
         from blurr_tpu.models.pi0.checkpoint import save_train_state

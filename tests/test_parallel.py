@@ -6,6 +6,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from blurr_tpu.utils.optim import masked_freeze
+
 from blurr_tpu.models.pi0.pizero import PiZero
 from blurr_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
 from blurr_tpu.parallel.train import dryrun_multichip, make_train_step
@@ -147,7 +149,7 @@ def _masked_adamw_step(model, params):
     from blurr_tpu.models.pi0.trainable import action_expert_mask
     from blurr_tpu.parallel.train import make_optax_train_step
 
-    tx = optax.masked(optax.adamw(1e-3), action_expert_mask(params))
+    tx = masked_freeze(optax.adamw(1e-3), action_expert_mask(params))
     return make_optax_train_step(model, tx), tx.init(params)
 
 
@@ -314,7 +316,7 @@ def test_accum_steps_matches_full_batch_gradient(model_and_params):
         }
 
     mask = action_expert_mask(params)
-    inner = optax.masked(optax.adamw(1e-3), mask)
+    inner = masked_freeze(optax.adamw(1e-3), mask)
     tx = optax.MultiSteps(inner, every_k_schedule=2)
     opt_state = tx.init(params)
     step = make_optax_train_step(model, tx)
@@ -426,7 +428,7 @@ def test_optax_step_rejects_aliased_tree(model_and_params):
     from blurr_tpu.parallel.train import make_optax_train_step
 
     model, params = model_and_params
-    tx = optax.masked(optax.adamw(1e-3), action_expert_mask(params))
+    tx = masked_freeze(optax.adamw(1e-3), action_expert_mask(params))
     step = make_optax_train_step(model, tx)
     batch = _train_batch(model)
     with pytest.raises(ValueError, match="aliased leaves"):
@@ -450,7 +452,7 @@ def test_canonical_step_trains_and_donates(model_and_canon_params):
     params = jax.tree.map(jnp.array, params)  # private copy: donation consumes
     mask = action_expert_mask(params)
     assert mask["joint"]["proprio"] is None
-    tx = optax.masked(optax.adamw(1e-3), mask)
+    tx = masked_freeze(optax.adamw(1e-3), mask)
     opt_state = tx.init(params)
     step = make_optax_train_step(model, tx, donate=True)
     before = np.asarray(params["joint"]["action"]["q_w"]).copy()
@@ -645,7 +647,7 @@ def test_params_ema_tracks_post_update_weights(model_and_canon_params):
     model, params = model_and_canon_params
     decay = 0.9
     tx = optax.chain(
-        optax.masked(optax.adamw(1e-2), action_expert_mask(params)),
+        masked_freeze(optax.adamw(1e-2), action_expert_mask(params)),
         params_ema(decay),
     )
     opt_state = tx.init(params)
@@ -669,3 +671,35 @@ def test_params_ema_tracks_post_update_weights(model_and_canon_params):
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(ema)):
         np.testing.assert_allclose(np.asarray(b, np.float32), a,
                                    rtol=2e-6, atol=2e-7)
+
+
+def test_masked_freeze_pins_frozen_groups(model_and_canon_params):
+    """REGRESSION (found by the LoRA-training work): bare ``optax.masked``
+    is documented to pass masked-out updates through UNCHANGED, so the raw
+    VLM gradients were being ADDED to the "frozen" weights (gradient ascent
+    on the frozen group). ``masked_freeze`` must keep every non-trainable
+    leaf bitwise unchanged while the trainable group moves."""
+    import optax
+
+    from blurr_tpu.models.pi0.trainable import action_expert_mask
+    from blurr_tpu.parallel.train import make_optax_train_step
+
+    model, params = model_and_canon_params
+    mask = action_expert_mask(params)
+    tx = masked_freeze(optax.adamw(1e-3), mask)
+    opt_state = tx.init(params)
+    step = make_optax_train_step(model, tx)
+    p1, _, loss = step(
+        params, opt_state, _train_batch(model), jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(loss))
+    moved = frozen_moved = 0
+    for a, b, m in zip(jax.tree.leaves(params), jax.tree.leaves(p1),
+                       jax.tree.leaves(mask)):
+        same = bool(jnp.array_equal(a, b))
+        if m and not same:
+            moved += 1
+        if not m and not same:
+            frozen_moved += 1
+    assert frozen_moved == 0, f"{frozen_moved} frozen leaves changed"
+    assert moved > 0

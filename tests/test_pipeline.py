@@ -4,6 +4,8 @@ gradients — on the 8-device virtual CPU mesh (tests/conftest.py)."""
 
 import jax
 import jax.numpy as jnp
+
+from blurr_tpu.utils.optim import masked_freeze
 import numpy as np
 import pytest
 
@@ -186,7 +188,7 @@ def test_pp_train_step_matches_unpipelined(pp_model):
     ctx = PipelineCtx(make_pipeline_mesh(2))
     results = []
     for pipeline in (None, ctx):
-        tx = optax.masked(optax.adamw(1e-3), action_expert_mask(params))
+        tx = masked_freeze(optax.adamw(1e-3), action_expert_mask(params))
         step = make_optax_train_step(model, tx, pipeline=pipeline)
         p1, _, loss = step(params, tx.init(params), batch, jax.random.PRNGKey(0))
         results.append((float(loss), p1))
