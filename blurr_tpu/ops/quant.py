@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -138,26 +140,53 @@ def quantize_weight_w8a8(w: jax.Array) -> dict:
     return {"q8a": out["q"], "s": out["s"]}
 
 
+@jax.custom_vjp
+def _int8_dot_ste(xf: jax.Array, q: jax.Array, s: jax.Array) -> jax.Array:
+    """Dynamic per-token int8 quant + int8 MXU dot, with a STRAIGHT-THROUGH
+    backward: the int8 tensors have no tangent space (round() kills the
+    chain rule anyway), so the VJP treats y as xf @ (q·s) — the standard
+    QLoRA recipe for training THROUGH a frozen quantized base. The primal
+    is byte-identical to the inference path; the dequantized fp32 weight
+    materializes only in the backward."""
+    xs = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -128, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq,
+        q,
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * xs * s
+
+
+def _int8_dot_fwd(xf, q, s):
+    return _int8_dot_ste(xf, q, s), (q, s)
+
+
+def _int8_dot_bwd(res, g):
+    q, s = res
+    deq = q.astype(jnp.float32) * s  # [in, out]
+    gx = jnp.einsum("...o,io->...i", g, deq)
+    # int8 primal -> float0 cotangent; the fp scale is frozen in every
+    # training configuration (lora_trainable_mask), so zero is exact there
+    return gx, np.zeros(q.shape, jax.dtypes.float0), jnp.zeros_like(s)
+
+
+_int8_dot_ste.defvjp(_int8_dot_fwd, _int8_dot_bwd)
+
+
 def w8a8_mm(x: jax.Array, w: dict, activation_clip: Optional[float] = None) -> jax.Array:
     """y = (x_q @ w_q) * x_scale * w_scale with dynamic per-token x quant.
 
     x: [..., S, in]; w["q8a"]: [in, out] int8 (per-layer slice inside scan).
     Accumulates in int32 on the MXU; rescale in fp32, output in x.dtype.
+    Differentiable w.r.t. x via the straight-through VJP (QLoRA).
     """
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     if activation_clip is not None:
         xf = jnp.clip(xf, -activation_clip, activation_clip)
-    xs = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
-    xq = jnp.clip(jnp.round(xf / xs), -128, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq,
-        w["q8a"],
-        (((xq.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    y = acc.astype(jnp.float32) * xs * w["s"]
-    return y.astype(dtype)
+    return _int8_dot_ste(xf, w["q8a"], w["s"]).astype(dtype)
 
 
 def quantize_mixture_w8a8(mixture_params: dict) -> dict:
@@ -225,46 +254,74 @@ def quantize_weight_w4a8(w: jax.Array, group_size: int = 512) -> dict:
     return {"q4": to_block_major(pack_int4(q), bn), "s": scale.astype(jnp.float32)}
 
 
+def _w4a8_deq(q4: jax.Array, s: jax.Array, k: int) -> jax.Array:
+    """fp32 [K, N] weight from the block-major packed int4 + group scales."""
+    from blurr_tpu.ops.pallas_int4_matmul import (
+        from_block_major,
+        unpack_int4_reference,
+    )
+
+    groups, n = s.shape
+    wq = unpack_int4_reference(from_block_major(q4))[:, :n]
+    return wq.astype(jnp.float32) * jnp.repeat(s, k // groups, axis=0)
+
+
+@jax.custom_vjp
+def _int4_dot_ste(xf: jax.Array, q4: jax.Array, s: jax.Array) -> jax.Array:
+    """Group-wise int4 matmul (Pallas on TPU; dequantized fp32 elsewhere)
+    with the same straight-through VJP as ``_int8_dot_ste`` — the Pallas
+    call has no autodiff rule, and y ≈ xf @ W_deq is the QLoRA backward."""
+    xs = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -128, 127).astype(jnp.int8)
+    lead = xf.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    k = xf.shape[-1]
+    groups, n = s.shape
+    nb, _, bn = q4.shape
+    n_pad = nb * bn
+    if jax.default_backend() != "tpu":
+        # CPU/test path: dequantized fp32 matmul — mathematically identical
+        # to the kernel's per-group int32 dots ((x_g @ w_g)*s_g == x_g @
+        # (w_g*s_g) since s_g is constant over each group's rows)
+        y = xq.astype(jnp.float32) @ _w4a8_deq(q4, s, k)
+        return y * xs
+    from blurr_tpu.ops.pallas_int4_matmul import int4_matmul
+
+    s_pad = s if n_pad == n else jnp.pad(s, ((0, 0), (0, n_pad - n)))
+    y = int4_matmul(xq.reshape(m, k), q4, s_pad)[:, :n]
+    y = y * xs.reshape(m, 1)
+    return y.reshape(*lead, n)
+
+
+def _int4_dot_fwd(xf, q4, s):
+    return _int4_dot_ste(xf, q4, s), (q4, s)
+
+
+def _int4_dot_bwd(res, g):
+    q4, s = res
+    deq = _w4a8_deq(q4, s, 2 * q4.shape[1])  # q4 packs K//2 rows
+    gx = jnp.einsum("...o,io->...i", g, deq)
+    return gx, np.zeros(q4.shape, jax.dtypes.float0), jnp.zeros_like(s)
+
+
+_int4_dot_ste.defvjp(_int4_dot_fwd, _int4_dot_bwd)
+
+
 def w4a8_mm(x: jax.Array, w: dict, activation_clip: Optional[float] = None) -> jax.Array:
     """y = sum_g (x_q_g @ unpack(w_q4)_g) * s_g * x_scale via the Pallas
     kernel (group-wise int4).
 
     x: [..., K]; w["q4"]: block-major [NB, K//2, BN] packed int4 (per-layer
     slice inside scan), w["s"]: [G, N] exact-width group scales.
+    Differentiable w.r.t. x via the straight-through VJP (QLoRA).
     """
-    from blurr_tpu.ops.pallas_int4_matmul import (
-        from_block_major,
-        int4_matmul,
-        unpack_int4_reference,
-    )
-
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     if activation_clip is not None:
         xf = jnp.clip(xf, -activation_clip, activation_clip)
-    xs = jnp.clip(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
-    xq = jnp.clip(jnp.round(xf / xs), -128, 127).astype(jnp.int8)
-
-    lead = x.shape[:-1]
-    m = 1
-    for d in lead:
-        m *= d
-    k = x.shape[-1]
-    groups, n = w["s"].shape
-    nb, _, bn = w["q4"].shape
-    n_pad = nb * bn
-    if jax.default_backend() != "tpu":
-        # CPU/test path: dequantized fp32 matmul — mathematically identical
-        # to the kernel's per-group int32 dots ((x_g @ w_g)*s_g == x_g @
-        # (w_g*s_g) since s_g is constant over each group's rows)
-        wq = unpack_int4_reference(from_block_major(w["q4"]))[:, :n]
-        deq = wq.astype(jnp.float32) * jnp.repeat(w["s"], k // groups, axis=0)
-        y = xq.astype(jnp.float32) @ deq
-        return (y * xs).astype(dtype)
-    s_pad = w["s"] if n_pad == n else jnp.pad(w["s"], ((0, 0), (0, n_pad - n)))
-    y = int4_matmul(xq.reshape(m, k), w["q4"], s_pad)[:, :n]
-    y = y * xs.reshape(m, 1)
-    return y.reshape(*lead, n).astype(dtype)
+    return _int4_dot_ste(xf, w["q4"], w["s"]).astype(dtype)
 
 
 def quantize_mixture_w4a8(mixture_params: dict) -> dict:

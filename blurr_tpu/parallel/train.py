@@ -155,7 +155,17 @@ def make_optax_train_step(model: PiZero, tx, remat: bool = False,
         k1, k2 = jax.random.split(key)
         noise = jax.random.normal(k1, batch["actions"].shape, jnp.float32)
         t = jax.random.beta(k2, 1.5, 1.0, (batch["actions"].shape[0],))
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, noise, t)
+        # allow_int: QLoRA trees carry frozen int8 base weights; their
+        # float0 "grads" become typed zeros so the masked tx and
+        # apply_updates stay shape/dtype-closed over the whole tree
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
+            params, batch, noise, t
+        )
+        grads = jax.tree.map(
+            lambda g, p: jnp.zeros_like(p)
+            if g.dtype == jax.dtypes.float0 else g,
+            grads, params,
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

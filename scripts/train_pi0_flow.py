@@ -65,6 +65,16 @@ def parse_args():
                    help="comma list of projection keys to adapt (any of "
                         "q_w,k_w,v_w,o_w,gate_w,up_w,down_w; siglip fc1_w/"
                         "fc2_w/out_w also match under --train-scope vlm/all).")
+    p.add_argument("--lora-quantize-base", type=str, default="none",
+                   choices=["none", "w8a8", "w4a8"],
+                   help="QLoRA: quantize the adapted joint mixtures' linear "
+                        "weights BEFORE injecting adapters — the frozen base "
+                        "runs on the int8 MXU (w8a8) or the Pallas int4 "
+                        "kernel (w4a8) with straight-through gradients, "
+                        "cutting frozen-weight HBM 2-4x. --save-dir then "
+                        "saves the adapter tree as-is (quantized bases "
+                        "cannot absorb the fp delta); serve it directly — "
+                        "ops.quant.mm dispatches the dicts.")
     p.add_argument(
         "--dtype", type=str, default="fp32",
         choices=["fp32", "bf16", "master-fp32"],
@@ -242,23 +252,44 @@ def main():
         )
         lrng = jax.random.PRNGKey(args.seed + 7)
         alpha = args.lora_alpha or None
-        inject = lambda t: inject_lora_tree(  # noqa: E731
-            t, lrng, args.lora_rank, targets, alpha
-        )
+        quantize_base = None
+        if args.lora_quantize_base != "none":
+            from blurr_tpu.ops.quant import (
+                quantize_mixture_w4a8,
+                quantize_mixture_w8a8,
+            )
+
+            quantize_base = {
+                "w8a8": quantize_mixture_w8a8, "w4a8": quantize_mixture_w4a8,
+            }[args.lora_quantize_base]
+
+        def inject(t, mixture=False):
+            # QLoRA: the base quantizes FIRST, then the adapters wrap the
+            # quant dicts (ops.quant.mm recurses); only joint mixtures
+            # quantize — siglip/projector stay fp under scope vlm/all
+            if mixture and quantize_base is not None:
+                t = quantize_base(t)
+            return inject_lora_tree(t, lrng, args.lora_rank, targets, alpha)
+
         # adapters go ONLY into the --train-scope group: the mask below then
         # trains exactly the injected factors, and out-of-scope mixtures pay
         # zero adapter compute
+        params = dict(params)
+        params["joint"] = dict(params["joint"])
         if args.train_scope == "all":
-            params = inject(params)
+            for k in ("siglip", "projector"):
+                params[k] = inject(params[k])
+            for m in ("vlm", "action"):
+                params["joint"][m] = inject(params["joint"][m], mixture=True)
         elif args.train_scope == "action_expert":
-            params = dict(params)
-            params["joint"] = dict(params["joint"])
-            params["joint"]["action"] = inject(params["joint"]["action"])
+            params["joint"]["action"] = inject(
+                params["joint"]["action"], mixture=True
+            )
         else:  # vlm
-            params = dict(params)
             params["siglip"] = inject(params["siglip"])
-            params["joint"] = dict(params["joint"])
-            params["joint"]["vlm"] = inject(params["joint"]["vlm"])
+            params["joint"]["vlm"] = inject(
+                params["joint"]["vlm"], mixture=True
+            )
 
     # numerics: bf16 casts the masters themselves; master-fp32 keeps fp32
     # masters (what adamw updates / the moments' dtype) and lowers only the
@@ -602,12 +633,16 @@ def main():
         from blurr_tpu.models.pi0.checkpoint import save_params
 
         finalize = (lambda p: p)
-        if args.lora_rank > 0:
+        if args.lora_rank > 0 and args.lora_quantize_base == "none":
             # fold adapters into plain weights: the checkpoint keeps the
             # standard layout and serves with zero adapter overhead
             from blurr_tpu.ops.lora import merge_lora_tree
 
             finalize = merge_lora_tree
+        elif args.lora_rank > 0:
+            # a quantized base cannot absorb the fp delta: the checkpoint
+            # keeps the adapter dicts; inference serves them via mm dispatch
+            log.info("QLoRA: saving the adapter tree unmerged")
         save_params(finalize(params), args.save_dir)
         log.info("Saved params to %s", args.save_dir)
         if args.ema_decay > 0:

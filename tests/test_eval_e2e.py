@@ -575,3 +575,46 @@ def test_train_cli_ema_save(tmp_path, monkeypatch):
         for a, b in zip(jax.tree.leaves(final), jax.tree.leaves(ema))
     ]
     assert max(diffs) > 0  # the EMA lags the trained weights
+
+
+def test_train_cli_lora_exact_state_resume(tmp_path, monkeypatch):
+    """--lora-rank composes with exact resume: the adapter factor dicts ride
+    the training-state checkpoint (params + moments + PRNG + stream), and
+    an interrupted LoRA run continues bitwise-identically. The saved
+    --save-dir tree is MERGED (plain weights, no adapter dicts)."""
+    import sys
+
+    import jax
+
+    import scripts.train_pi0_flow as cli
+    from blurr_tpu.models.pi0.checkpoint import restore_params
+    from blurr_tpu.ops.lora import is_lora_dict
+
+    base = ["train_pi0_flow.py", "--config", "config/eval/bridge_tiny.yaml",
+            "--batch-size", "2", "--steps", "4", "--lora-rank", "2",
+            "--train-scope", "action_expert"]
+    d_full = tmp_path / "full"
+    monkeypatch.setattr(sys, "argv", base + ["--save-dir", str(d_full)])
+    cli.main()
+
+    st = tmp_path / "state"
+    monkeypatch.setattr(
+        sys, "argv", base + ["--stop-after", "2", "--save-state", str(st)]
+    )
+    cli.main()
+
+    d_res = tmp_path / "resumed"
+    monkeypatch.setattr(
+        sys, "argv",
+        base + ["--resume-state", str(st), "--save-dir", str(d_res)],
+    )
+    cli.main()
+
+    full = restore_params(str(d_full))
+    res = restore_params(str(d_res))
+    assert not any(
+        is_lora_dict(x)
+        for x in jax.tree.leaves(full, is_leaf=is_lora_dict)
+    )
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(res)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
