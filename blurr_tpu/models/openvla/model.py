@@ -243,6 +243,61 @@ class OpenVLA:
         discretized = np.clip(discretized - 1, 0, self.bin_centers.shape[0] - 1)
         return self.bin_centers[discretized]
 
+    def tokenize_actions(self, actions: np.ndarray) -> np.ndarray:
+        """normalized actions in [-1, 1] -> token ids [B, action_dim]; the
+        exact inverse of ``detokenize_actions`` up to half a bin width
+        (OpenVLA ActionTokenizer semantics: np.digitize into the uniform
+        bins, token = vocab - bin). Training labels for the CE loss."""
+        a = np.clip(np.asarray(actions), -1.0, 1.0)
+        bins = np.linspace(-1, 1, self.spec.n_action_bins)
+        discretized = np.digitize(a, bins)  # 1 .. n_bins
+        return (self.spec.action_token_vocab - discretized).astype(np.int32)
+
+    def action_ce_loss(
+        self,
+        params: Dict,
+        input_ids: jax.Array,  # [B, T] prompt ids with the ground-truth
+        # action tokens APPENDED right after each example's prompt (so the
+        # valid tokens stay contiguous and right padding sits at the end)
+        attn_valid: jax.Array,  # [B, T] 1 over prompt+action tokens
+        pixel_values: jax.Array,
+        action_tokens: jax.Array,  # [B, action_dim] labels
+    ) -> jax.Array:
+        """Teacher-forced next-token cross-entropy over the action_dim
+        action tokens (the OpenVLA fine-tuning objective — the loss the
+        reference's OFT ``lora_adapter/`` checkpoints were trained with on
+        GPU; here it runs as ONE jittable forward, no decode loop). Jittable;
+        differentiable through LoRA/QLoRA adapter dicts via ops.quant.mm."""
+        s = self.spec
+        embeds = self._build_prompt_embeds(params, input_ids, pixel_values)
+        b, total, _ = embeds.shape
+        n_patch = total - input_ids.shape[1]
+        valid = jnp.concatenate(
+            [jnp.ones((b, 1 + n_patch), jnp.int32),
+             attn_valid[:, 1:].astype(jnp.int32)],
+            axis=1,
+        )
+        pos = jnp.broadcast_to(
+            jnp.arange(total, dtype=jnp.int32)[None], (b, total)
+        )
+        mask = llama_lib.causal_prefill_mask(valid, total)
+        cache = llama_lib.alloc_cache(s.llama, b, total, embeds.dtype)
+        h, _ = llama_lib.forward(
+            params["llama"], s.llama, embeds, pos, mask, cache, jnp.int32(0)
+        )
+        lg = llama_lib.logits(params["llama"], s.llama, h)  # [B, T', V]
+        # action token i (ids position n_prompt+i) is predicted from the
+        # PREVIOUS position's logits; ids position j embeds at n_patch + j
+        n_prompt = jnp.sum(attn_valid.astype(jnp.int32), -1) - s.action_dim
+        label_pos = (
+            n_patch + n_prompt[:, None] - 1
+            + jnp.arange(s.action_dim, dtype=jnp.int32)[None]
+        )  # [B, action_dim]
+        sel = jnp.take_along_axis(lg, label_pos[..., None], axis=1)
+        logp = jax.nn.log_softmax(sel.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(logp, action_tokens[..., None], axis=-1)
+        return -jnp.mean(ll)
+
     def unnormalize(self, normalized: np.ndarray, unnorm_key: str) -> np.ndarray:
         stats = self.norm_stats[unnorm_key]["action"]
         high = np.asarray(stats["q99"])

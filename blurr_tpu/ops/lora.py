@@ -311,3 +311,75 @@ def lora_trainable_mask(params) -> Dict:
         return {k: walk(v) for k, v in tree.items()}
 
     return walk(params)
+
+
+# ---------------------------------------------------------------------------
+# PEFT-format adapter export (the inverse of merge_peft_adapter_into_llama)
+# ---------------------------------------------------------------------------
+
+_PEFT_NAME_MAP = {
+    "q_w": ("self_attn", "q_proj"), "k_w": ("self_attn", "k_proj"),
+    "v_w": ("self_attn", "v_proj"), "o_w": ("self_attn", "o_proj"),
+    "gate_w": ("mlp", "gate_proj"), "up_w": ("mlp", "up_proj"),
+    "down_w": ("mlp", "down_proj"),
+}
+
+
+def save_peft_adapter(llama_layers: Dict, adapter_dir: str,
+                      base_model_name: str = "openvla/openvla-7b",
+                      module_prefix: str = "language_model.model.layers") -> int:
+    """Write the LoRA factors of a stacked-layer llama tree (adapter dicts
+    from ``inject_lora_tree``) as a PEFT ``lora_adapter/`` directory —
+    adapter_config.json + adapter_model.safetensors with torch [out, in]
+    layouts and ``base_model.model.language_model.model.layers.{i}.
+    self_attn.q_proj.lora_A.weight``-style keys, the exact format the
+    reference's eval merges at load (reference
+    scripts/eval_hf_vla_simpler.py:135-179). Adapters LoRA-trained here on
+    TPU therefore drop into the reference's GPU eval unchanged (and into
+    this repo's own ``merge_peft_adapter_into_llama``). Returns the number
+    of exported (projection, layer) factor pairs."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    tensors: Dict[str, np.ndarray] = {}
+    rank = alpha = None
+    targets = []
+    for ours, (block, proj) in _PEFT_NAME_MAP.items():
+        d = llama_layers.get(ours)
+        if not (isinstance(d, dict) and "lora_a" in d):
+            continue
+        targets.append(proj)
+        a = np.asarray(d["lora_a"], np.float32)  # [L, in, r]
+        b = np.asarray(d["lora_b"], np.float32)  # [L, r, out]
+        s = np.asarray(d["lora_s"], np.float32)  # [L]
+        rank = a.shape[-1]
+        # PEFT applies scale = alpha/r at load; fold any per-layer deviation
+        # from s[0] into lora_B so the merged product is exact
+        alpha = float(s[0]) * rank
+        prefix = f"base_model.model.{module_prefix}"
+        for i in range(a.shape[0]):
+            b_i = b[i] * (s[i] / s[0]) if s[i] != s[0] else b[i]
+            tensors[f"{prefix}.{i}.{block}.{proj}.lora_A.weight"] = (
+                np.ascontiguousarray(a[i].T)  # torch [r, in]
+            )
+            tensors[f"{prefix}.{i}.{block}.{proj}.lora_B.weight"] = (
+                np.ascontiguousarray(b_i.T)  # torch [out, r]
+            )
+    if not tensors:
+        raise ValueError("no LoRA adapter dicts found in the llama tree")
+    os.makedirs(adapter_dir, exist_ok=True)
+    save_file(tensors, os.path.join(adapter_dir, "adapter_model.safetensors"))
+    cfg = {
+        "peft_type": "LORA",
+        "base_model_name_or_path": base_model_name,
+        "r": int(rank),
+        "lora_alpha": alpha,
+        "lora_dropout": 0.0,
+        "bias": "none",
+        "target_modules": sorted(set(targets)),
+        "task_type": "CAUSAL_LM",
+    }
+    with open(os.path.join(adapter_dir, "adapter_config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
+    return len(tensors) // 2

@@ -57,6 +57,9 @@ XLA_FLAGS="--xla_force_host_platform_device_count=2 ${XLA_FLAGS:-}" \
 python scripts/train_pi0_flow.py --config config/eval/bridge_tiny.yaml \
   --steps 2 --batch-size 2 --lora-rank 2 --train-scope action_expert \
   --save-dir "" 2>&1 | grep -q "Done. final loss" && echo "train --lora-rank OK"
+python scripts/train_openvla_lora.py --model-id random --steps 2 \
+  --batch-size 2 --lora-rank 2 --dtype fp32 2>&1 \
+  | grep -q "Done. final loss" && echo "train_openvla_lora OK"
 rm -rf "$SWEEP_DIR"
 
 echo "==== driver contracts ===="

@@ -1,0 +1,272 @@
+#!/usr/bin/env python3
+"""LoRA / QLoRA fine-tuning for the OpenVLA family, TPU-native.
+
+The reference CONSUMES PEFT ``lora_adapter/`` checkpoints (its eval merges
+them at load, reference scripts/eval_hf_vla_simpler.py:135-179) but ships no
+way to produce them — they come from GPU fine-tuning in the upstream OpenVLA
+project. This CLI closes that loop on TPU: teacher-forced next-token
+cross-entropy on the action_dim action tokens
+(``OpenVLA.action_ce_loss``), rank-r adapters on the Llama projections
+(only the factors train; optionally a w8a8/w4a8-quantized frozen base =
+QLoRA), and ``--save-adapter`` exports a PEFT-format directory that drops
+into the reference's GPU eval unchanged.
+
+Data: an .npz with ``images`` [N, H, W, 3] uint8, ``instructions`` [N]
+strings, ``actions`` [N, action_dim] normalized in [-1, 1] — or the
+built-in synthetic set for smoke runs.
+
+    python scripts/train_openvla_lora.py --model-id /path/to/snapshot \
+        --data demos.npz --steps 500 --lora-rank 32 \
+        --save-adapter out/lora_adapter
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+log = logging.getLogger("train_openvla_lora")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-id", type=str, default="random",
+                   help="HF snapshot dir, or random / random-7b / "
+                        "random-minivla / random-minivla-tiny.")
+    p.add_argument("--data", type=str, default="synthetic",
+                   help=".npz of (images, instructions, actions) or "
+                        "'synthetic'.")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--warmup-steps", type=int, default=5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--lora-rank", type=int, default=32)
+    p.add_argument("--lora-alpha", type=float, default=0.0,
+                   help="scale numerator: s = alpha/rank (0 = alpha=rank).")
+    p.add_argument("--lora-targets", type=str,
+                   default="q_w,k_w,v_w,o_w,gate_w,up_w,down_w",
+                   help="llama projections to adapt (the OpenVLA OFT recipe "
+                        "adapts all seven).")
+    p.add_argument("--quantize-base", type=str, default="none",
+                   choices=["none", "w8a8", "w4a8"],
+                   help="QLoRA: quantize the frozen llama base first "
+                        "(int8 MXU / Pallas int4 with straight-through "
+                        "gradients; 2-4x less frozen-weight HBM).")
+    p.add_argument("--dtype", type=str, default="bf16",
+                   choices=["fp32", "bf16"])
+    p.add_argument("--max-text-tokens", type=int, default=32)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--log-every", type=int, default=5)
+    p.add_argument("--save-adapter", type=str, default="",
+                   help="export the trained factors as a PEFT lora_adapter/ "
+                        "directory (adapter_config.json + safetensors, "
+                        "reference-loadable).")
+    return p.parse_args()
+
+
+def synthetic_examples(n, image_hw, action_dim, seed):
+    rng = np.random.RandomState(seed)
+    phrases = ["pick up the carrot", "put the spoon on the towel",
+               "move the cup near the plate", "stack the green block"]
+    return {
+        "images": rng.randint(0, 256, (n, image_hw, image_hw, 3), np.uint8),
+        "instructions": np.array([phrases[i % len(phrases)] for i in range(n)]),
+        "actions": np.clip(rng.randn(n, action_dim) * 0.4, -1, 1).astype(
+            np.float32
+        ),
+    }
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s | %(message)s")
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from blurr_tpu.models.openvla.model import EMPTY_TOKEN, OpenVLA, OpenVLASpec
+    from blurr_tpu.models.openvla.processing import (
+        OpenVLAProcessor,
+        build_prompt,
+        load_hf_tokenizer,
+        process_image,
+    )
+    from blurr_tpu.ops.lora import (
+        inject_lora_tree,
+        lora_trainable_mask,
+        save_peft_adapter,
+    )
+    from blurr_tpu.utils.optim import masked_freeze
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    tokenizer = None
+    path = Path(str(args.model_id)).expanduser()
+    if path.is_dir():
+        from blurr_tpu.models.openvla.checkpoint import (
+            openvla_params_from_hf_dir,
+        )
+
+        spec = OpenVLASpec.from_snapshot_dir(path)
+        model = OpenVLA(spec)
+        params = openvla_params_from_hf_dir(str(path), spec, dtype)
+        tokenizer = load_hf_tokenizer(str(path))
+    else:
+        specs = {
+            "random": OpenVLASpec.tiny,
+            "random-7b": OpenVLASpec,
+            "random-minivla": OpenVLASpec.minivla,
+            "random-minivla-tiny": OpenVLASpec.tiny_minivla,
+        }
+        if str(args.model_id) not in specs:
+            sys.exit(f"unknown --model-id {args.model_id!r}")
+        spec = specs[str(args.model_id)]()
+        model = OpenVLA(spec)
+        params = model.init_params(jax.random.PRNGKey(0), dtype)
+
+    targets = tuple(t.strip() for t in args.lora_targets.split(",") if t.strip())
+    llama = params["llama"]
+    if args.quantize_base != "none":
+        from blurr_tpu.models.openvla.llama import (
+            quantize_llama_w4a8,
+            quantize_llama_w8a8,
+        )
+
+        qfn = (quantize_llama_w8a8 if args.quantize_base == "w8a8"
+               else quantize_llama_w4a8)
+        llama = qfn(llama)
+    llama = dict(llama)
+    llama["layers"] = inject_lora_tree(
+        llama["layers"], jax.random.PRNGKey(args.seed + 7), args.lora_rank,
+        targets, args.lora_alpha or None, dtype=dtype,
+    )
+    params = dict(params)
+    params["llama"] = llama
+    mask = lora_trainable_mask(params)
+    n_train = sum(
+        int(np.prod(p.shape))
+        for p, m in zip(jax.tree.leaves(params), jax.tree.leaves(mask)) if m
+    )
+    n_total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    log.info("Trainable LoRA parameters: %s of %s (%.3f%%)",
+             f"{n_train:,}", f"{n_total:,}", 100.0 * n_train / n_total)
+
+    total = max(args.steps, 2)
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=args.lr * 0.01, peak_value=args.lr,
+        warmup_steps=min(args.warmup_steps, total - 1), decay_steps=total,
+        end_value=args.lr * 0.01,
+    )
+    inner = optax.adamw(schedule)
+    if args.grad_clip > 0:
+        inner = optax.chain(optax.clip_by_global_norm(args.grad_clip), inner)
+    tx = masked_freeze(inner, mask)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, ids, valid, px, labels):
+        return model.action_ce_loss(p, ids, valid, px, labels)
+
+    @jax.jit
+    def step(p, o, ids, valid, px, labels):
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
+            p, ids, valid, px, labels
+        )
+        grads = jax.tree.map(
+            lambda g, q: jnp.zeros_like(q)
+            if g.dtype == jax.dtypes.float0 else g,
+            grads, p,
+        )
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    # ------------------------------------------------------------------
+    # data: tokenize prompts once per instruction, append the ground-truth
+    # action tokens right after each prompt (contiguous; pad at the end)
+    processor = OpenVLAProcessor(
+        tokenizer, image_size=spec.siglip.image_size,
+        fused=spec.use_fused_vision,
+    )
+    if args.data == "synthetic":
+        data = synthetic_examples(
+            64, spec.siglip.image_size, spec.action_dim, args.seed
+        )
+    else:
+        data = dict(np.load(args.data, allow_pickle=True))
+    n_examples = data["actions"].shape[0]
+    log.info("Dataset: %d examples", n_examples)
+
+    tok_cache = {}
+
+    def prompt_ids(instruction: str):
+        ids = tok_cache.get(instruction)
+        if ids is None:
+            out = processor(build_prompt(instruction), data["images"][0])
+            ids = np.asarray(out["input_ids"])[0].tolist()
+            if ids[-1] != EMPTY_TOKEN:
+                ids.append(EMPTY_TOKEN)
+            if len(ids) > args.max_text_tokens:
+                sys.exit(
+                    f"instruction tokenizes to {len(ids)} tokens > "
+                    f"--max-text-tokens {args.max_text_tokens}"
+                )
+            tok_cache[instruction] = ids
+        return ids
+
+    seq_len = args.max_text_tokens + spec.action_dim
+    action_tokens_all = model.tokenize_actions(data["actions"])
+
+    rng = np.random.RandomState(args.seed)
+
+    def next_batch():
+        idx = rng.randint(0, n_examples, args.batch_size)
+        ids = np.zeros((args.batch_size, seq_len), np.int32)
+        valid = np.zeros((args.batch_size, seq_len), np.int32)
+        px, labels = [], []
+        for row, i in enumerate(idx):
+            p_ids = prompt_ids(str(data["instructions"][i]))
+            toks = action_tokens_all[i]
+            ids[row, : len(p_ids)] = p_ids
+            ids[row, len(p_ids) : len(p_ids) + spec.action_dim] = toks
+            valid[row, : len(p_ids) + spec.action_dim] = 1
+            labels.append(toks)
+            px.append(process_image(
+                np.asarray(data["images"][i]), spec.siglip.image_size,
+                spec.use_fused_vision,
+            ))
+        return (
+            jnp.asarray(ids), jnp.asarray(valid),
+            jnp.asarray(np.concatenate(px, 0), dtype),
+            jnp.asarray(np.stack(labels)),
+        )
+
+    t0 = time.time()
+    loss = float("nan")
+    p, o = params, opt_state
+    for it in range(args.steps):
+        ids, valid, px, labels = next_batch()
+        p, o, loss = step(p, o, ids, valid, px, labels)
+        if it % args.log_every == 0 or it == args.steps - 1:
+            log.info("step %d/%d loss %.5f elapsed %.1fs",
+                     it, args.steps, float(loss), time.time() - t0)
+
+    if args.save_adapter:
+        n = save_peft_adapter(
+            p["llama"]["layers"], args.save_adapter,
+            base_model_name=str(args.model_id),
+        )
+        log.info("Exported %d LoRA factor pairs to %s (PEFT format)",
+                 n, args.save_adapter)
+    log.info("Done. final loss %.5f", float(loss))
+
+
+if __name__ == "__main__":
+    main()

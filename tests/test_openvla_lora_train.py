@@ -1,0 +1,243 @@
+"""OpenVLA LoRA fine-tuning: action tokenizer inverse, teacher-forced CE
+loss, factor-only training, and PEFT-format adapter export that round-trips
+through this repo's own PEFT importer (the reference's load path,
+reference scripts/eval_hf_vla_simpler.py:135-179)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blurr_tpu.models.openvla import llama as llama_lib
+from blurr_tpu.models.openvla.model import OpenVLA, OpenVLASpec
+from blurr_tpu.ops.lora import (
+    inject_lora_tree,
+    lora_trainable_mask,
+    merge_peft_adapter_into_llama,
+    save_peft_adapter,
+)
+from blurr_tpu.utils.optim import masked_freeze
+
+
+def test_tokenize_actions_inverts_detokenize():
+    model = OpenVLA(OpenVLASpec.tiny())
+    rng = np.random.RandomState(0)
+    a = np.clip(rng.randn(8, 7) * 0.5, -1, 1).astype(np.float32)
+    toks = model.tokenize_actions(a)
+    assert toks.min() >= model.spec.action_token_vocab - model.spec.n_action_bins
+    assert toks.max() < model.spec.action_token_vocab
+    back = model.detokenize_actions(toks)
+    bin_w = 2.0 / (model.spec.n_action_bins - 1)
+    assert np.abs(back - a).max() <= bin_w / 2 + 1e-6
+    # a second round-trip is exact for interior values (bin centers are
+    # fixed points); exactly ±1.0 rides np.digitize's right-edge and lands
+    # one bin over — the reference ActionTokenizer has the same edge quirk
+    interior = np.abs(a) < 1.0
+    np.testing.assert_array_equal(
+        model.tokenize_actions(back)[interior], toks[interior]
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    spec = OpenVLASpec.tiny()
+    model = OpenVLA(spec)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    b, n_prompt = 2, 9
+    seq = n_prompt + 2 + spec.action_dim  # ragged: example 1 is 2 shorter
+    ids = np.zeros((b, seq), np.int32)
+    valid = np.zeros((b, seq), np.int32)
+    actions = np.clip(rng.randn(b, spec.action_dim) * 0.5, -1, 1)
+    labels = model.tokenize_actions(actions)
+    for row, np_ in enumerate((n_prompt + 2, n_prompt)):
+        ids[row, 0] = 1  # BOS
+        ids[row, 1:np_] = rng.randint(3, 1000, np_ - 1)
+        ids[row, np_ : np_ + spec.action_dim] = labels[row]
+        valid[row, : np_ + spec.action_dim] = 1
+    px = rng.randn(b, 6, spec.siglip.image_size, spec.siglip.image_size)
+    return model, params, (
+        jnp.asarray(ids), jnp.asarray(valid),
+        jnp.asarray(px, jnp.float32), jnp.asarray(labels),
+    )
+
+
+def test_action_ce_loss_finite_and_batch_consistent(tiny_setup):
+    """Ragged co-batched loss == mean of the two solo losses (padding and
+    per-example label positions don't leak across rows)."""
+    model, params, (ids, valid, px, labels) = tiny_setup
+    loss = float(model.action_ce_loss(params, ids, valid, px, labels))
+    assert np.isfinite(loss) and loss > 0
+    solo = []
+    for r in range(2):
+        n = int(valid[r].sum())
+        solo.append(float(model.action_ce_loss(
+            params, ids[r : r + 1, :n], valid[r : r + 1, :n],
+            px[r : r + 1], labels[r : r + 1],
+        )))
+    np.testing.assert_allclose(loss, np.mean(solo), rtol=1e-5, atol=1e-6)
+
+
+def test_lora_ce_training_moves_only_factors(tiny_setup):
+    import optax
+
+    model, params, batch = tiny_setup
+    ids, valid, px, labels = batch
+    llama = dict(params["llama"])
+    llama["layers"] = inject_lora_tree(
+        llama["layers"], jax.random.PRNGKey(7), 4,
+        ("q_w", "v_w", "down_w"),
+    )
+    p0 = dict(params, llama=llama)
+    mask = lora_trainable_mask(p0)
+    tx = masked_freeze(optax.adamw(5e-3), mask)
+    o = tx.init(p0)
+
+    @jax.jit
+    def step(p, o):
+        loss, grads = jax.value_and_grad(
+            lambda p: model.action_ce_loss(p, ids, valid, px, labels)
+        )(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    p, losses = p0, []
+    for _ in range(6):
+        p, o, loss = step(p, o)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # teacher-forced CE must drop fast
+    frozen_moved = sum(
+        1 for a, b, m in zip(jax.tree.leaves(p0), jax.tree.leaves(p),
+                             jax.tree.leaves(mask))
+        if not m and not bool(jnp.array_equal(a, b))
+    )
+    assert frozen_moved == 0
+
+
+def test_peft_export_roundtrips_through_own_importer(tmp_path):
+    """Adapters trained here export to PEFT format and merge back through
+    merge_peft_adapter_into_llama (the reference's load-time path) — merged
+    logits equal the adapter-dict logits."""
+    spec = OpenVLASpec.tiny().llama
+    base = llama_lib.init_llama_params(jax.random.PRNGKey(0), spec)
+    layers = inject_lora_tree(
+        dict(base["layers"]), jax.random.PRNGKey(1), 4,
+        ("q_w", "v_w", "gate_w"), alpha=8.0,
+    )
+    # non-trivial factors (B=0 would make the round-trip vacuous)
+    for k in ("q_w", "v_w", "gate_w"):
+        layers[k] = dict(
+            layers[k],
+            lora_b=jax.random.normal(
+                jax.random.PRNGKey(hash(k) % 1000),
+                layers[k]["lora_b"].shape, jnp.float32) * 0.05,
+        )
+    adapted = dict(base, layers=layers)
+
+    n = save_peft_adapter(layers, str(tmp_path / "lora_adapter"))
+    assert n == 3 * spec.num_layers
+    merged = merge_peft_adapter_into_llama(
+        base, str(tmp_path / "lora_adapter"), dtype=jnp.float32
+    )
+
+    b, s = 2, 6
+    embeds = jax.random.normal(
+        jax.random.PRNGKey(2), (b, s, spec.hidden_size), jnp.float32
+    )
+    valid = jnp.ones((b, s), jnp.int32)
+
+    def run(params):
+        pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+        mask = llama_lib.causal_prefill_mask(valid, s)
+        cache = llama_lib.alloc_cache(spec, b, s, jnp.float32)
+        h, _ = llama_lib.forward(
+            params, spec, embeds, pos, mask, cache, jnp.int32(0)
+        )
+        return np.asarray(llama_lib.logits(params, spec, h))
+
+    np.testing.assert_allclose(run(merged), run(adapted),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cli_smoke_and_adapter_export(tmp_path, monkeypatch):
+    import sys
+
+    import scripts.train_openvla_lora as cli
+
+    out = tmp_path / "lora_adapter"
+    monkeypatch.setattr(sys, "argv", [
+        "train_openvla_lora.py", "--model-id", "random", "--steps", "3",
+        "--batch-size", "2", "--lora-rank", "2", "--dtype", "fp32",
+        "--save-adapter", str(out),
+    ])
+    cli.main()
+    assert (out / "adapter_config.json").exists()
+    assert (out / "adapter_model.safetensors").exists()
+
+
+def test_cli_qlora_smoke(monkeypatch):
+    import sys
+
+    import scripts.train_openvla_lora as cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "train_openvla_lora.py", "--model-id", "random", "--steps", "2",
+        "--batch-size", "2", "--lora-rank", "2", "--dtype", "fp32",
+        "--quantize-base", "w8a8",
+    ])
+    cli.main()
+
+
+def test_peft_export_loads_in_real_peft(tmp_path):
+    """THE format differential: real PEFT (the library the reference's eval
+    uses to load lora_adapter/, reference scripts/eval_hf_vla_simpler.py:
+    143-176) loads our exported directory onto a tiny HF Llama, and its
+    merge_and_unload applies EXACTLY our s·A@B delta per projection."""
+    torch = pytest.importorskip("torch")
+    peft = pytest.importorskip("peft")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    spec = OpenVLASpec.tiny().llama
+    layers = inject_lora_tree(
+        llama_lib.init_llama_params(jax.random.PRNGKey(0), spec)["layers"],
+        jax.random.PRNGKey(1), 4, ("q_w", "v_w"), alpha=8.0,
+    )
+    for k in ("q_w", "v_w"):
+        layers[k] = dict(
+            layers[k],
+            lora_b=jax.random.normal(
+                jax.random.PRNGKey(hash(k) % 997),
+                layers[k]["lora_b"].shape, jnp.float32) * 0.05,
+        )
+    # bare LlamaForCausalLM module paths are model.layers.{i}...
+    save_peft_adapter(layers, str(tmp_path), module_prefix="model.layers")
+
+    cfg = LlamaConfig(
+        vocab_size=spec.vocab_size, hidden_size=spec.hidden_size,
+        intermediate_size=spec.intermediate_size,
+        num_hidden_layers=spec.num_layers,
+        num_attention_heads=spec.num_heads,
+        num_key_value_heads=spec.num_kv_heads,
+    )
+    with torch.no_grad():
+        base = LlamaForCausalLM(cfg)
+        before = {
+            (i, p): getattr(
+                base.model.layers[i].self_attn, p
+            ).weight.detach().clone()
+            for i in range(spec.num_layers) for p in ("q_proj", "v_proj")
+        }
+        pm = peft.PeftModel.from_pretrained(base, str(tmp_path))
+        merged = pm.merge_and_unload()
+        for i in range(spec.num_layers):
+            for p, ours in (("q_proj", "q_w"), ("v_proj", "v_w")):
+                after = getattr(merged.model.layers[i].self_attn, p).weight
+                delta = (after - before[(i, p)]).numpy()  # torch [out, in]
+                d = layers[ours]
+                want = np.asarray(
+                    float(d["lora_s"][i])
+                    * (d["lora_a"][i] @ d["lora_b"][i])
+                ).T
+                np.testing.assert_allclose(delta, want, rtol=1e-4, atol=1e-5)
