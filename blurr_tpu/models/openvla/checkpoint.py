@@ -353,3 +353,59 @@ def load_oft_aux_params(path: str, dtype=jnp.bfloat16) -> Tuple[Optional[Dict], 
             }
         )
     return head, proj
+
+
+def save_oft_aux_params(
+    path: str,
+    action_head: Optional[Dict] = None,
+    proprio_projector: Optional[Dict] = None,
+    step: int = 0,
+) -> None:
+    """Inverse of :func:`load_oft_aux_params`: write trained OFT aux modules
+    as the torch checkpoints the reference's eval discovers in a snapshot
+    dir (``action_head--{step}_checkpoint.pt`` with ``module.model.``-
+    prefixed keys, ``proprio_projector--{step}_checkpoint.pt`` with
+    ``module.`` — reference scripts/eval_hf_vla_simpler.py:99-128). JAX
+    [in, out] layouts transpose back to torch [out, in]."""
+    import torch
+
+    def t(x):
+        # np.array (copy): jax buffers are read-only; from_numpy wants writable
+        return torch.from_numpy(np.array(x, np.float32))
+
+    os.makedirs(path, exist_ok=True)
+    if action_head is not None:
+        h = action_head
+        state = {
+            "layer_norm1.weight": t(h["ln1_w"]),
+            "layer_norm1.bias": t(h["ln1_b"]),
+            "fc1.weight": t(h["fc1_w"]).T.contiguous(),
+            "fc1.bias": t(h["fc1_b"]),
+            "layer_norm2.weight": t(h["ln2_w"]),
+            "layer_norm2.bias": t(h["ln2_b"]),
+            "fc2.weight": t(h["fc2_w"]).T.contiguous(),
+            "fc2.bias": t(h["fc2_b"]),
+        }
+        for i in range(h["blocks"]["w"].shape[0]):
+            state[f"mlp_resnet_blocks.{i}.ffn.0.weight"] = t(h["blocks"]["ln_w"][i])
+            state[f"mlp_resnet_blocks.{i}.ffn.0.bias"] = t(h["blocks"]["ln_b"][i])
+            state[f"mlp_resnet_blocks.{i}.ffn.1.weight"] = (
+                t(h["blocks"]["w"][i]).T.contiguous()
+            )
+            state[f"mlp_resnet_blocks.{i}.ffn.1.bias"] = t(h["blocks"]["b"][i])
+        torch.save(
+            {f"module.model.{k}": v for k, v in state.items()},
+            os.path.join(path, f"action_head--{step}_checkpoint.pt"),
+        )
+    if proprio_projector is not None:
+        p = proprio_projector
+        state = {
+            "fc1.weight": t(p["fc1_w"]).T.contiguous(),
+            "fc1.bias": t(p["fc1_b"]),
+            "fc2.weight": t(p["fc2_w"]).T.contiguous(),
+            "fc2.bias": t(p["fc2_b"]),
+        }
+        torch.save(
+            {f"module.{k}": v for k, v in state.items()},
+            os.path.join(path, f"proprio_projector--{step}_checkpoint.pt"),
+        )

@@ -489,6 +489,24 @@ class OpenVLAOFT(OpenVLA):
         out = oft_action_head_forward(params["action_head"], act_hidden)
         return out.reshape(b, self.chunk_len, s.action_dim)
 
+    def oft_l1_loss(
+        self,
+        params: Dict,
+        input_ids: jax.Array,
+        pixel_values: jax.Array,
+        actions: jax.Array,  # [B, chunk_len, action_dim] normalized targets
+        proprio: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """The OFT fine-tuning objective: L1 between the parallel-decoded
+        continuous chunk and the ground truth (the loss the reference's
+        ``action_head--*_checkpoint.pt`` modules were trained with upstream;
+        openvla-oft's continuous-action recipe). Jittable; differentiable
+        through LoRA/QLoRA llama adapters via ops.quant.mm."""
+        pred = self.predict_action_continuous(
+            params, input_ids, pixel_values, proprio
+        )
+        return jnp.mean(jnp.abs(pred - actions.astype(pred.dtype)))
+
     def predict_action(
         self,
         params: Dict,

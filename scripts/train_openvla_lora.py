@@ -70,21 +70,39 @@ def parse_args():
     p.add_argument("--save-adapter", type=str, default="",
                    help="export the trained factors as a PEFT lora_adapter/ "
                         "directory (adapter_config.json + safetensors, "
-                        "reference-loadable).")
+                        "reference-loadable). With --oft, the trained "
+                        "action head / proprio projector also export as "
+                        "action_head--N_checkpoint.pt etc. next to it.")
+    p.add_argument("--oft", action="store_true",
+                   help="OFT continuous-action fine-tuning: parallel "
+                        "decoding + MLP-ResNet action head trained with L1 "
+                        "on [chunk_len, action_dim] chunks (the recipe "
+                        "behind the reference's OFT checkpoints); the head "
+                        "(+ proprio projector) trains fully alongside the "
+                        "LoRA factors.")
+    p.add_argument("--chunk-len", type=int, default=8,
+                   help="OFT action-chunk length.")
+    p.add_argument("--use-proprio", action="store_true",
+                   help="OFT: condition on proprio via the projector "
+                        "(data needs a 'proprios' [N, proprio_dim] key).")
+    p.add_argument("--proprio-dim", type=int, default=8)
     return p.parse_args()
 
 
-def synthetic_examples(n, image_hw, action_dim, seed):
+def synthetic_examples(n, image_hw, action_shape, seed, proprio_dim=0):
     rng = np.random.RandomState(seed)
     phrases = ["pick up the carrot", "put the spoon on the towel",
                "move the cup near the plate", "stack the green block"]
-    return {
+    out = {
         "images": rng.randint(0, 256, (n, image_hw, image_hw, 3), np.uint8),
         "instructions": np.array([phrases[i % len(phrases)] for i in range(n)]),
-        "actions": np.clip(rng.randn(n, action_dim) * 0.4, -1, 1).astype(
+        "actions": np.clip(rng.randn(n, *action_shape) * 0.4, -1, 1).astype(
             np.float32
         ),
     }
+    if proprio_dim:
+        out["proprios"] = rng.randn(n, proprio_dim).astype(np.float32)
+    return out
 
 
 def main():
@@ -94,7 +112,12 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from blurr_tpu.models.openvla.model import EMPTY_TOKEN, OpenVLA, OpenVLASpec
+    from blurr_tpu.models.openvla.model import (
+        EMPTY_TOKEN,
+        OpenVLA,
+        OpenVLAOFT,
+        OpenVLASpec,
+    )
     from blurr_tpu.models.openvla.processing import (
         OpenVLAProcessor,
         build_prompt,
@@ -109,17 +132,46 @@ def main():
     from blurr_tpu.utils.optim import masked_freeze
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    def make_model(spec):
+        if args.oft:
+            return OpenVLAOFT(
+                spec, chunk_len=args.chunk_len,
+                use_proprio=args.use_proprio, proprio_dim=args.proprio_dim,
+            )
+        return OpenVLA(spec)
+
     tokenizer = None
     path = Path(str(args.model_id)).expanduser()
     if path.is_dir():
         from blurr_tpu.models.openvla.checkpoint import (
+            load_oft_aux_params,
             openvla_params_from_hf_dir,
         )
 
         spec = OpenVLASpec.from_snapshot_dir(path)
-        model = OpenVLA(spec)
+        model = make_model(spec)
         params = openvla_params_from_hf_dir(str(path), spec, dtype)
         tokenizer = load_hf_tokenizer(str(path))
+        if args.oft:
+            # resume the aux modules from the snapshot when present, else
+            # fresh-init them (continued fine-tuning vs from-scratch head)
+            from blurr_tpu.models.openvla.model import (
+                init_oft_action_head,
+                init_oft_proprio_projector,
+            )
+
+            head, proj = load_oft_aux_params(str(path), dtype)
+            h = spec.llama.hidden_size
+            n_tok = args.chunk_len * spec.action_dim
+            k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+            params["action_head"] = head if head is not None else (
+                init_oft_action_head(k1, n_tok * h, h, n_tok, 2, dtype)
+            )
+            if args.use_proprio:
+                params["proprio_projector"] = proj if proj is not None else (
+                    init_oft_proprio_projector(k2, args.proprio_dim, h, h, dtype)
+                )
     else:
         specs = {
             "random": OpenVLASpec.tiny,
@@ -130,7 +182,7 @@ def main():
         if str(args.model_id) not in specs:
             sys.exit(f"unknown --model-id {args.model_id!r}")
         spec = specs[str(args.model_id)]()
-        model = OpenVLA(spec)
+        model = make_model(spec)
         params = model.init_params(jax.random.PRNGKey(0), dtype)
 
     targets = tuple(t.strip() for t in args.lora_targets.split(",") if t.strip())
@@ -152,6 +204,17 @@ def main():
     params = dict(params)
     params["llama"] = llama
     mask = lora_trainable_mask(params)
+    if args.oft:
+        # the OFT aux modules train FULLY alongside the LoRA factors (the
+        # upstream OFT recipe: fresh head, adapted backbone)
+        mask = dict(mask)
+        mask["action_head"] = jax.tree.map(
+            lambda _: True, params["action_head"]
+        )
+        if args.use_proprio:
+            mask["proprio_projector"] = jax.tree.map(
+                lambda _: True, params["proprio_projector"]
+            )
     n_train = sum(
         int(np.prod(p.shape))
         for p, m in zip(jax.tree.leaves(params), jax.tree.leaves(mask)) if m
@@ -172,14 +235,16 @@ def main():
     tx = masked_freeze(inner, mask)
     opt_state = tx.init(params)
 
-    def loss_fn(p, ids, valid, px, labels):
-        return model.action_ce_loss(p, ids, valid, px, labels)
+    if args.oft:
+        def loss_fn(p, ids, px, actions, proprio):
+            return model.oft_l1_loss(p, ids, px, actions, proprio)
+    else:
+        def loss_fn(p, ids, valid, px, labels):
+            return model.action_ce_loss(p, ids, valid, px, labels)
 
     @jax.jit
-    def step(p, o, ids, valid, px, labels):
-        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
-            p, ids, valid, px, labels
-        )
+    def step(p, o, *batch):
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(p, *batch)
         grads = jax.tree.map(
             lambda g, q: jnp.zeros_like(q)
             if g.dtype == jax.dtypes.float0 else g,
@@ -196,12 +261,22 @@ def main():
         fused=spec.use_fused_vision,
     )
     if args.data == "synthetic":
+        shape = ((args.chunk_len, spec.action_dim) if args.oft
+                 else (spec.action_dim,))
         data = synthetic_examples(
-            64, spec.siglip.image_size, spec.action_dim, args.seed
+            64, spec.siglip.image_size, shape, args.seed,
+            proprio_dim=args.proprio_dim if args.use_proprio else 0,
         )
     else:
         data = dict(np.load(args.data, allow_pickle=True))
     n_examples = data["actions"].shape[0]
+    if args.oft:
+        want = (args.chunk_len, spec.action_dim)
+        if tuple(data["actions"].shape[1:]) != want:
+            sys.exit(f"--oft expects actions [N, {want[0]}, {want[1]}], "
+                     f"got {data['actions'].shape}")
+        if args.use_proprio and "proprios" not in data:
+            sys.exit("--use-proprio needs a 'proprios' key in the data")
     log.info("Dataset: %d examples", n_examples)
 
     tok_cache = {}
@@ -221,39 +296,66 @@ def main():
             tok_cache[instruction] = ids
         return ids
 
-    seq_len = args.max_text_tokens + spec.action_dim
-    action_tokens_all = model.tokenize_actions(data["actions"])
-
     rng = np.random.RandomState(args.seed)
 
-    def next_batch():
-        idx = rng.randint(0, n_examples, args.batch_size)
-        ids = np.zeros((args.batch_size, seq_len), np.int32)
-        valid = np.zeros((args.batch_size, seq_len), np.int32)
-        px, labels = [], []
-        for row, i in enumerate(idx):
-            p_ids = prompt_ids(str(data["instructions"][i]))
-            toks = action_tokens_all[i]
-            ids[row, : len(p_ids)] = p_ids
-            ids[row, len(p_ids) : len(p_ids) + spec.action_dim] = toks
-            valid[row, : len(p_ids) + spec.action_dim] = 1
-            labels.append(toks)
-            px.append(process_image(
-                np.asarray(data["images"][i]), spec.siglip.image_size,
-                spec.use_fused_vision,
-            ))
-        return (
-            jnp.asarray(ids), jnp.asarray(valid),
-            jnp.asarray(np.concatenate(px, 0), dtype),
-            jnp.asarray(np.stack(labels)),
-        )
+    def batch_pixels(idx):
+        return jnp.asarray(np.concatenate([
+            process_image(np.asarray(data["images"][i]),
+                          spec.siglip.image_size, spec.use_fused_vision)
+            for i in idx
+        ], 0), dtype)
+
+    if args.oft:
+        # predict_action_continuous assumes unpadded prompts, so OFT batches
+        # bucket by tokenized prompt length (each batch: one length, no pad)
+        lens = [len(prompt_ids(str(s))) for s in data["instructions"]]
+        buckets = {}
+        for i, n in enumerate(lens):
+            buckets.setdefault(n, []).append(i)
+        log.info("OFT prompt-length buckets: %s",
+                 {k: len(v) for k, v in sorted(buckets.items())})
+
+        def next_batch():
+            pool = buckets[lens[rng.randint(0, n_examples)]]
+            idx = [pool[j] for j in rng.randint(0, len(pool), args.batch_size)]
+            ids = np.stack(
+                [prompt_ids(str(data["instructions"][i])) for i in idx]
+            ).astype(np.int32)
+            actions = jnp.asarray(
+                np.stack([data["actions"][i] for i in idx]), jnp.float32
+            )
+            proprio = None
+            if args.use_proprio:
+                proprio = jnp.asarray(
+                    np.stack([data["proprios"][i] for i in idx]), dtype
+                )
+            return jnp.asarray(ids), batch_pixels(idx), actions, proprio
+    else:
+        seq_len = args.max_text_tokens + spec.action_dim
+        action_tokens_all = model.tokenize_actions(data["actions"])
+
+        def next_batch():
+            idx = rng.randint(0, n_examples, args.batch_size)
+            ids = np.zeros((args.batch_size, seq_len), np.int32)
+            valid = np.zeros((args.batch_size, seq_len), np.int32)
+            labels = []
+            for row, i in enumerate(idx):
+                p_ids = prompt_ids(str(data["instructions"][i]))
+                toks = action_tokens_all[i]
+                ids[row, : len(p_ids)] = p_ids
+                ids[row, len(p_ids) : len(p_ids) + spec.action_dim] = toks
+                valid[row, : len(p_ids) + spec.action_dim] = 1
+                labels.append(toks)
+            return (
+                jnp.asarray(ids), jnp.asarray(valid), batch_pixels(idx),
+                jnp.asarray(np.stack(labels)),
+            )
 
     t0 = time.time()
     loss = float("nan")
     p, o = params, opt_state
     for it in range(args.steps):
-        ids, valid, px, labels = next_batch()
-        p, o, loss = step(p, o, ids, valid, px, labels)
+        p, o, loss = step(p, o, *next_batch())
         if it % args.log_every == 0 or it == args.steps - 1:
             log.info("step %d/%d loss %.5f elapsed %.1fs",
                      it, args.steps, float(loss), time.time() - t0)
@@ -265,6 +367,17 @@ def main():
         )
         log.info("Exported %d LoRA factor pairs to %s (PEFT format)",
                  n, args.save_adapter)
+        if args.oft:
+            # reference-discoverable torch checkpoints, next to lora_adapter/
+            from blurr_tpu.models.openvla.checkpoint import save_oft_aux_params
+
+            aux_dir = str(Path(args.save_adapter).parent)
+            save_oft_aux_params(
+                aux_dir, p["action_head"],
+                p.get("proprio_projector") if args.use_proprio else None,
+                step=args.steps,
+            )
+            log.info("Exported OFT aux checkpoints to %s", aux_dir)
     log.info("Done. final loss %.5f", float(loss))
 
 

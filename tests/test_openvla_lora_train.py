@@ -241,3 +241,107 @@ def test_peft_export_loads_in_real_peft(tmp_path):
                     * (d["lora_a"][i] @ d["lora_b"][i])
                 ).T
                 np.testing.assert_allclose(delta, want, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# OFT continuous-action fine-tuning
+# ---------------------------------------------------------------------------
+
+
+def test_oft_l1_training_and_aux_export(tmp_path):
+    """OFT: L1 on the parallel-decoded chunk trains the head + LoRA factors
+    (base frozen); the trained aux modules export as the torch checkpoints
+    the reference's eval discovers (save->load round-trip equality)."""
+    import optax
+
+    from blurr_tpu.models.openvla.checkpoint import (
+        load_oft_aux_params,
+        save_oft_aux_params,
+    )
+    from blurr_tpu.models.openvla.model import OpenVLAOFT
+
+    spec = OpenVLASpec.tiny()
+    model = OpenVLAOFT(spec, chunk_len=3, use_proprio=True, proprio_dim=5)
+    params = model.init_params(jax.random.PRNGKey(0))
+    llama = dict(params["llama"])
+    llama["layers"] = inject_lora_tree(
+        llama["layers"], jax.random.PRNGKey(7), 2, ("q_w", "v_w")
+    )
+    p0 = dict(params, llama=llama)
+    mask = dict(lora_trainable_mask(p0))
+    mask["action_head"] = jax.tree.map(lambda _: True, p0["action_head"])
+    mask["proprio_projector"] = jax.tree.map(
+        lambda _: True, p0["proprio_projector"]
+    )
+    tx = masked_freeze(optax.adamw(5e-3), mask)
+    o = tx.init(p0)
+
+    rng = np.random.RandomState(0)
+    b, n_prompt = 2, 8
+    ids = np.concatenate(
+        [np.ones((b, 1), np.int32),
+         rng.randint(3, 1000, (b, n_prompt - 1)).astype(np.int32)], 1
+    )
+    px = jnp.asarray(
+        rng.randn(b, 6, spec.siglip.image_size, spec.siglip.image_size),
+        jnp.float32,
+    )
+    actions = jnp.asarray(
+        np.clip(rng.randn(b, 3, spec.action_dim) * 0.4, -1, 1), jnp.float32
+    )
+    proprio = jnp.asarray(rng.randn(b, 5), jnp.float32)
+    ids = jnp.asarray(ids)
+
+    @jax.jit
+    def step(p, o):
+        loss, grads = jax.value_and_grad(
+            lambda p: model.oft_l1_loss(p, ids, px, actions, proprio)
+        )(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    p, losses = p0, []
+    for _ in range(6):
+        p, o, loss = step(p, o)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    frozen_moved = sum(
+        1 for a, b_, m in zip(jax.tree.leaves(p0), jax.tree.leaves(p),
+                              jax.tree.leaves(mask))
+        if not m and not bool(jnp.array_equal(a, b_))
+    )
+    assert frozen_moved == 0
+    # head moved (it is the regression surface)
+    assert not bool(jnp.array_equal(
+        p0["action_head"]["fc2_w"], p["action_head"]["fc2_w"]
+    ))
+
+    save_oft_aux_params(
+        str(tmp_path), p["action_head"], p["proprio_projector"], step=6
+    )
+    head, proj = load_oft_aux_params(str(tmp_path), jnp.float32)
+    for a, b_ in zip(jax.tree.leaves(p["action_head"]), jax.tree.leaves(head)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-6, atol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(p["proprio_projector"]),
+                     jax.tree.leaves(proj)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_cli_oft_smoke(tmp_path, monkeypatch):
+    import sys
+
+    import scripts.train_openvla_lora as cli
+
+    out = tmp_path / "snap" / "lora_adapter"
+    monkeypatch.setattr(sys, "argv", [
+        "train_openvla_lora.py", "--model-id", "random", "--oft",
+        "--chunk-len", "2", "--steps", "2", "--batch-size", "2",
+        "--lora-rank", "2", "--dtype", "fp32",
+        "--save-adapter", str(out),
+    ])
+    cli.main()
+    assert (out / "adapter_model.safetensors").exists()
+    assert list((tmp_path / "snap").glob("action_head--*_checkpoint.pt"))
