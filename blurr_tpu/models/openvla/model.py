@@ -449,35 +449,64 @@ class OpenVLAOFT(OpenVLA):
         input_ids: jax.Array,
         pixel_values: jax.Array,
         proprio: Optional[jax.Array] = None,
+        attn_valid: Optional[jax.Array] = None,
     ) -> jax.Array:
-        """[B, chunk_len, action_dim] normalized actions; jittable."""
+        """[B, chunk_len, action_dim] normalized actions; jittable.
+
+        ``attn_valid`` [B, S_ids] enables right-padded ragged prompts in one
+        batch (the serving bucket): pad columns stay masked everywhere and
+        the tail (empty token + placeholders [+ proprio]) takes per-example
+        RoPE positions continuing at each example's own prompt length, so a
+        padded example computes exactly its unpadded result. None = all
+        valid (the original fixed-length path, same program)."""
         s = self.spec
+        if attn_valid is None:
+            attn_valid = jnp.ones_like(input_ids)
         embeds = self._build_prompt_embeds(params, input_ids, pixel_values)
+        b, s_e, _ = embeds.shape
+        n_patch = s_e - input_ids.shape[1]
+        v_prefix = jnp.concatenate(
+            [jnp.ones((b, 1 + n_patch), jnp.int32),
+             attn_valid[:, 1:].astype(jnp.int32)],
+            axis=1,
+        )  # [B, S_e]
+        n_valid_e = jnp.sum(v_prefix, axis=-1)  # [B]
+        tail = []
         if self.use_proprio and proprio is not None:
-            pe = oft_proprio_forward(params["proprio_projector"], proprio)
-            embeds = jnp.concatenate([embeds, pe[:, None, :]], axis=1)
+            pe = oft_proprio_forward(
+                params["proprio_projector"], proprio.astype(embeds.dtype)
+            )
+            tail.append(pe[:, None, :])
         n_tok = self.chunk_len * s.action_dim
-        b = embeds.shape[0]
         # trailing empty token 29871, like the remote code's AR path (the
         # training-time prompt always ends with it)
-        empty = jnp.broadcast_to(
+        tail.append(jnp.broadcast_to(
             params["llama"]["embed_tokens"][EMPTY_TOKEN][None, None, :],
-            (b, 1, s.llama.hidden_size),
-        ).astype(embeds.dtype)
-        placeholders = jnp.broadcast_to(
-            params["llama"]["embed_tokens"][EMPTY_TOKEN][None, None, :],
-            (b, n_tok, s.llama.hidden_size),
-        ).astype(embeds.dtype)
-        embeds = jnp.concatenate([embeds, empty, placeholders], axis=1)
+            (b, 1 + n_tok, s.llama.hidden_size),
+        ).astype(embeds.dtype))
+        embeds = jnp.concatenate([embeds] + tail, axis=1)
         total = embeds.shape[1]
+        n_tail = total - s_e
         cache = llama_lib.alloc_cache(s.llama, b, total, embeds.dtype)
-        pos = jnp.broadcast_to(
-            jnp.arange(total, dtype=jnp.int32)[None], (b, total)
+        # prefix positions: valid tokens are contiguous from 0, so arange is
+        # per-example correct; tail positions continue at n_valid_e
+        pos = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.arange(s_e, dtype=jnp.int32)[None], (b, s_e)
+                ),
+                n_valid_e[:, None].astype(jnp.int32)
+                + jnp.arange(n_tail, dtype=jnp.int32)[None],
+            ],
+            axis=1,
         )
         # OFT parallel decoding attends BIDIRECTIONALLY among the action
         # placeholder tokens (a headline OFT design point); the prompt
-        # prefix stays causal
-        mask = llama_lib.causal_prefill_mask(jnp.ones((b, total), jnp.int32), total)
+        # prefix stays causal, pad columns stay masked
+        v_full = jnp.concatenate(
+            [v_prefix, jnp.ones((b, n_tail), jnp.int32)], axis=1
+        )
+        mask = llama_lib.causal_prefill_mask(v_full, total)
         rows = jnp.arange(total)[None, :, None] >= total - n_tok
         cols = jnp.arange(total)[None, None, :] >= total - n_tok
         mask = mask | (rows & cols)

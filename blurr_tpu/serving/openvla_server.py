@@ -41,7 +41,9 @@ class OpenVLAActionServer(ActionServer):
                  unnorm_key: Optional[str] = None,
                  use_bf16: bool = True, seed: int = 42,
                  max_batch: int = 1, batch_window_ms: float = 2.0,
-                 tp: int = 1, dp: int = 1, max_text_tokens: int = 32):
+                 tp: int = 1, dp: int = 1, max_text_tokens: int = 32,
+                 oft: bool = False, chunk_len: int = 8,
+                 use_proprio: bool = False, proprio_dim: int = 8):
         from pathlib import Path
 
         import jax
@@ -50,6 +52,7 @@ class OpenVLAActionServer(ActionServer):
         from blurr_tpu.models.openvla.model import (
             EMPTY_TOKEN,
             OpenVLA,
+            OpenVLAOFT,
             OpenVLASpec,
         )
         from blurr_tpu.models.openvla.processing import (
@@ -66,6 +69,20 @@ class OpenVLAActionServer(ActionServer):
         self.dtype = jnp.bfloat16 if use_bf16 else jnp.float32
         self.unnorm_key = unnorm_key
         self.max_text_tokens = int(max_text_tokens)
+        self.oft = bool(oft)
+        self.use_proprio = bool(use_proprio) and self.oft
+        self.proprio_dim = int(proprio_dim)
+
+        def make_model(spec, norm_stats=None):
+            if self.oft:
+                # OFT parallel decoding: one forward -> continuous
+                # [chunk_len, action_dim] chunk; ragged prompts co-batch via
+                # attn_valid (model.predict_action_continuous)
+                return OpenVLAOFT(
+                    spec, norm_stats, chunk_len=chunk_len,
+                    use_proprio=self.use_proprio, proprio_dim=proprio_dim,
+                )
+            return OpenVLA(spec, norm_stats)
 
         norm_stats = None
         tokenizer = None
@@ -78,9 +95,33 @@ class OpenVLAActionServer(ActionServer):
 
             spec = OpenVLASpec.from_snapshot_dir(path)
             norm_stats = load_norm_stats(str(path))
-            self.model = OpenVLA(spec, norm_stats)
+            self.model = make_model(spec, norm_stats)
             params = openvla_params_from_hf_dir(str(path), spec, self.dtype)
             tokenizer = load_hf_tokenizer(str(path))
+            if self.oft:
+                from blurr_tpu.models.openvla.checkpoint import (
+                    load_oft_aux_params,
+                )
+                from blurr_tpu.models.openvla.model import (
+                    init_oft_action_head,
+                    init_oft_proprio_projector,
+                )
+
+                head, proj = load_oft_aux_params(str(path), self.dtype)
+                h = spec.llama.hidden_size
+                n_tok = chunk_len * spec.action_dim
+                k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+                params["action_head"] = head if head is not None else (
+                    init_oft_action_head(k1, n_tok * h, h, n_tok, 2,
+                                         self.dtype)
+                )
+                if self.use_proprio:
+                    params["proprio_projector"] = (
+                        proj if proj is not None else
+                        init_oft_proprio_projector(
+                            k2, proprio_dim, h, h, self.dtype
+                        )
+                    )
         else:
             random_specs = {
                 "random": OpenVLASpec.tiny,
@@ -96,7 +137,7 @@ class OpenVLAActionServer(ActionServer):
                     "'random' / 'random-7b' / 'random-minivla'"
                 )
             spec = random_specs[str(model_id)]()
-            self.model = OpenVLA(spec)
+            self.model = make_model(spec)
             params = self.model.init_params(jax.random.PRNGKey(0), self.dtype)
         if quantization in ("w8a8", "w4a8"):
             from blurr_tpu.models.openvla.llama import (
@@ -129,27 +170,39 @@ class OpenVLAActionServer(ActionServer):
 
         model = self.model
 
-        def _step_fn(params, ids, am, px, key, idx):
-            # key/idx keep the shared batcher contract; greedy decode is
-            # deterministic. Ragged right-padded prompts: validity covers
-            # [BOS, patches..., text[1:]] and the llama cache keeps pad
-            # columns masked (models/openvla/llama.py:greedy_generate).
-            from blurr_tpu.models.openvla import llama as llama_lib
+        if self.oft:
+            if self.use_proprio:
+                def _step_fn(params, ids, am, px, proprio, key, idx):
+                    return model.predict_action_continuous(
+                        params, ids, px, proprio, attn_valid=am
+                    )
+            else:
+                def _step_fn(params, ids, am, px, key, idx):
+                    return model.predict_action_continuous(
+                        params, ids, px, attn_valid=am
+                    )
+        else:
+            def _step_fn(params, ids, am, px, key, idx):
+                # key/idx keep the shared batcher contract; greedy decode is
+                # deterministic. Ragged right-padded prompts: validity covers
+                # [BOS, patches..., text[1:]] and the llama cache keeps pad
+                # columns masked (models/openvla/llama.py:greedy_generate).
+                from blurr_tpu.models.openvla import llama as llama_lib
 
-            embeds = model._build_prompt_embeds(params, ids, px)
-            b = embeds.shape[0]
-            n_patch = embeds.shape[1] - ids.shape[1]
-            valid = jnp.concatenate(
-                [
-                    jnp.ones((b, 1 + n_patch), jnp.int32),
-                    am[:, 1:].astype(jnp.int32),
-                ],
-                axis=1,
-            )
-            return llama_lib.greedy_generate(
-                params["llama"], model.spec.llama, embeds, valid,
-                model.spec.action_dim,
-            )
+                embeds = model._build_prompt_embeds(params, ids, px)
+                b = embeds.shape[0]
+                n_patch = embeds.shape[1] - ids.shape[1]
+                valid = jnp.concatenate(
+                    [
+                        jnp.ones((b, 1 + n_patch), jnp.int32),
+                        am[:, 1:].astype(jnp.int32),
+                    ],
+                    axis=1,
+                )
+                return llama_lib.greedy_generate(
+                    params["llama"], model.spec.llama, embeds, valid,
+                    model.spec.action_dim,
+                )
 
         self._step = jax.jit(_step_fn)
         self._init_runtime(seed, max_batch, batch_window_ms)
@@ -157,8 +210,9 @@ class OpenVLAActionServer(ActionServer):
     # ------------------------------------------------------------------
 
     def _prepare(self, image: np.ndarray, instruction: str, proprio=None):
-        """proprio is accepted (shared request schema) and ignored — the
-        base OpenVLA policy conditions on image + instruction only."""
+        """proprio rides the shared request schema; the base OpenVLA policy
+        ignores it, the OFT variant (use_proprio) projects it into the
+        prompt."""
         import jax.numpy as jnp
 
         from blurr_tpu.models.openvla.processing import build_prompt
@@ -200,18 +254,33 @@ class OpenVLAActionServer(ActionServer):
             jnp.asarray(ids), jnp.asarray(am),
             jnp.asarray(px, self.dtype),
         )
+        if self.use_proprio:
+            if proprio is None:
+                raise ValueError("this OFT server conditions on proprio; "
+                                 "the request's proprio field is required")
+            p = np.asarray(proprio, np.float32).reshape(1, -1)
+            if p.shape[1] != self.proprio_dim:
+                raise ValueError(
+                    f"proprio has {p.shape[1]} dims, server expects "
+                    f"{self.proprio_dim}"
+                )
+            out_t = out_t + (jnp.asarray(p, self.dtype),)
         if self._replicate is not None:
             import jax
 
             out_t = tuple(jax.device_put(a, self._replicate) for a in out_t)
         return out_t
 
-    def _post(self, token_ids: np.ndarray) -> np.ndarray:
-        actions = self.model.detokenize_actions(token_ids)
+    def _post(self, out: np.ndarray) -> np.ndarray:
+        if self.oft:
+            actions = np.asarray(out, np.float32)  # [B, chunk, action_dim]
+        else:
+            actions = self.model.detokenize_actions(out)
         if self.unnorm_key is not None:
             actions = self.model.unnormalize(actions, self.unnorm_key)
         return actions.astype(np.float32)
 
     def _dummy_request(self):
         size = self.spec.siglip.image_size
-        return (np.zeros((size, size, 3), np.uint8), "warmup", None)
+        proprio = [0.0] * self.proprio_dim if self.use_proprio else None
+        return (np.zeros((size, size, 3), np.uint8), "warmup", proprio)

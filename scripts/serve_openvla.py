@@ -40,6 +40,15 @@ def main():
     p.add_argument("--max-batch", type=int, default=1)
     p.add_argument("--batch-window-ms", type=float, default=2.0)
     p.add_argument("--max-text-tokens", type=int, default=32)
+    p.add_argument("--oft", action="store_true",
+                   help="serve the OFT parallel-decoding variant: one "
+                        "forward -> continuous [chunk-len, action_dim] "
+                        "chunk; loads action_head--*_checkpoint.pt from the "
+                        "snapshot dir when present.")
+    p.add_argument("--chunk-len", type=int, default=8)
+    p.add_argument("--use-proprio", action="store_true",
+                   help="OFT: condition on the request's proprio field.")
+    p.add_argument("--proprio-dim", type=int, default=8)
     p.add_argument("--tp", type=int, default=1,
                    help="Tensor-parallel over a (dp, tp) mesh — the capacity "
                         "path for the 7B on 16 GB chips.")
@@ -56,7 +65,9 @@ def main():
         unnorm_key=args.unnorm_key, use_bf16=not args.no_bf16,
         seed=args.seed, max_batch=args.max_batch,
         batch_window_ms=args.batch_window_ms, tp=args.tp, dp=args.dp,
-        max_text_tokens=args.max_text_tokens,
+        max_text_tokens=args.max_text_tokens, oft=args.oft,
+        chunk_len=args.chunk_len, use_proprio=args.use_proprio,
+        proprio_dim=args.proprio_dim,
     )
     logging.info("warming up (XLA compile)...")
     logging.info("warmup took %.1f s", server.warmup())

@@ -345,3 +345,37 @@ def test_cli_oft_smoke(tmp_path, monkeypatch):
     cli.main()
     assert (out / "adapter_model.safetensors").exists()
     assert list((tmp_path / "snap").glob("action_head--*_checkpoint.pt"))
+
+
+def test_oft_ragged_prompts_match_solo():
+    """predict_action_continuous(attn_valid=...): two prompts of different
+    lengths co-batch right-padded and each returns EXACTLY its unpadded solo
+    chunk (per-example tail positions + masked pad columns)."""
+    from blurr_tpu.models.openvla.model import OpenVLAOFT
+
+    spec = OpenVLASpec.tiny()
+    model = OpenVLAOFT(spec, chunk_len=2, use_proprio=True, proprio_dim=5)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    lens = (7, 11)
+    s_max = max(lens)
+    ids = np.zeros((2, s_max), np.int32)
+    valid = np.zeros((2, s_max), np.int32)
+    for r, n in enumerate(lens):
+        ids[r, 0] = 1
+        ids[r, 1:n] = rng.randint(3, 1000, n - 1)
+        valid[r, :n] = 1
+    px = rng.randn(2, 6, spec.siglip.image_size, spec.siglip.image_size)
+    proprio = rng.randn(2, 5).astype(np.float32)
+
+    batched = np.asarray(model.predict_action_continuous(
+        params, jnp.asarray(ids), jnp.asarray(px, jnp.float32),
+        jnp.asarray(proprio), attn_valid=jnp.asarray(valid),
+    ))
+    for r, n in enumerate(lens):
+        solo = np.asarray(model.predict_action_continuous(
+            params, jnp.asarray(ids[r : r + 1, :n]),
+            jnp.asarray(px[r : r + 1], jnp.float32),
+            jnp.asarray(proprio[r : r + 1]),
+        ))
+        np.testing.assert_allclose(batched[r], solo[0], rtol=2e-5, atol=2e-5)

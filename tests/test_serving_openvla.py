@@ -141,3 +141,56 @@ def test_w8a8_serves():
     actions = srv.predict(img, instr, prop)
     assert actions.shape == (7,) and np.isfinite(actions).all()
     srv.stop()
+
+
+def test_oft_server_serves_chunks():
+    """The OFT variant behind the same batcher: continuous [chunk, 7]
+    chunks, proprio conditioning, ragged co-batching request-exact."""
+    srv = OpenVLAActionServer(
+        "random", use_bf16=False, seed=3, oft=True, chunk_len=2,
+        use_proprio=True, proprio_dim=7, max_batch=2,
+        batch_window_ms=100.0,
+    )
+    reqs = [_request(0, "pick up the carrot"),
+            _request(1, "move the very shiny spoon onto the towel please")]
+    solo = [srv.predict(*r) for r in reqs]
+    for s in solo:
+        assert s.shape == (2, 7) and np.isfinite(s).all()
+
+    import jax.numpy as jnp
+
+    # served path == the model's own forward for the same request
+    from blurr_tpu.models.openvla.processing import build_prompt
+
+    img, instr, prop = reqs[0]
+    out = srv.processor(build_prompt(instr), img)
+    ids = np.asarray(out["input_ids"])[0].tolist()
+    if ids[-1] != srv._empty_token:
+        ids.append(srv._empty_token)
+    direct = np.asarray(srv.model.predict_action_continuous(
+        srv.params, jnp.asarray([ids], jnp.int32),
+        jnp.asarray(out["pixel_values"], jnp.float32),
+        jnp.asarray(np.asarray(prop, np.float32)[None]),
+    ))
+    np.testing.assert_allclose(solo[0], direct[0], rtol=1e-5, atol=1e-5)
+
+    # ragged co-batch: each row equals its solo answer
+    from blurr_tpu.serving.server import _PendingRequest
+
+    pend = [_PendingRequest(srv._prepare(*r)) for r in reqs]
+    srv._run_batch(pend)
+    for p, s in zip(pend, solo):
+        assert p.error is None
+        np.testing.assert_allclose(p.result, s, rtol=1e-5, atol=1e-5)
+    srv.stop()
+
+
+def test_oft_server_requires_proprio():
+    srv = OpenVLAActionServer(
+        "random", use_bf16=False, oft=True, chunk_len=2,
+        use_proprio=True, proprio_dim=7,
+    )
+    img, instr, _ = _request()
+    with pytest.raises(ValueError, match="proprio"):
+        srv._prepare(img, instr, None)
+    srv.stop()
