@@ -73,6 +73,25 @@ def parse_args():
                         "reference-loadable). With --oft, the trained "
                         "action head / proprio projector also export as "
                         "action_head--N_checkpoint.pt etc. next to it.")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel chips: batches split over the 'data' "
+                        "mesh axis (grad psum via GSPMD).")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel chips: llama Q/KV heads + MLP "
+                        "intermediate shard over 'model' (the 7B capacity "
+                        "path); LoRA factors follow the base weights' axes.")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: weights + moments additionally shard over "
+                        "'data' (needs --dp > 1).")
+    p.add_argument("--save-state", type=str, default="",
+                   help="save the COMPLETE training state (params + "
+                        "moments + step) at the end for EXACT resume.")
+    p.add_argument("--resume-state", type=str, default="",
+                   help="resume exactly from a --save-state tree; the data "
+                        "stream fast-forwards to the saved step.")
+    p.add_argument("--stop-after", type=int, default=0,
+                   help="stop after this many steps (0 = run to --steps) "
+                        "while keeping the --steps LR schedule.")
     p.add_argument("--oft", action="store_true",
                    help="OFT continuous-action fine-tuning: parallel "
                         "decoding + MLP-ResNet action head trained with L1 "
@@ -233,6 +252,24 @@ def main():
     if args.grad_clip > 0:
         inner = optax.chain(optax.clip_by_global_norm(args.grad_clip), inner)
     tx = masked_freeze(inner, mask)
+
+    mesh = bsh = None
+    if args.fsdp and args.dp <= 1:
+        sys.exit("--fsdp shards over the 'data' axis; it needs --dp > 1")
+    if args.dp * args.tp > 1:
+        from blurr_tpu.parallel.mesh import (
+            batch_sharding,
+            make_mesh,
+            shard_params,
+        )
+
+        if args.quantize_base == "w4a8" and args.tp > 1:
+            sys.exit("--tp with w4a8: the block-major int4 packing does not "
+                     "TP-shard; use w8a8 or tp=1")
+        mesh = make_mesh(data=args.dp, model=args.tp)
+        params = shard_params(params, mesh, fsdp=args.fsdp)
+        bsh = batch_sharding(mesh)
+    # init AFTER sharding: the moments inherit the params' NamedShardings
     opt_state = tx.init(params)
 
     if args.oft:
@@ -315,9 +352,12 @@ def main():
         log.info("OFT prompt-length buckets: %s",
                  {k: len(v) for k, v in sorted(buckets.items())})
 
-        def next_batch():
+        def draw_indices():
             pool = buckets[lens[rng.randint(0, n_examples)]]
-            idx = [pool[j] for j in rng.randint(0, len(pool), args.batch_size)]
+            return [pool[j] for j in rng.randint(0, len(pool), args.batch_size)]
+
+        def next_batch():
+            idx = draw_indices()
             ids = np.stack(
                 [prompt_ids(str(data["instructions"][i])) for i in idx]
             ).astype(np.int32)
@@ -334,8 +374,11 @@ def main():
         seq_len = args.max_text_tokens + spec.action_dim
         action_tokens_all = model.tokenize_actions(data["actions"])
 
+        def draw_indices():
+            return rng.randint(0, n_examples, args.batch_size)
+
         def next_batch():
-            idx = rng.randint(0, n_examples, args.batch_size)
+            idx = draw_indices()
             ids = np.zeros((args.batch_size, seq_len), np.int32)
             valid = np.zeros((args.batch_size, seq_len), np.int32)
             labels = []
@@ -351,11 +394,43 @@ def main():
                 jnp.asarray(np.stack(labels)),
             )
 
+    start_step = 0
+    if args.resume_state:
+        from blurr_tpu.models.pi0.checkpoint import restore_train_state
+
+        # rng slot is unused (the data stream is a pure function of seed +
+        # draws); a dummy key keeps the state-tree template shape
+        r_params, r_opt, start_step, _ = restore_train_state(
+            args.resume_state, params, opt_state, jax.random.PRNGKey(0)
+        )
+        params = jax.tree.map(
+            lambda r, l: jax.device_put(r, l.sharding), r_params, params
+        )
+        opt_state = jax.tree.map(
+            lambda r, l: jax.device_put(r, l.sharding), r_opt, opt_state
+        )
+        for _ in range(start_step):  # O(steps) index draws, no pixel work
+            draw_indices()
+        log.info("Resumed training state from %s at step %d",
+                 args.resume_state, start_step)
+
+    def place(batch):
+        if bsh is None:
+            return batch
+        return tuple(
+            x if x is None else jax.device_put(x, bsh) for x in batch
+        )
+
     t0 = time.time()
     loss = float("nan")
     p, o = params, opt_state
-    for it in range(args.steps):
-        p, o, loss = step(p, o, *next_batch())
+    steps_done = start_step
+    for it in range(start_step, args.steps):
+        p, o, loss = step(p, o, *place(next_batch()))
+        steps_done = it + 1
+        if args.stop_after and steps_done >= args.stop_after:
+            log.info("Stopping after %d steps (--stop-after)", steps_done)
+            break
         if it % args.log_every == 0 or it == args.steps - 1:
             log.info("step %d/%d loss %.5f elapsed %.1fs",
                      it, args.steps, float(loss), time.time() - t0)
@@ -378,6 +453,12 @@ def main():
                 step=args.steps,
             )
             log.info("Exported OFT aux checkpoints to %s", aux_dir)
+    if args.save_state:
+        from blurr_tpu.models.pi0.checkpoint import save_train_state
+
+        save_train_state(args.save_state, p, o, steps_done,
+                         jax.random.PRNGKey(0))
+        log.info("Saved training state to %s", args.save_state)
     log.info("Done. final loss %.5f", float(loss))
 
 
