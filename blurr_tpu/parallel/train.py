@@ -446,10 +446,75 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
         err_msg="sequence-parallel flow loss diverges from the plain scan",
     )
 
+    # 6) QLoRA sharded train step (OpenVLA family,
+    # scripts/train_openvla_lora.py --quantize-base w8a8 --dp/--tp): int8
+    # llama base + LoRA factors over the SAME (data, model) mesh, gradients
+    # through the straight-through VJPs; the sharded CE loss must equal the
+    # single-device run.
+    from blurr_tpu.models.openvla.llama import quantize_llama_w8a8
+    from blurr_tpu.models.openvla.model import OpenVLA, OpenVLASpec
+    from blurr_tpu.ops.lora import inject_lora_tree, lora_trainable_mask
+
+    spec_q = OpenVLASpec.tiny()
+    model_q = OpenVLA(spec_q)
+    params_q = model_q.init_params(jax.random.PRNGKey(2))
+    llama_q = dict(quantize_llama_w8a8(params_q["llama"]))
+    llama_q["layers"] = inject_lora_tree(
+        llama_q["layers"], jax.random.PRNGKey(3), 2, ("q_w", "v_w")
+    )
+    # non-zero B so the factor path contributes to the loss being compared
+    llama_q["layers"]["q_w"] = dict(
+        llama_q["layers"]["q_w"],
+        lora_b=0.02 * jax.random.normal(
+            jax.random.PRNGKey(4), llama_q["layers"]["q_w"]["lora_b"].shape
+        ),
+    )
+    params_q = dict(params_q, llama=llama_q)
+    n_prompt = 9
+    ids_q = np.concatenate(
+        [
+            np.ones((bsz, 1), np.int32),
+            rng.randint(3, 1000, (bsz, n_prompt - 1)).astype(np.int32),
+            rng.randint(31744, 32000, (bsz, spec_q.action_dim)).astype(np.int32),
+        ],
+        axis=1,
+    )
+    valid_q = np.ones_like(ids_q)
+    labels_q = ids_q[:, n_prompt:]
+    px_q = rng.randn(
+        bsz, 6, spec_q.siglip.image_size, spec_q.siglip.image_size
+    ).astype(np.float32)
+    tx_q = masked_freeze(optax.adamw(1e-3), lora_trainable_mask(params_q))
+
+    def step_q(p, o, ids, valid, px, labels):
+        loss, grads = jax.value_and_grad(
+            lambda p: model_q.action_ce_loss(p, ids, valid, px, labels),
+            allow_int=True,
+        )(p)
+        grads = jax.tree.map(
+            lambda g, q: jnp.zeros_like(q)
+            if g.dtype == jax.dtypes.float0 else g,
+            grads, p,
+        )
+        updates, o = tx_q.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    batch_q = (jnp.asarray(ids_q), jnp.asarray(valid_q), jnp.asarray(px_q),
+               jnp.asarray(labels_q))
+    _, _, loss_q1 = jax.jit(step_q)(params_q, tx_q.init(params_q), *batch_q)
+    sharded_q = shard_params(params_q, mesh)
+    batch_qs = tuple(jax.device_put(x, bsh) for x in batch_q)
+    _, _, loss_qs = jax.jit(step_q)(sharded_q, tx_q.init(sharded_q), *batch_qs)
+    np.testing.assert_allclose(
+        float(loss_qs), float(loss_q1), rtol=5e-4, atol=5e-5,
+        err_msg=f"QLoRA sharded CE loss diverges at {data}x{model_par}",
+    )
+
     return {
         "loss": float(loss),
         "infer_ok": infer_ok,
         "matches_single_device": True,
         "pipeline_parallel_ok": True,
         "sequence_parallel_ok": True,
+        "qlora_openvla_ok": True,
     }

@@ -78,6 +78,8 @@ def test_dryrun_multichip_8():
     assert out["pipeline_parallel_ok"]
     # sequence-parallel flow loss proven equal to the plain scan in-call
     assert out["sequence_parallel_ok"]
+    # QLoRA (w8a8 base + LoRA factors) sharded CE step proven equal in-call
+    assert out["qlora_openvla_ok"]
 
 
 def test_trainable_masks(model_and_params):
