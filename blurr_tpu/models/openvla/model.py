@@ -525,14 +525,17 @@ class OpenVLAOFT(OpenVLA):
         pixel_values: jax.Array,
         actions: jax.Array,  # [B, chunk_len, action_dim] normalized targets
         proprio: Optional[jax.Array] = None,
+        attn_valid: Optional[jax.Array] = None,
     ) -> jax.Array:
         """The OFT fine-tuning objective: L1 between the parallel-decoded
         continuous chunk and the ground truth (the loss the reference's
         ``action_head--*_checkpoint.pt`` modules were trained with upstream;
-        openvla-oft's continuous-action recipe). Jittable; differentiable
-        through LoRA/QLoRA llama adapters via ops.quant.mm."""
+        openvla-oft's continuous-action recipe). ``attn_valid`` lets ragged
+        right-padded prompts train in one batch (each example computes its
+        unpadded forward — see predict_action_continuous). Jittable;
+        differentiable through LoRA/QLoRA llama adapters via ops.quant.mm."""
         pred = self.predict_action_continuous(
-            params, input_ids, pixel_values, proprio
+            params, input_ids, pixel_values, proprio, attn_valid=attn_valid
         )
         return jnp.mean(jnp.abs(pred - actions.astype(pred.dtype)))
 

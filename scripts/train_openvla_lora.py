@@ -273,8 +273,10 @@ def main():
     opt_state = tx.init(params)
 
     if args.oft:
-        def loss_fn(p, ids, px, actions, proprio):
-            return model.oft_l1_loss(p, ids, px, actions, proprio)
+        def loss_fn(p, ids, valid, px, actions, proprio):
+            return model.oft_l1_loss(
+                p, ids, px, actions, proprio, attn_valid=valid
+            )
     else:
         def loss_fn(p, ids, valid, px, labels):
             return model.action_ce_loss(p, ids, valid, px, labels)
@@ -297,7 +299,37 @@ def main():
         tokenizer, image_size=spec.siglip.image_size,
         fused=spec.use_fused_vision,
     )
-    if args.data == "synthetic":
+    from blurr_tpu.data import is_sharded_dataset
+
+    loader = None
+    data = None
+    if args.data != "synthetic" and is_sharded_dataset(args.data):
+        # streaming path: mmap shards + O(1)-resumable shuffled loader +
+        # background prefetch (blurr_tpu.data); rows assemble into device
+        # batches in the prefetch thread (OpenVLATrainTransform)
+        from blurr_tpu.data import ShardedBatchLoader, ShardedDataset
+        from blurr_tpu.models.openvla.data import OpenVLATrainTransform
+
+        ds = ShardedDataset(args.data)
+        n_examples = ds.num_examples
+        a_shape = tuple(ds.keys["action"]["shape"])
+        want = ((args.chunk_len, spec.action_dim) if args.oft
+                else (spec.action_dim,))
+        if a_shape != want:
+            sys.exit(f"dataset action shape {a_shape} != expected {want} "
+                     f"(--oft={args.oft}, --chunk-len={args.chunk_len})")
+        if args.use_proprio and "proprio" not in ds.keys:
+            sys.exit("--use-proprio needs a 'proprio' key in the dataset")
+        loader = ShardedBatchLoader(
+            ds, args.batch_size, seed=args.seed, prefetch=2,
+            transform=OpenVLATrainTransform(
+                model, spec.siglip.image_size, spec.use_fused_vision,
+                oft=args.oft, use_proprio=args.use_proprio,
+            ),
+        )
+        log.info("Sharded dataset %s: %d examples, %d batches/epoch",
+                 args.data, n_examples, loader.batches_per_epoch)
+    elif args.data == "synthetic":
         shape = ((args.chunk_len, spec.action_dim) if args.oft
                  else (spec.action_dim,))
         data = synthetic_examples(
@@ -306,15 +338,16 @@ def main():
         )
     else:
         data = dict(np.load(args.data, allow_pickle=True))
-    n_examples = data["actions"].shape[0]
-    if args.oft:
-        want = (args.chunk_len, spec.action_dim)
-        if tuple(data["actions"].shape[1:]) != want:
-            sys.exit(f"--oft expects actions [N, {want[0]}, {want[1]}], "
-                     f"got {data['actions'].shape}")
-        if args.use_proprio and "proprios" not in data:
-            sys.exit("--use-proprio needs a 'proprios' key in the data")
-    log.info("Dataset: %d examples", n_examples)
+    if data is not None:
+        n_examples = data["actions"].shape[0]
+        if args.oft:
+            want = (args.chunk_len, spec.action_dim)
+            if tuple(data["actions"].shape[1:]) != want:
+                sys.exit(f"--oft expects actions [N, {want[0]}, {want[1]}], "
+                         f"got {data['actions'].shape}")
+            if args.use_proprio and "proprios" not in data:
+                sys.exit("--use-proprio needs a 'proprios' key in the data")
+        log.info("Dataset: %d examples", n_examples)
 
     tok_cache = {}
 
@@ -342,25 +375,34 @@ def main():
             for i in idx
         ], 0), dtype)
 
-    if args.oft:
-        # predict_action_continuous assumes unpadded prompts, so OFT batches
-        # bucket by tokenized prompt length (each batch: one length, no pad)
-        lens = [len(prompt_ids(str(s))) for s in data["instructions"]]
-        buckets = {}
-        for i, n in enumerate(lens):
-            buckets.setdefault(n, []).append(i)
-        log.info("OFT prompt-length buckets: %s",
-                 {k: len(v) for k, v in sorted(buckets.items())})
+    def draw_indices():
+        return rng.randint(0, n_examples, args.batch_size)
 
-        def draw_indices():
-            pool = buckets[lens[rng.randint(0, n_examples)]]
-            return [pool[j] for j in rng.randint(0, len(pool), args.batch_size)]
-
+    if loader is not None:
+        def next_batch():
+            b = loader.next_batch()
+            out = (
+                jnp.asarray(b["input_ids"]), jnp.asarray(b["attn_valid"]),
+                jnp.asarray(b["pixel_values"], dtype),
+            )
+            if args.oft:
+                out = out + (jnp.asarray(b["actions"], jnp.float32),
+                             jnp.asarray(b["proprio"], dtype)
+                             if args.use_proprio else None)
+            else:
+                out = out + (jnp.asarray(b["labels"]),)
+            return out
+    elif args.oft:
+        # ragged prompts right-pad to max_text_tokens; attn_valid gives each
+        # example its unpadded forward (predict_action_continuous)
         def next_batch():
             idx = draw_indices()
-            ids = np.stack(
-                [prompt_ids(str(data["instructions"][i])) for i in idx]
-            ).astype(np.int32)
+            ids = np.zeros((args.batch_size, args.max_text_tokens), np.int32)
+            valid = np.zeros_like(ids)
+            for row, i in enumerate(idx):
+                p_ids = prompt_ids(str(data["instructions"][i]))
+                ids[row, : len(p_ids)] = p_ids
+                valid[row, : len(p_ids)] = 1
             actions = jnp.asarray(
                 np.stack([data["actions"][i] for i in idx]), jnp.float32
             )
@@ -369,13 +411,11 @@ def main():
                 proprio = jnp.asarray(
                     np.stack([data["proprios"][i] for i in idx]), dtype
                 )
-            return jnp.asarray(ids), batch_pixels(idx), actions, proprio
+            return (jnp.asarray(ids), jnp.asarray(valid), batch_pixels(idx),
+                    actions, proprio)
     else:
         seq_len = args.max_text_tokens + spec.action_dim
         action_tokens_all = model.tokenize_actions(data["actions"])
-
-        def draw_indices():
-            return rng.randint(0, n_examples, args.batch_size)
 
         def next_batch():
             idx = draw_indices()
@@ -409,8 +449,11 @@ def main():
         opt_state = jax.tree.map(
             lambda r, l: jax.device_put(r, l.sharding), r_opt, opt_state
         )
-        for _ in range(start_step):  # O(steps) index draws, no pixel work
-            draw_indices()
+        if loader is not None:
+            loader.restore(start_step)  # O(1): stream = f(seed, consumed)
+        else:
+            for _ in range(start_step):  # O(steps) index draws, no pixels
+                draw_indices()
         log.info("Resumed training state from %s at step %d",
                  args.resume_state, start_step)
 
@@ -459,6 +502,8 @@ def main():
         save_train_state(args.save_state, p, o, steps_done,
                          jax.random.PRNGKey(0))
         log.info("Saved training state to %s", args.save_state)
+    if loader is not None:
+        loader.close()
     log.info("Done. final loss %.5f", float(loss))
 
 
