@@ -66,6 +66,15 @@ def parse_args():
                    choices=["fp32", "bf16"])
     p.add_argument("--max-text-tokens", type=int, default=32)
     p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation via optax.MultiSteps: "
+                        "factors update every k micro-batches with the "
+                        "averaged gradient.")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="track a bias-corrected EMA of the post-update "
+                        "parameters inside opt_state (0 = off); "
+                        "--save-adapter additionally exports the EMA "
+                        "factors to <save-adapter>_ema.")
     p.add_argument("--log-every", type=int, default=5)
     p.add_argument("--save-adapter", type=str, default="",
                    help="export the trained factors as a PEFT lora_adapter/ "
@@ -242,16 +251,27 @@ def main():
     log.info("Trainable LoRA parameters: %s of %s (%.3f%%)",
              f"{n_train:,}", f"{n_total:,}", 100.0 * n_train / n_total)
 
-    total = max(args.steps, 2)
+    # schedule budgeted in OPTIMIZER-UPDATE units: with --accum-steps k the
+    # inner tx advances every k-th micro-batch (same rationale as
+    # train_pi0_flow.py)
+    k = max(args.accum_steps, 1)
+    total = max(-(-args.steps // k), 2)  # ceil
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=args.lr * 0.01, peak_value=args.lr,
-        warmup_steps=min(args.warmup_steps, total - 1), decay_steps=total,
-        end_value=args.lr * 0.01,
+        warmup_steps=min(-(-args.warmup_steps // k), total - 1),
+        decay_steps=total, end_value=args.lr * 0.01,
     )
     inner = optax.adamw(schedule)
     if args.grad_clip > 0:
         inner = optax.chain(optax.clip_by_global_norm(args.grad_clip), inner)
     tx = masked_freeze(inner, mask)
+    if args.ema_decay > 0:
+        from blurr_tpu.utils.optim import params_ema
+
+        # AFTER the freeze so the EMA tracks the actual post-update weights
+        tx = optax.chain(tx, params_ema(args.ema_decay))
+    if args.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=args.accum_steps)
 
     mesh = bsh = None
     if args.fsdp and args.dp <= 1:
@@ -485,6 +505,15 @@ def main():
         )
         log.info("Exported %d LoRA factor pairs to %s (PEFT format)",
                  n, args.save_adapter)
+        if args.ema_decay > 0:
+            from blurr_tpu.utils.optim import extract_ema
+
+            ema = extract_ema(o)
+            save_peft_adapter(
+                ema["llama"]["layers"], args.save_adapter + "_ema",
+                base_model_name=str(args.model_id),
+            )
+            log.info("Exported EMA factors to %s_ema", args.save_adapter)
         if args.oft:
             # reference-discoverable torch checkpoints, next to lora_adapter/
             from blurr_tpu.models.openvla.checkpoint import save_oft_aux_params

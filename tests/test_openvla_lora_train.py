@@ -496,3 +496,28 @@ def test_sharded_dataset_oft_training(tmp_path, monkeypatch):
     assert (out / "adapter_model.safetensors").exists()
     assert list((tmp_path / "snap").glob("action_head--*_checkpoint.pt"))
     assert list((tmp_path / "snap").glob("proprio_projector--*_checkpoint.pt"))
+
+
+def test_cli_accum_and_ema(tmp_path, monkeypatch):
+    """--accum-steps gates updates to every k-th micro-batch and
+    --ema-decay exports EMA factors alongside the raw ones."""
+    out = tmp_path / "lora_adapter"
+    _run_cli(monkeypatch, [
+        "--model-id", "random", "--steps", "4", "--batch-size", "2",
+        "--lora-rank", "2", "--dtype", "fp32", "--accum-steps", "2",
+        "--ema-decay", "0.9", "--save-adapter", str(out),
+    ])
+    raw = _load_adapter_tensors(out)
+    ema = _load_adapter_tensors(tmp_path / "lora_adapter_ema")
+    assert raw.keys() == ema.keys()
+    # the EMA must differ from the raw factors (it lags the trajectory)
+    assert any(not np.array_equal(raw[k], ema[k]) for k in raw)
+
+
+def test_cli_minivla_family_trains(monkeypatch):
+    """The prismatic (Qwen2 QKV-bias, tied lm_head) family trains through
+    the same CLI — LoRA targets exist under the same names."""
+    _run_cli(monkeypatch, [
+        "--model-id", "random-minivla-tiny", "--steps", "2",
+        "--batch-size", "2", "--lora-rank", "2", "--dtype", "fp32",
+    ])
