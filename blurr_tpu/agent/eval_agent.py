@@ -141,11 +141,10 @@ class EvalAgent:
             log.warning("No checkpoint: using random-init weights.")
             params = self.model.init_params(jax.random.PRNGKey(0), dtype=self.dtype)
             return self.model.tie_action_proprio_weights(params)
-        from blurr_tpu.models.pi0.checkpoint import (
-            pizero_params_from_torch_checkpoint,
-        )
+        from blurr_tpu.models.pi0.checkpoint import load_pizero_params_auto
 
-        params = pizero_params_from_torch_checkpoint(path, dtype=self.dtype)
+        # torch .pt OR an orbax dir from train_pi0_flow --save-dir
+        params = load_pizero_params_auto(path, dtype=self.dtype)
         log.info("Loaded model from %s", path)
         return params
 

@@ -86,11 +86,10 @@ def load_model(cfg, checkpoint_path: str, dtype):
         params = model.init_params(jax.random.PRNGKey(0), dtype=dtype)
         params = model.tie_action_proprio_weights(params)
     else:
-        from blurr_tpu.models.pi0.checkpoint import (
-            pizero_params_from_torch_checkpoint,
-        )
+        from blurr_tpu.models.pi0.checkpoint import load_pizero_params_auto
 
-        params = pizero_params_from_torch_checkpoint(checkpoint_path, dtype=dtype)
+        # torch .pt OR an orbax dir from train_pi0_flow --save-dir
+        params = load_pizero_params_auto(checkpoint_path, dtype=dtype)
     params = model.enable_action_quantization(params)
     params = model.enable_vlm_quantization(params)
     return model, params

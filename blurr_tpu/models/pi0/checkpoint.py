@@ -261,6 +261,25 @@ def restore_params(path: str, like=None):
     return ckptr.restore(os.path.abspath(path))
 
 
+def load_pizero_params_auto(path: str, dtype=jnp.bfloat16):
+    """Dispatch on the checkpoint kind: a torch ``.pt`` file goes through
+    the reference bridge; a DIRECTORY is an orbax tree saved by
+    ``save_params`` (what train_pi0_flow.py --save-dir writes — including
+    LoRA-merged plain trees and QLoRA adapter-dict trees, which
+    ``ops.quant.mm`` serves directly). Float leaves cast to ``dtype``;
+    int8 quantized leaves keep their dtype."""
+    import jax
+
+    if os.path.isdir(path):
+        params = restore_params(path)
+        return jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
+    return pizero_params_from_torch_checkpoint(path, dtype=dtype)
+
+
 def _template_like(tree):
     """ShapeDtypeStruct template carrying each leaf's sharding when it has
     one, so orbax restores sharded trees PLACED (a multi-chip state larger

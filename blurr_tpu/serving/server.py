@@ -145,10 +145,12 @@ class ActionServer:
             params = self.model.tie_action_proprio_weights(params)
         else:
             from blurr_tpu.models.pi0.checkpoint import (
-                pizero_params_from_torch_checkpoint,
+                load_pizero_params_auto,
             )
 
-            params = pizero_params_from_torch_checkpoint(
+            # torch .pt OR an orbax dir from train_pi0_flow --save-dir
+            # (incl. QLoRA adapter trees — mm serves the dicts directly)
+            params = load_pizero_params_auto(
                 checkpoint_path, dtype=self.dtype
             )
         params = self.model.enable_action_quantization(params)

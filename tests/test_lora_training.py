@@ -317,3 +317,38 @@ def test_qlora_train_step_end_to_end():
         d0 = np.abs(np.asarray(act1[key]["lora_b"][0])
                     - np.asarray(act0[key]["lora_b"][0])).max()
         assert d0 > 0, f"{key} layer-0 lora_b never moved"
+
+
+def test_qlora_checkpoint_serves(tmp_path, monkeypatch):
+    """The train->serve loop: a --lora-quantize-base w8a8 run's --save-dir
+    (an orbax ADAPTER-DICT tree) loads straight into the ActionServer via
+    load_pizero_params_auto and serves finite chunks — no torch export, no
+    manual re-injection."""
+    import sys
+
+    import scripts.train_pi0_flow as cli
+
+    ckpt = tmp_path / "qlora_ckpt"
+    monkeypatch.setattr(sys, "argv", [
+        "train_pi0_flow.py", "--config", "config/eval/bridge_tiny.yaml",
+        "--steps", "2", "--batch-size", "2", "--lora-rank", "2",
+        "--train-scope", "action_expert", "--lora-quantize-base", "w8a8",
+        "--save-dir", str(ckpt),
+    ])
+    cli.main()
+
+    from blurr_tpu.benchmarks import load_cfg
+    from blurr_tpu.serving.server import ActionServer
+
+    cfg = load_cfg("config/eval/bridge_tiny.yaml")
+    srv = ActionServer(cfg, str(ckpt))
+    # the restored tree kept its quantized base + adapters
+    from blurr_tpu.ops.lora import is_lora_dict
+
+    q = srv.params["joint"]["action"]["q_w"]
+    assert is_lora_dict(q) and "q8a" in q["w"]
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (28, 28, 3), np.uint8)
+    actions = srv.predict(img, "pick up the carrot", [0.0] * 7)
+    assert actions.shape == (4, 7) and np.isfinite(actions).all()
+    srv.stop()
