@@ -286,6 +286,17 @@ def infer_unnorm_key(
     return None
 
 
+
+def _latest_by_step(paths):
+    """Newest aux checkpoint by NUMERIC step: a lexicographic sort would
+    rank action_head--9_... above --10_... (continued fine-tuning via
+    save_oft_aux_params writes growing step numbers)."""
+    def step_of(p):
+        m = re.search(r"--(\d+)_checkpoint\.pt$", p)
+        return int(m.group(1)) if m else -1
+
+    return max(paths, key=step_of)
+
 def load_oft_aux_params(path: str, dtype=jnp.bfloat16) -> Tuple[Optional[Dict], Optional[Dict]]:
     """action_head--*.pt / proprio_projector--*.pt -> JAX pytrees (shape-
     driven reconstruction like the reference)."""
@@ -297,9 +308,9 @@ def load_oft_aux_params(path: str, dtype=jnp.bfloat16) -> Tuple[Optional[Dict], 
         return jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
 
     head = proj = None
-    heads = sorted(glob.glob(os.path.join(path, "action_head--*_checkpoint.pt")))
+    heads = glob.glob(os.path.join(path, "action_head--*_checkpoint.pt"))
     if heads:
-        state = torch.load(heads[-1], map_location="cpu")
+        state = torch.load(_latest_by_step(heads), map_location="cpu")
         state = {
             k.removeprefix("module.model."): _t(v)
             for k, v in state.items()
@@ -334,9 +345,9 @@ def load_oft_aux_params(path: str, dtype=jnp.bfloat16) -> Tuple[Optional[Dict], 
                 "fc2_b": state["fc2.bias"],
             }
         )
-    projs = sorted(glob.glob(os.path.join(path, "proprio_projector--*_checkpoint.pt")))
+    projs = glob.glob(os.path.join(path, "proprio_projector--*_checkpoint.pt"))
     if projs:
-        state = torch.load(projs[-1], map_location="cpu")
+        state = torch.load(_latest_by_step(projs), map_location="cpu")
         # proprio checkpoints prefix with "module." only (no ".model." level)
         # — reference eval_hf_vla_simpler.py:119-128
         state = {

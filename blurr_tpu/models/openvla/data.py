@@ -21,8 +21,10 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from blurr_tpu.models.openvla.model import EMPTY_TOKEN
-from blurr_tpu.models.openvla.processing import build_prompt, process_image
+from blurr_tpu.models.openvla.processing import (
+    process_image,
+    tokenize_prompt_ids,
+)
 
 
 def write_openvla_dataset(
@@ -49,15 +51,7 @@ def write_openvla_dataset(
     for i, instr in enumerate(instructions):
         toks = cache.get(str(instr))
         if toks is None:
-            out = tokenizer(build_prompt(str(instr)), return_tensors="np")
-            toks = np.asarray(out["input_ids"])[0].tolist()
-            if toks[-1] != EMPTY_TOKEN:
-                toks.append(EMPTY_TOKEN)
-            if len(toks) > max_text_tokens:
-                raise ValueError(
-                    f"instruction {instr!r} tokenizes to {len(toks)} tokens "
-                    f"> max_text_tokens={max_text_tokens}"
-                )
+            toks = tokenize_prompt_ids(tokenizer, str(instr), max_text_tokens)
             cache[str(instr)] = toks
         ids[i, : len(toks)] = toks
         lens[i] = len(toks)

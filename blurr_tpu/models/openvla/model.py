@@ -36,7 +36,7 @@ from blurr_tpu.models.openvla.llama import LlamaSpec
 from blurr_tpu.models.openvla.vit import ViTSpec, init_vit_params, vit_forward
 from blurr_tpu.ops.norms import layer_norm
 
-EMPTY_TOKEN = 29871  # llama "▁" — remote code appends it before decoding
+from blurr_tpu.models.openvla.processing import EMPTY_TOKEN  # noqa: F401 — canonical home; re-exported for back-compat
 
 DINOV2_L = ViTSpec(
     hidden_size=1024, intermediate_size=4096, num_layers=24, num_heads=16,
@@ -146,6 +146,18 @@ class OpenVLASpec:
             ),
             use_fused_vision=False,
         )
+
+
+# checkpoint-free model ids (latency work / tests) -> spec constructors;
+# ONE table for the server, bench, and trainer CLIs
+RANDOM_SPECS = {
+    "random": OpenVLASpec.tiny,
+    "random-7b": OpenVLASpec,
+    "openvla-7b-random": OpenVLASpec,
+    "random-minivla": OpenVLASpec.minivla,
+    "minivla-random": OpenVLASpec.minivla,
+    "random-minivla-tiny": OpenVLASpec.tiny_minivla,
+}
 
 
 class OpenVLA:
@@ -285,15 +297,19 @@ class OpenVLA:
         h, _ = llama_lib.forward(
             params["llama"], s.llama, embeds, pos, mask, cache, jnp.int32(0)
         )
-        lg = llama_lib.logits(params["llama"], s.llama, h)  # [B, T', V]
         # action token i (ids position n_prompt+i) is predicted from the
-        # PREVIOUS position's logits; ids position j embeds at n_patch + j
+        # PREVIOUS position's logits; ids position j embeds at n_patch + j.
+        # Gather the action_dim hidden states FIRST, then run the lm_head on
+        # [B, action_dim, H] — full-sequence [B, T, V] logits would cost
+        # ~T/action_dim x the lm_head FLOPs and activations for rows that
+        # are immediately discarded (300 MB at 7B dims, batch 8).
         n_prompt = jnp.sum(attn_valid.astype(jnp.int32), -1) - s.action_dim
         label_pos = (
             n_patch + n_prompt[:, None] - 1
             + jnp.arange(s.action_dim, dtype=jnp.int32)[None]
         )  # [B, action_dim]
-        sel = jnp.take_along_axis(lg, label_pos[..., None], axis=1)
+        h_sel = jnp.take_along_axis(h, label_pos[..., None], axis=1)
+        sel = llama_lib.logits(params["llama"], s.llama, h_sel)
         logp = jax.nn.log_softmax(sel.astype(jnp.float32), axis=-1)
         ll = jnp.take_along_axis(logp, action_tokens[..., None], axis=-1)
         return -jnp.mean(ll)

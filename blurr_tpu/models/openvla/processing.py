@@ -19,6 +19,27 @@ SIGLIP_MEAN = np.array([0.5, 0.5, 0.5], np.float32)
 SIGLIP_STD = np.array([0.5, 0.5, 0.5], np.float32)
 
 
+EMPTY_TOKEN = 29871  # llama "\u2581" — remote code appends it before decoding
+
+
+def tokenize_prompt_ids(tokenizer, instruction: str,
+                        max_text_tokens: int = 0) -> list:
+    """BOS ... prompt ... trailing EMPTY token ids — the ONE prompt
+    convention shared by the AR decode, OFT, the serving _prepare, the
+    trainer, and write_openvla_dataset. ``max_text_tokens`` > 0 enforces a
+    length budget (raises ValueError)."""
+    out = tokenizer(build_prompt(str(instruction)), return_tensors="np")
+    ids = np.asarray(out["input_ids"])[0].tolist()
+    if ids[-1] != EMPTY_TOKEN:
+        ids.append(EMPTY_TOKEN)
+    if max_text_tokens and len(ids) > max_text_tokens:
+        raise ValueError(
+            f"instruction {instruction!r} tokenizes to {len(ids)} tokens "
+            f"> max_text_tokens={max_text_tokens}"
+        )
+    return ids
+
+
 def build_prompt(instruction: str) -> str:
     return f"In: What action should the robot take to {instruction.lower()}?\nOut:"
 

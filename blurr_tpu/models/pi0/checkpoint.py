@@ -271,12 +271,10 @@ def load_pizero_params_auto(path: str, dtype=jnp.bfloat16):
     import jax
 
     if os.path.isdir(path):
+        from blurr_tpu.utils.optim import cast_floating_preserving_scales
+
         params = restore_params(path)
-        return jax.tree.map(
-            lambda a: a.astype(dtype)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a,
-            params,
-        )
+        return cast_floating_preserving_scales(params, dtype)
     return pizero_params_from_torch_checkpoint(path, dtype=dtype)
 
 

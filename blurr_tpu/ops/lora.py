@@ -215,7 +215,12 @@ def _leaf_in_out(w) -> Optional[Tuple[Tuple[int, ...], int, int]]:
         if "q" in w or "q8a" in w:
             q = w.get("q", w.get("q8a"))
             return tuple(q.shape[:-2]), q.shape[-2], q.shape[-1]
-        return None  # w4a8 block-major packing hides the fp dims
+        if "q4" in w:
+            # block-major nibble packing [..., NB, K//2, BN]; the group
+            # scales carry the exact (unpadded) out width [..., G, N]
+            q4, s = w["q4"], w["s"]
+            return tuple(q4.shape[:-3]), 2 * q4.shape[-2], s.shape[-1]
+        return None
     if getattr(w, "ndim", 0) < 2:
         return None
     return tuple(w.shape[:-2]), w.shape[-2], w.shape[-1]
@@ -230,7 +235,7 @@ def inject_lora_tree(
     dtype=None,
 ) -> Dict:
     """Replace every ``targets`` weight leaf in the tree (2D [in, out] or
-    layer-stacked [L, in, out]; plain or int8/w8a8-quantized) with a LoRA
+    layer-stacked [L, in, out]; plain or int8/w8a8/w4a8-quantized) with a LoRA
     adapter dict. A ~ N(0, 1/r), B = 0 (identity start), per-layer scale
     s = alpha/r stacked alongside so the factor dicts stay valid lax.scan
     leaves. Returns a new tree; non-target leaves are shared, not copied."""

@@ -120,11 +120,10 @@ def make_optax_train_step(model: PiZero, tx, remat: bool = False,
     def _cast_params(params):
         if compute_dtype is None:
             return params
-        return jax.tree.map(
-            lambda p: p.astype(compute_dtype)
-            if jnp.issubdtype(p.dtype, jnp.floating) else p,
-            params,
-        )
+        from blurr_tpu.utils.optim import cast_floating_preserving_scales
+
+        # preserves quant-dict / lora_s scales in fp32 (dequant precision)
+        return cast_floating_preserving_scales(params, compute_dtype)
 
     def loss_fn(params, batch, noise, t):
         return model.flow_loss(
@@ -155,16 +154,12 @@ def make_optax_train_step(model: PiZero, tx, remat: bool = False,
         k1, k2 = jax.random.split(key)
         noise = jax.random.normal(k1, batch["actions"].shape, jnp.float32)
         t = jax.random.beta(k2, 1.5, 1.0, (batch["actions"].shape[0],))
-        # allow_int: QLoRA trees carry frozen int8 base weights; their
-        # float0 "grads" become typed zeros so the masked tx and
-        # apply_updates stay shape/dtype-closed over the whole tree
-        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
+        # QLoRA trees carry frozen int8 base weights (see
+        # utils.optim.value_and_grad_frozen_int)
+        from blurr_tpu.utils.optim import value_and_grad_frozen_int
+
+        loss, grads = value_and_grad_frozen_int(loss_fn)(
             params, batch, noise, t
-        )
-        grads = jax.tree.map(
-            lambda g, p: jnp.zeros_like(p)
-            if g.dtype == jax.dtypes.float0 else g,
-            grads, params,
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -486,16 +481,12 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
     ).astype(np.float32)
     tx_q = masked_freeze(optax.adamw(1e-3), lora_trainable_mask(params_q))
 
+    from blurr_tpu.utils.optim import value_and_grad_frozen_int
+
     def step_q(p, o, ids, valid, px, labels):
-        loss, grads = jax.value_and_grad(
-            lambda p: model_q.action_ce_loss(p, ids, valid, px, labels),
-            allow_int=True,
+        loss, grads = value_and_grad_frozen_int(
+            lambda p: model_q.action_ce_loss(p, ids, valid, px, labels)
         )(p)
-        grads = jax.tree.map(
-            lambda g, q: jnp.zeros_like(q)
-            if g.dtype == jax.dtypes.float0 else g,
-            grads, p,
-        )
         updates, o = tx_q.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 

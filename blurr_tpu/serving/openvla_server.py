@@ -123,20 +123,14 @@ class OpenVLAActionServer(ActionServer):
                         )
                     )
         else:
-            random_specs = {
-                "random": OpenVLASpec.tiny,
-                "random-7b": OpenVLASpec,
-                "openvla-7b-random": OpenVLASpec,
-                "random-minivla": OpenVLASpec.minivla,
-                "minivla-random": OpenVLASpec.minivla,
-                "random-minivla-tiny": OpenVLASpec.tiny_minivla,
-            }
-            if str(model_id) not in random_specs:
+            from blurr_tpu.models.openvla.model import RANDOM_SPECS
+
+            if str(model_id) not in RANDOM_SPECS:
                 raise ValueError(
-                    f"model_id {model_id!r}: pass an HF snapshot dir or "
-                    "'random' / 'random-7b' / 'random-minivla'"
+                    f"model_id {model_id!r}: pass an HF snapshot dir or one "
+                    f"of {sorted(RANDOM_SPECS)}"
                 )
-            spec = random_specs[str(model_id)]()
+            spec = RANDOM_SPECS[str(model_id)]()
             self.model = make_model(spec)
             params = self.model.init_params(jax.random.PRNGKey(0), self.dtype)
         if quantization in ("w8a8", "w4a8"):
@@ -215,23 +209,19 @@ class OpenVLAActionServer(ActionServer):
         prompt."""
         import jax.numpy as jnp
 
-        from blurr_tpu.models.openvla.processing import build_prompt
+        from blurr_tpu.models.openvla.processing import (
+            process_image,
+            tokenize_prompt_ids,
+        )
 
         if image.ndim != 3 or image.shape[2] != 3:
             raise ValueError(f"image must be HxWx3 uint8, got {image.shape}")
         with self._tok_lock:
             cached = self._tok_cache.get(instruction)
         if cached is None:
-            out = self.processor(build_prompt(instruction), image)
-            ids = np.asarray(out["input_ids"])[0].tolist()
-            if ids[-1] != self._empty_token:
-                # the reference appends the empty token before decoding
-                ids.append(self._empty_token)
-            if len(ids) > self.max_text_tokens:
-                raise ValueError(
-                    f"instruction tokenizes to {len(ids)} tokens > "
-                    f"max_text_tokens={self.max_text_tokens}"
-                )
+            ids = tokenize_prompt_ids(
+                self.processor.tokenizer, instruction, self.max_text_tokens
+            )
             am = [1] * len(ids) + [0] * (self.max_text_tokens - len(ids))
             ids = ids + [0] * (self.max_text_tokens - len(ids))
             cached = (
@@ -241,14 +231,10 @@ class OpenVLAActionServer(ActionServer):
                 if len(self._tok_cache) >= 1024:
                     self._tok_cache.pop(next(iter(self._tok_cache)), None)
                 self._tok_cache[instruction] = cached
-            px = out["pixel_values"]
-        else:
-            from blurr_tpu.models.openvla.processing import process_image
-
-            px = process_image(
-                np.asarray(image), self.processor.image_size,
-                self.processor.fused,
-            )
+        px = process_image(
+            np.asarray(image), self.processor.image_size,
+            self.processor.fused,
+        )
         ids, am = cached
         out_t = (
             jnp.asarray(ids), jnp.asarray(am),

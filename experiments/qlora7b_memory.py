@@ -86,14 +86,11 @@ def make_step(model, tx):
     def loss_fn(p, ids, valid, px, labels):
         return model.action_ce_loss(p, ids, valid, px, labels)
 
+    from blurr_tpu.utils.optim import value_and_grad_frozen_int
+
     def step(p, o, ids, valid, px, labels):
-        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
+        loss, grads = value_and_grad_frozen_int(loss_fn)(
             p, ids, valid, px, labels
-        )
-        grads = jax.tree.map(
-            lambda g, q: jnp.zeros_like(q)
-            if g.dtype == jax.dtypes.float0 else g,
-            grads, p,
         )
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss

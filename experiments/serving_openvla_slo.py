@@ -190,9 +190,14 @@ def main():
     rows: list = []
     only = set(sys.argv[1:])
     out_csv = OUT_CSV
+    full = {k for k in PRESETS if k != "tiny"}
     if only and only <= {"tiny"}:
         # the CPU smoke must not overwrite the measured v5e table
         out_csv = Path("/tmp/serving_openvla_slo_smoke.csv")
+    elif only and only != full:
+        # a filtered re-measure must not truncate the full sweep's table
+        out_csv = OUT_CSV.with_name(OUT_CSV.stem + "_partial.csv")
+        print(f"partial sweep -> {out_csv} (merge by hand)", flush=True)
     for name in PRESETS:
         if only and name not in only:
             continue

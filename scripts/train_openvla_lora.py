@@ -148,9 +148,9 @@ def main():
     )
     from blurr_tpu.models.openvla.processing import (
         OpenVLAProcessor,
-        build_prompt,
         load_hf_tokenizer,
         process_image,
+        tokenize_prompt_ids,
     )
     from blurr_tpu.ops.lora import (
         inject_lora_tree,
@@ -201,15 +201,12 @@ def main():
                     init_oft_proprio_projector(k2, args.proprio_dim, h, h, dtype)
                 )
     else:
-        specs = {
-            "random": OpenVLASpec.tiny,
-            "random-7b": OpenVLASpec,
-            "random-minivla": OpenVLASpec.minivla,
-            "random-minivla-tiny": OpenVLASpec.tiny_minivla,
-        }
-        if str(args.model_id) not in specs:
-            sys.exit(f"unknown --model-id {args.model_id!r}")
-        spec = specs[str(args.model_id)]()
+        from blurr_tpu.models.openvla.model import RANDOM_SPECS
+
+        if str(args.model_id) not in RANDOM_SPECS:
+            sys.exit(f"unknown --model-id {args.model_id!r}; expected an "
+                     f"HF snapshot dir or one of {sorted(RANDOM_SPECS)}")
+        spec = RANDOM_SPECS[str(args.model_id)]()
         model = make_model(spec)
         params = model.init_params(jax.random.PRNGKey(0), dtype)
 
@@ -269,7 +266,7 @@ def main():
         from blurr_tpu.utils.optim import params_ema
 
         # AFTER the freeze so the EMA tracks the actual post-update weights
-        tx = optax.chain(tx, params_ema(args.ema_decay))
+        tx = optax.chain(tx, params_ema(args.ema_decay, mask=mask))
     if args.accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=args.accum_steps)
 
@@ -301,14 +298,11 @@ def main():
         def loss_fn(p, ids, valid, px, labels):
             return model.action_ce_loss(p, ids, valid, px, labels)
 
+    from blurr_tpu.utils.optim import value_and_grad_frozen_int
+
     @jax.jit
     def step(p, o, *batch):
-        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(p, *batch)
-        grads = jax.tree.map(
-            lambda g, q: jnp.zeros_like(q)
-            if g.dtype == jax.dtypes.float0 else g,
-            grads, p,
-        )
+        loss, grads = value_and_grad_frozen_int(loss_fn)(p, *batch)
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
@@ -374,15 +368,9 @@ def main():
     def prompt_ids(instruction: str):
         ids = tok_cache.get(instruction)
         if ids is None:
-            out = processor(build_prompt(instruction), data["images"][0])
-            ids = np.asarray(out["input_ids"])[0].tolist()
-            if ids[-1] != EMPTY_TOKEN:
-                ids.append(EMPTY_TOKEN)
-            if len(ids) > args.max_text_tokens:
-                sys.exit(
-                    f"instruction tokenizes to {len(ids)} tokens > "
-                    f"--max-text-tokens {args.max_text_tokens}"
-                )
+            ids = tokenize_prompt_ids(
+                processor.tokenizer, instruction, args.max_text_tokens
+            )
             tok_cache[instruction] = ids
         return ids
 
@@ -508,7 +496,7 @@ def main():
         if args.ema_decay > 0:
             from blurr_tpu.utils.optim import extract_ema
 
-            ema = extract_ema(o)
+            ema = extract_ema(o, p)
             save_peft_adapter(
                 ema["llama"]["layers"], args.save_adapter + "_ema",
                 base_model_name=str(args.model_id),

@@ -296,11 +296,11 @@ def main():
     # forward/backward to bf16 inside the step (compute_dtype below)
     compute_dtype = None
     if args.dtype == "bf16":
-        params = jax.tree.map(
-            lambda p: p.astype(jnp.bfloat16)
-            if jnp.issubdtype(p.dtype, jnp.floating) else p,
-            params,
-        )
+        from blurr_tpu.utils.optim import cast_floating_preserving_scales
+
+        # NOT a blanket float cast: quant-dict scales stay fp32 (w8a8/w4a8
+        # dequant precision) and lora_s scalars keep their dtype
+        params = cast_floating_preserving_scales(params, jnp.bfloat16)
     elif args.dtype == "master-fp32":
         compute_dtype = jnp.bfloat16
 
@@ -363,7 +363,7 @@ def main():
         # AFTER the mask so the EMA tracks the actual post-update weights
         # (frozen groups stay pinned at their values); with --accum-steps
         # the MultiSteps wrapper below gates it to once per real update
-        tx = optax.chain(tx, params_ema(args.ema_decay))
+        tx = optax.chain(tx, params_ema(args.ema_decay, mask=mask))
     if args.accum_steps > 1:
         # accumulation sits OUTSIDE the mask/adamw: k micro-grads average in
         # the accumulator, the inner tx sees one averaged update every k-th
@@ -648,7 +648,7 @@ def main():
         if args.ema_decay > 0:
             from blurr_tpu.utils.optim import extract_ema
 
-            save_params(finalize(extract_ema(opt_state)),
+            save_params(finalize(extract_ema(opt_state, params)),
                         args.save_dir + "_ema")
             log.info("Saved EMA params to %s_ema", args.save_dir)
     if args.save_state:

@@ -352,3 +352,106 @@ def test_qlora_checkpoint_serves(tmp_path, monkeypatch):
     actions = srv.predict(img, "pick up the carrot", [0.0] * 7)
     assert actions.shape == (4, 7) and np.isfinite(actions).all()
     srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# review fixes: w4a8 QLoRA injection, scale-preserving casts, masked EMA
+# ---------------------------------------------------------------------------
+
+
+def test_w4a8_base_injects_and_dispatches():
+    """REGRESSION: inject_lora_tree used to SKIP w4a8-quantized targets
+    (dims hidden by the block-major packing), silently training zero
+    parameters; dims now recover from q4/s."""
+    from blurr_tpu.ops.quant import quantize_weight_w4a8
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 16), jnp.float32)
+    tree = inject_lora_tree({"q_w": quantize_weight_w4a8(w)},
+                            jax.random.PRNGKey(1), 4, ("q_w",))
+    assert is_lora_dict(tree["q_w"])
+    assert tree["q_w"]["lora_a"].shape == (64, 4)
+    assert tree["q_w"]["lora_b"].shape == (4, 16)
+    d = dict(tree["q_w"], lora_b=jax.random.normal(
+        jax.random.PRNGKey(2), (4, 16), jnp.float32) * 0.1)
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, 64), jnp.float32)
+    from blurr_tpu.ops.quant import w4a8_mm
+
+    want = w4a8_mm(x, d["w"]) + (x @ d["lora_a"]) @ d["lora_b"]
+    np.testing.assert_allclose(np.asarray(mm(x, d)), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_w4a8_qlora_cli_trains_factors(tmp_path, monkeypatch):
+    """The advertised --lora-quantize-base w4a8 path trains > 0 params and
+    moves the factors (it used to burn the whole run on a frozen tree)."""
+    import sys
+
+    import scripts.train_pi0_flow as cli
+
+    ckpt = tmp_path / "w4a8_ckpt"
+    monkeypatch.setattr(sys, "argv", [
+        "train_pi0_flow.py", "--config", "config/eval/bridge_tiny.yaml",
+        "--steps", "2", "--batch-size", "2", "--lora-rank", "2",
+        "--train-scope", "action_expert", "--lora-quantize-base", "w4a8",
+        "--save-dir", str(ckpt),
+    ])
+    cli.main()
+    from blurr_tpu.models.pi0.checkpoint import restore_params
+
+    params = restore_params(str(ckpt))
+    q = params["joint"]["action"]["q_w"]
+    assert is_lora_dict(q) and "q4" in q["w"]
+    # B must have moved off exactly-zero after 2 steps
+    assert float(jnp.abs(q["lora_b"]).max()) > 0
+
+
+def test_cast_preserves_quant_and_lora_scales():
+    from blurr_tpu.ops.quant import quantize_weight_w8a8
+    from blurr_tpu.utils.optim import cast_floating_preserving_scales
+
+    tree = {
+        "plain": jnp.ones((4, 4), jnp.float32),
+        "q_w": dict(
+            inject_lora_tree(
+                {"x": quantize_weight_w8a8(jnp.ones((8, 4), jnp.float32))},
+                jax.random.PRNGKey(0), 2, ("x",),
+            )["x"]
+        ),
+        "tied": None,
+    }
+    out = cast_floating_preserving_scales(tree, jnp.bfloat16)
+    assert out["plain"].dtype == jnp.bfloat16
+    assert out["q_w"]["lora_a"].dtype == jnp.bfloat16
+    assert out["q_w"]["lora_s"].dtype == jnp.float32  # scale preserved
+    assert out["q_w"]["w"]["s"].dtype == jnp.float32  # quant scale preserved
+    assert out["q_w"]["w"]["q8a"].dtype == jnp.int8
+    assert out["tied"] is None
+
+
+def test_masked_ema_skips_frozen_leaves():
+    """mask-aware params_ema: frozen leaves are zero-size sentinels in
+    opt_state (no 7B duplicate for QLoRA), and extract_ema(o, params)
+    reconstructs the full tree with tracked leaves EMA-averaged."""
+    import optax
+
+    from blurr_tpu.utils.optim import extract_ema, params_ema
+
+    params = {"a": jnp.ones((4,)), "b": jnp.full((3,), 2.0)}
+    mask = {"a": True, "b": False}
+    tx = optax.chain(masked_freeze(optax.sgd(0.1), mask),
+                     params_ema(0.5, mask=mask))
+    o = tx.init(params)
+    # frozen leaf state is the sentinel, not a copy of b
+    sentinels = [x for x in jax.tree.leaves(o)
+                 if getattr(x, "shape", None) == () and x.dtype == jnp.int8]
+    assert sentinels, "no sentinel found in opt_state"
+    g = {"a": jnp.ones((4,)), "b": jnp.ones((3,))}
+    u, o = tx.update(g, o, params)
+    p2 = optax.apply_updates(params, u)
+    np.testing.assert_array_equal(np.asarray(p2["b"]),
+                                  np.asarray(params["b"]))  # frozen
+    ema = extract_ema(o, p2)
+    np.testing.assert_array_equal(np.asarray(ema["b"]), np.asarray(p2["b"]))
+    assert not np.array_equal(np.asarray(ema["a"]), np.asarray(p2["a"]))
+    with pytest.raises(ValueError, match="live params"):
+        extract_ema(o)
