@@ -266,8 +266,9 @@ def load_pizero_params_auto(path: str, dtype=jnp.bfloat16):
     the reference bridge; a DIRECTORY is an orbax tree saved by
     ``save_params`` (what train_pi0_flow.py --save-dir writes — including
     LoRA-merged plain trees and QLoRA adapter-dict trees, which
-    ``ops.quant.mm`` serves directly). Float leaves cast to ``dtype``;
-    int8 quantized leaves keep their dtype."""
+    ``ops.quant.mm`` serves directly). Float leaves cast to ``dtype``
+    EXCEPT quantized/LoRA scale leaves, which stay fp32
+    (cast_floating_preserving_scales); int payloads keep their dtype."""
     import jax
 
     if os.path.isdir(path):

@@ -30,5 +30,16 @@ class ActionClient:
             raise RuntimeError(resp["error"])
         return np.asarray(resp["actions"], np.float32)
 
+    def stats(self) -> dict:
+        """Server-side observability snapshot ({"kind": "stats"} message);
+        also serves as a health check — a live server always answers."""
+        send_msg(self.sock, {"kind": "stats"})
+        resp = recv_msg(self.sock)
+        if resp is None:
+            raise ConnectionError("server closed the connection")
+        if "error" in resp:
+            raise RuntimeError(resp["error"])
+        return resp
+
     def close(self) -> None:
         self.sock.close()

@@ -10,11 +10,18 @@ Protocol (both directions): 4-byte big-endian length + UTF-8 JSON.
 Request:  {"instruction": str, "image": b64(u8 HxWx3 bytes), "image_shape":
            [H, W, 3], "proprio": [float, ...]}
 Response: {"actions": [[...], ...], "latency_ms": float}  or {"error": str}
+
+Observability: {"kind": "stats"} returns server-side counters — request/
+error totals, p50/p95/p99 latency over a bounded window, dynamic-batch
+occupancy and padding overhead, queue depth, uptime — the same quantities
+docs/results/serving_slo_v5e.md measures client-side, now exported by the
+daemon itself (doubles as the health-check endpoint).
 """
 
 from __future__ import annotations
 
 import base64
+import collections
 import json
 import logging
 import queue
@@ -256,6 +263,19 @@ class ActionServer:
         self.batch_window_s = batch_window_ms / 1000.0
         self._queue: "queue.Queue[_PendingRequest]" = queue.Queue()
         self._closed = False
+        # observability counters ({"kind": "stats"} protocol message).
+        # Latencies keep a bounded window so a long-lived daemon's memory
+        # stays flat; percentiles are computed on demand from the snapshot.
+        self._stats_lock = threading.Lock()
+        self._t_start = time.monotonic()
+        self._n_requests = 0
+        self._n_errors = 0
+        self._n_batches = 0
+        self._live_slots = 0
+        self._padded_slots = 0
+        self._latencies_ms: "collections.deque[float]" = collections.deque(
+            maxlen=4096
+        )
         self._batcher: Optional[threading.Thread] = None
         if self.max_batch > 1:
             self._batcher = threading.Thread(target=self._batch_loop,
@@ -354,6 +374,60 @@ class ActionServer:
         return out
 
     def predict(self, image: np.ndarray, instruction: str, proprio) -> np.ndarray:
+        """Instrumented entry point: counts requests/errors and records the
+        end-to-end (prepare + queue + device + post) latency for stats()."""
+        t0 = time.monotonic()
+        try:
+            result = self._predict_impl(image, instruction, proprio)
+        except Exception:
+            with self._stats_lock:
+                self._n_errors += 1
+            raise
+        with self._stats_lock:
+            self._n_requests += 1
+            self._latencies_ms.append((time.monotonic() - t0) * 1000.0)
+        return result
+
+    def stats(self) -> dict:
+        """Server-side observability snapshot (JSON-safe). Latency
+        percentiles cover the last ``len(latencies)`` successful requests;
+        batch occupancy/padding tell how well dynamic batching is packing
+        the bucketed device programs (padding_frac is the wasted-slot
+        fraction the SLO doc quantifies from the outside)."""
+        with self._stats_lock:
+            lat = list(self._latencies_ms)
+            n_req, n_err = self._n_requests, self._n_errors
+            n_batch = self._n_batches
+            live, padded = self._live_slots, self._padded_slots
+            uptime = time.monotonic() - self._t_start
+        out = {
+            "requests_total": n_req,
+            "errors_total": n_err,
+            "queue_depth": self._queue.qsize(),
+            "uptime_s": round(uptime, 3),
+            "max_batch": self.max_batch,
+            "dp": self.dp,
+            "tp": self.tp,
+            "closed": self._closed,
+            "latency_window": len(lat),
+        }
+        if lat:
+            p50, p95, p99 = np.percentile(lat, [50, 95, 99])
+            out.update(
+                latency_ms_p50=round(float(p50), 3),
+                latency_ms_p95=round(float(p95), 3),
+                latency_ms_p99=round(float(p99), 3),
+                latency_ms_mean=round(float(np.mean(lat)), 3),
+            )
+        if n_batch:
+            out.update(
+                batches_total=n_batch,
+                batch_occupancy_mean=round(live / n_batch, 3),
+                padding_frac=round(padded / max(1, live + padded), 4),
+            )
+        return out
+
+    def _predict_impl(self, image: np.ndarray, instruction: str, proprio) -> np.ndarray:
         inputs = self._prepare(image, instruction, proprio)
         if self.max_batch <= 1:
             with self._lock:
@@ -428,6 +502,10 @@ class ActionServer:
         while bucket < n:
             bucket *= 2
         pad = bucket - n
+        with self._stats_lock:
+            self._n_batches += 1
+            self._live_slots += n
+            self._padded_slots += pad
 
         def cat(i):
             arrs = [b.inputs[i] for b in batch] + [batch[-1].inputs[i]] * pad
@@ -508,6 +586,16 @@ class ActionServer:
                     continue
                 if req is None:
                     return
+                kind = req.get("kind", "predict")
+                if kind == "stats":
+                    try:
+                        send_msg(conn, self.stats())
+                    except OSError:
+                        return
+                    continue
+                if kind != "predict":
+                    send_msg(conn, {"error": f"unknown request kind: {kind!r}"})
+                    continue
                 try:
                     shape = tuple(req["image_shape"])
                     image = np.frombuffer(

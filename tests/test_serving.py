@@ -448,3 +448,75 @@ def test_dp_requires_dynamic_batching_and_pow2():
         ActionServer(cfg, checkpoint_path="random", dp=2)  # max_batch=1
     with pytest.raises(ValueError, match="power of 2"):
         ActionServer(cfg, checkpoint_path="random", dp=3, max_batch=6)
+
+
+# ----------------------------------------------------------------------
+# observability ({"kind": "stats"} protocol message)
+
+
+def test_stats_endpoint_counts_and_percentiles(server):
+    client = ActionClient(port=server.port)
+    before = client.stats()
+    img = np.zeros((28, 28, 3), np.uint8)
+    client.predict(img, "stats probe", [0.0] * 7)
+    client.predict(img, "stats probe", [0.0] * 7)
+    after = client.stats()
+    assert after["requests_total"] >= before["requests_total"] + 2
+    assert after["latency_window"] >= 2
+    assert after["latency_ms_p50"] <= after["latency_ms_p95"] <= after["latency_ms_p99"]
+    assert after["latency_ms_p50"] > 0.0
+    assert after["queue_depth"] == 0
+    assert after["uptime_s"] > 0.0
+    assert after["closed"] is False
+    assert (after["max_batch"], after["dp"], after["tp"]) == (1, 1, 1)
+    client.close()
+
+
+def test_stats_counts_errors(server):
+    client = ActionClient(port=server.port)
+    before = client.stats()
+    with pytest.raises(RuntimeError):
+        client.predict(np.zeros((28, 28, 3), np.uint8), "x", [0.0] * 3)
+    after = client.stats()
+    assert after["errors_total"] == before["errors_total"] + 1
+    # errors are not latency samples
+    assert after["latency_window"] == before["latency_window"]
+    client.close()
+
+
+def test_stats_batch_occupancy(batch_server):
+    client = ActionClient(port=batch_server.port)
+    before = client.stats()
+    img = np.zeros((28, 28, 3), np.uint8)
+    results = {}
+
+    def hit(i):
+        c = ActionClient(port=batch_server.port)
+        results[i] = c.predict(img, f"occupancy {i}", [0.0] * 7)
+        c.close()
+
+    ts = [threading.Thread(target=hit, args=(i,), daemon=True) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(120)
+    assert set(results) == {0, 1, 2}
+    after = client.stats()
+    assert after["batches_total"] > before.get("batches_total", 0)
+    assert after["batch_occupancy_mean"] >= 1.0
+    assert 0.0 <= after["padding_frac"] < 1.0
+    client.close()
+
+
+def test_unknown_kind_keeps_connection(server):
+    from blurr_tpu.serving.server import recv_msg, send_msg
+
+    client = ActionClient(port=server.port)
+    send_msg(client.sock, {"kind": "nonsense"})
+    resp = recv_msg(client.sock)
+    assert "error" in resp and "nonsense" in resp["error"]
+    # connection still serves stats and predicts
+    assert "requests_total" in client.stats()
+    out = client.predict(np.zeros((28, 28, 3), np.uint8), "x", [0.0] * 7)
+    assert out.shape == (4, 7)
+    client.close()
