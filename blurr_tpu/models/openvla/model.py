@@ -249,6 +249,29 @@ class OpenVLA:
             params["llama"], s.llama, embeds, valid, s.action_dim
         )
 
+    def predict_action_tokens_ragged(
+        self, params: Dict, input_ids: jax.Array, pixel_values: jax.Array,
+        attn_valid: jax.Array,
+    ) -> jax.Array:
+        """Greedy AR decode with right-padded ragged prompts co-batched:
+        validity covers [BOS, patches..., text[1:]], pad columns stay
+        masked in the llama cache, and decode positions continue at each
+        example's own prompt length — a padded example returns bitwise its
+        solo answer (tests/test_serving_openvla.py). Jittable; the serving
+        bucket path and the open-loop evaluator share this entry."""
+        s = self.spec
+        embeds = self._build_prompt_embeds(params, input_ids, pixel_values)
+        b = embeds.shape[0]
+        n_patch = embeds.shape[1] - input_ids.shape[1]
+        valid = jnp.concatenate(
+            [jnp.ones((b, 1 + n_patch), jnp.int32),
+             attn_valid[:, 1:].astype(jnp.int32)],
+            axis=1,
+        )
+        return llama_lib.greedy_generate(
+            params["llama"], s.llama, embeds, valid, s.action_dim
+        )
+
     def detokenize_actions(self, token_ids: np.ndarray) -> np.ndarray:
         """token ids [B, action_dim] -> normalized actions in [-1, 1]."""
         discretized = self.spec.action_token_vocab - np.asarray(token_ids)

@@ -43,22 +43,14 @@ class OpenVLAActionServer(ActionServer):
                  max_batch: int = 1, batch_window_ms: float = 2.0,
                  tp: int = 1, dp: int = 1, max_text_tokens: int = 32,
                  oft: bool = False, chunk_len: int = 8,
-                 use_proprio: bool = False, proprio_dim: int = 8):
-        from pathlib import Path
-
+                 use_proprio: bool = False, proprio_dim: int = 8,
+                 checkpoint_path: Optional[str] = None):
         import jax
         import jax.numpy as jnp
 
-        from blurr_tpu.models.openvla.model import (
-            EMPTY_TOKEN,
-            OpenVLA,
-            OpenVLAOFT,
-            OpenVLASpec,
-        )
-        from blurr_tpu.models.openvla.processing import (
-            OpenVLAProcessor,
-            load_hf_tokenizer,
-        )
+        from blurr_tpu.models.openvla.build import build_openvla
+        from blurr_tpu.models.openvla.model import EMPTY_TOKEN
+        from blurr_tpu.models.openvla.processing import OpenVLAProcessor
 
         self._init_parallel(tp, dp, max_batch)
         if quantization == "w4a8" and self.tp > 1:
@@ -73,75 +65,18 @@ class OpenVLAActionServer(ActionServer):
         self.use_proprio = bool(use_proprio) and self.oft
         self.proprio_dim = int(proprio_dim)
 
-        def make_model(spec, norm_stats=None):
-            if self.oft:
-                # OFT parallel decoding: one forward -> continuous
-                # [chunk_len, action_dim] chunk; ragged prompts co-batch via
-                # attn_valid (model.predict_action_continuous)
-                return OpenVLAOFT(
-                    spec, norm_stats, chunk_len=chunk_len,
-                    use_proprio=self.use_proprio, proprio_dim=proprio_dim,
-                )
-            return OpenVLA(spec, norm_stats)
-
-        norm_stats = None
-        tokenizer = None
-        path = Path(str(model_id)).expanduser()
-        if path.is_dir():
-            from blurr_tpu.models.openvla.checkpoint import (
-                load_norm_stats,
-                openvla_params_from_hf_dir,
-            )
-
-            spec = OpenVLASpec.from_snapshot_dir(path)
-            norm_stats = load_norm_stats(str(path))
-            self.model = make_model(spec, norm_stats)
-            params = openvla_params_from_hf_dir(str(path), spec, self.dtype)
-            tokenizer = load_hf_tokenizer(str(path))
-            if self.oft:
-                from blurr_tpu.models.openvla.checkpoint import (
-                    load_oft_aux_params,
-                )
-                from blurr_tpu.models.openvla.model import (
-                    init_oft_action_head,
-                    init_oft_proprio_projector,
-                )
-
-                head, proj = load_oft_aux_params(str(path), self.dtype)
-                h = spec.llama.hidden_size
-                n_tok = chunk_len * spec.action_dim
-                k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-                params["action_head"] = head if head is not None else (
-                    init_oft_action_head(k1, n_tok * h, h, n_tok, 2,
-                                         self.dtype)
-                )
-                if self.use_proprio:
-                    params["proprio_projector"] = (
-                        proj if proj is not None else
-                        init_oft_proprio_projector(
-                            k2, proprio_dim, h, h, self.dtype
-                        )
-                    )
-        else:
-            from blurr_tpu.models.openvla.model import RANDOM_SPECS
-
-            if str(model_id) not in RANDOM_SPECS:
-                raise ValueError(
-                    f"model_id {model_id!r}: pass an HF snapshot dir or one "
-                    f"of {sorted(RANDOM_SPECS)}"
-                )
-            spec = RANDOM_SPECS[str(model_id)]()
-            self.model = make_model(spec)
-            params = self.model.init_params(jax.random.PRNGKey(0), self.dtype)
-        if quantization in ("w8a8", "w4a8"):
-            from blurr_tpu.models.openvla.llama import (
-                quantize_llama_w4a8,
-                quantize_llama_w8a8,
-            )
-
-            qfn = (quantize_llama_w8a8 if quantization == "w8a8"
-                   else quantize_llama_w4a8)
-            params["llama"] = qfn(params["llama"])
+        # shared model-id resolution (models/openvla/build.py): snapshot
+        # dir or RANDOM_SPECS id, OFT aux load-or-init, PTQ of the LLM
+        built = build_openvla(
+            model_id, dtype=self.dtype, oft=self.oft, chunk_len=chunk_len,
+            use_proprio=self.use_proprio, proprio_dim=proprio_dim,
+            quantization=quantization,
+            checkpoint_path=checkpoint_path or None,
+        )
+        self.model = built.model
+        params = built.params
+        spec = built.spec
+        tokenizer = built.tokenizer
         if self.unnorm_key is not None:
             if not self.model.norm_stats or (
                 self.unnorm_key not in self.model.norm_stats
@@ -178,25 +113,9 @@ class OpenVLAActionServer(ActionServer):
         else:
             def _step_fn(params, ids, am, px, key, idx):
                 # key/idx keep the shared batcher contract; greedy decode is
-                # deterministic. Ragged right-padded prompts: validity covers
-                # [BOS, patches..., text[1:]] and the llama cache keeps pad
-                # columns masked (models/openvla/llama.py:greedy_generate).
-                from blurr_tpu.models.openvla import llama as llama_lib
-
-                embeds = model._build_prompt_embeds(params, ids, px)
-                b = embeds.shape[0]
-                n_patch = embeds.shape[1] - ids.shape[1]
-                valid = jnp.concatenate(
-                    [
-                        jnp.ones((b, 1 + n_patch), jnp.int32),
-                        am[:, 1:].astype(jnp.int32),
-                    ],
-                    axis=1,
-                )
-                return llama_lib.greedy_generate(
-                    params["llama"], model.spec.llama, embeds, valid,
-                    model.spec.action_dim,
-                )
+                # deterministic. Ragged right-padded prompts co-batch
+                # exactly (model.predict_action_tokens_ragged).
+                return model.predict_action_tokens_ragged(params, ids, px, am)
 
         self._step = jax.jit(_step_fn)
         self._init_runtime(seed, max_batch, batch_window_ms)

@@ -422,6 +422,10 @@ class ActionServer:
         if n_batch:
             out.update(
                 batches_total=n_batch,
+                # raw counters too: scrapers diff counters across
+                # snapshots (means don't diff)
+                live_slots_total=live,
+                padded_slots_total=padded,
                 batch_occupancy_mean=round(live / n_batch, 3),
                 padding_frac=round(padded / max(1, live + padded), 4),
             )

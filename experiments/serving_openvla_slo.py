@@ -46,7 +46,8 @@ DURATION_S = 15.0
 OUT_CSV = (Path(__file__).resolve().parents[1] / "docs" / "results"
            / "serving_openvla_slo_v5e.csv")
 FIELDS = ["preset", "clients", "mode", "requests", "actions_per_s",
-          "p50_ms", "p95_ms", "p99_ms", "mean_ms"]
+          "p50_ms", "p95_ms", "p99_ms", "mean_ms",
+          "batch_occupancy", "padding_frac"]
 
 
 def _request_payload(image_hw: int) -> dict:
@@ -132,6 +133,7 @@ def run_preset(name, model_id, quantization, max_batch, sweep, rows):
     for n in sweep:
         lat_lists = [[] for _ in range(n)]
         errors: list = []
+        s0 = server.stats()
         stop_at = time.time() + DURATION_S
         threads = [
             threading.Thread(target=_client_loop,
@@ -153,15 +155,26 @@ def run_preset(name, model_id, quantization, max_batch, sweep, rows):
         lat = [x for lst in lat_lists for x in lst]
         stats = _percentiles(lat)
         aps = len(lat) / wall
+        s1 = server.stats()
+        d_batches = s1.get("batches_total", 0) - s0.get("batches_total", 0)
+        d_live = (s1.get("live_slots_total", 0)
+                  - s0.get("live_slots_total", 0))
+        d_pad = (s1.get("padded_slots_total", 0)
+                 - s0.get("padded_slots_total", 0))
+        occ = round(d_live / d_batches, 2) if d_batches else ""
+        pad_frac = (round(d_pad / (d_live + d_pad), 4)
+                    if (d_live + d_pad) else "")
         print(
             f"[{name}] clients={n:2d}: {len(lat):5d} req in {wall:.1f}s = "
             f"{aps:7.1f} actions/s | p50 {stats['p50_ms']:.1f} "
-            f"p95 {stats['p95_ms']:.1f} p99 {stats['p99_ms']:.1f} ms",
+            f"p95 {stats['p95_ms']:.1f} p99 {stats['p99_ms']:.1f} ms"
+            + (f" | occ {occ} pad {pad_frac}" if occ != "" else ""),
             flush=True,
         )
         rows.append({"preset": name, "clients": n, "mode": "tcp",
                      "requests": len(lat), "actions_per_s": round(aps, 1),
-                     **stats})
+                     **stats,
+                     "batch_occupancy": occ, "padding_frac": pad_frac})
     server.stop()
     time.sleep(0.5)
 

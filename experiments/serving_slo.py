@@ -153,6 +153,7 @@ def run_preset(name: str, cfg_path: str, max_batch: int, sweep: list, rows: list
     for n in sweep:
         lat_lists = [[] for _ in range(n)]
         errors: list = []
+        s0 = server.stats()
         stop_at = time.time() + DURATION_S
         threads = [
             threading.Thread(
@@ -177,15 +178,28 @@ def run_preset(name: str, cfg_path: str, max_batch: int, sweep: list, rows: list
         lat = [x for lst in lat_lists for x in lst]
         stats = _percentiles(lat)
         chunks_per_s = len(lat) / wall
+        # server-side batching efficiency for THIS sweep point (counter
+        # diff across the {"kind": "stats"} snapshots)
+        s1 = server.stats()
+        d_batches = s1.get("batches_total", 0) - s0.get("batches_total", 0)
+        d_live = (s1.get("live_slots_total", 0)
+                  - s0.get("live_slots_total", 0))
+        d_pad = (s1.get("padded_slots_total", 0)
+                 - s0.get("padded_slots_total", 0))
+        occ = round(d_live / d_batches, 2) if d_batches else ""
+        pad_frac = (round(d_pad / (d_live + d_pad), 4)
+                    if (d_live + d_pad) else "")
         print(
             f"[{name}] clients={n:2d}: {len(lat):5d} req in {wall:.1f}s = "
             f"{chunks_per_s:7.1f} chunks/s | p50 {stats['p50_ms']:.1f} "
-            f"p95 {stats['p95_ms']:.1f} p99 {stats['p99_ms']:.1f} ms",
+            f"p95 {stats['p95_ms']:.1f} p99 {stats['p99_ms']:.1f} ms"
+            + (f" | occ {occ} pad {pad_frac}" if occ != "" else ""),
             flush=True,
         )
         rows.append({"preset": name, "clients": n, "mode": "tcp",
                      "requests": len(lat),
-                     "chunks_per_s": round(chunks_per_s, 1), **stats})
+                     "chunks_per_s": round(chunks_per_s, 1), **stats,
+                     "batch_occupancy": occ, "padding_frac": pad_frac})
 
     server.stop()
     time.sleep(0.5)
@@ -211,7 +225,8 @@ def measure_rtt_floor() -> float:
 
 
 FIELDS = ["preset", "clients", "mode", "requests", "chunks_per_s",
-          "p50_ms", "p95_ms", "p99_ms", "mean_ms"]
+          "p50_ms", "p95_ms", "p99_ms", "mean_ms",
+          "batch_occupancy", "padding_frac"]
 
 
 def _flush_csv(rows):

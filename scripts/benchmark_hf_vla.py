@@ -62,100 +62,27 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from blurr_tpu.models.openvla.checkpoint import (
-        infer_unnorm_key,
-        load_dataset_statistics,
-        load_norm_stats,
-        openvla_params_from_hf_dir,
-    )
-    from blurr_tpu.models.openvla.model import OpenVLA, OpenVLASpec
-    from blurr_tpu.models.openvla.processing import (
-        OpenVLAProcessor,
-        load_hf_tokenizer,
-    )
+    from blurr_tpu.models.openvla.build import build_openvla
+    from blurr_tpu.models.openvla.checkpoint import infer_unnorm_key
+    from blurr_tpu.models.openvla.processing import OpenVLAProcessor
     from blurr_tpu.utils.flops import openvla_forward_flops
     from blurr_tpu.utils.monitor import peak_tpu_memory_gb, timed_call
 
     dtype = jnp.bfloat16 if (args.use_bf16 or args.use_fp16) else jnp.float32
 
-    model_path = Path(args.model_id).expanduser()
-    norm_stats = None
-    dataset_stats = None
-    if model_path.is_dir():
-        spec = OpenVLASpec.from_snapshot_dir(model_path)
-        norm_stats = load_norm_stats(str(model_path))
-        dataset_stats = load_dataset_statistics(str(model_path))
-        model = OpenVLA(spec, norm_stats)
-        params = openvla_params_from_hf_dir(str(model_path), spec, dtype)
-        if args.quantization == "w8a8":
-            from blurr_tpu.models.openvla.llama import quantize_llama_w8a8
-
-            params["llama"] = quantize_llama_w8a8(params["llama"])
-        elif args.quantization == "w4a8":
-            from blurr_tpu.models.openvla.llama import quantize_llama_w4a8
-
-            params["llama"] = quantize_llama_w4a8(params["llama"])
-        tokenizer = load_hf_tokenizer(str(model_path))
-    elif args.model_id in ("random-minivla", "minivla-random"):
-        # MiniVLA-class prismatic: SigLIP-only vision + Qwen2.5-0.5B-
-        # architecture LM (biases, tied lm_head) at full dims
-        sys.path.insert(0, str(Path(__file__).resolve().parent))
-        from eval_prismatic_vla_simpler import minivla_spec
-
-        spec = minivla_spec()
-        model = OpenVLA(spec)
-        params = model.init_params(jax.random.PRNGKey(0), dtype)
-        tokenizer = None
-        if args.quantization in ("w8a8", "w4a8"):
-            from blurr_tpu.models.openvla.llama import (
-                quantize_llama_w4a8,
-                quantize_llama_w8a8,
-            )
-
-            qfn = (
-                quantize_llama_w8a8 if args.quantization == "w8a8"
-                else quantize_llama_w4a8
-            )
-            params["llama"] = qfn(params["llama"])
-    elif args.model_id in ("random-7b", "openvla-7b-random"):
-        spec = OpenVLASpec()
-        model = OpenVLA(spec)
-        params = model.init_params(jax.random.PRNGKey(0), dtype)
-        tokenizer = None
-        if args.quantization in ("w8a8", "w4a8"):
-            # rebuild the LLM directly in quantized form (post-hoc
-            # quantization of a 7B bf16 tree would transiently OOM 16GB)
-            from blurr_tpu.models.openvla.llama import (
-                init_llama_params_w4a8,
-                init_llama_params_w8a8,
-            )
-
-            params["llama"] = None
-            import gc
-
-            gc.collect()
-            init_q = (
-                init_llama_params_w8a8 if args.quantization == "w8a8"
-                else init_llama_params_w4a8
-            )
-            params["llama"] = init_q(jax.random.PRNGKey(0), spec.llama, dtype)
-    else:
-        spec = OpenVLASpec.tiny()
-        model = OpenVLA(spec)
-        params = model.init_params(jax.random.PRNGKey(0), dtype)
-        tokenizer = None
-        if args.quantization in ("w8a8", "w4a8"):
-            # tiny model: post-hoc quantization is memory-safe here
-            from blurr_tpu.models.openvla.llama import (
-                quantize_llama_w4a8,
-                quantize_llama_w8a8,
-            )
-
-            qfn = (
-                quantize_llama_w8a8 if args.quantization == "w8a8"
-                else quantize_llama_w4a8
-            )
-            params["llama"] = qfn(params["llama"])
+    # shared model-id resolution (models/openvla/build.py; also the server,
+    # trainer, and open-loop evaluator). memory_safe_quant_init: the
+    # checkpoint-free 7B builds its LLM directly in quantized form.
+    try:
+        built = build_openvla(
+            args.model_id, dtype=dtype, quantization=args.quantization,
+            memory_safe_quant_init=True,
+        )
+    except ValueError as exc:
+        sys.exit(str(exc))
+    model, params, spec = built.model, built.params, built.spec
+    tokenizer = built.tokenizer
+    norm_stats, dataset_stats = built.norm_stats, built.dataset_stats
 
     unnorm_key = None
     if norm_stats:

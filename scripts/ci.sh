@@ -60,6 +60,12 @@ python scripts/train_pi0_flow.py --config config/eval/bridge_tiny.yaml \
 python scripts/train_openvla_lora.py --model-id random --steps 2 \
   --batch-size 2 --lora-rank 2 --dtype fp32 2>&1 \
   | grep -q "Done. final loss" && echo "train_openvla_lora OK"
+python scripts/eval_openloop.py --config config/eval/bridge_tiny.yaml \
+  --checkpoint random --examples 4 --batch-size 2 2>&1 \
+  | grep -q "Open-loop eval:" && echo "eval_openloop OK"
+python scripts/eval_openloop_vla.py --model-id random --dtype fp32 \
+  --examples 4 --batch-size 2 2>&1 \
+  | grep -q "Open-loop VLA eval" && echo "eval_openloop_vla OK"
 rm -rf "$SWEEP_DIR"
 
 echo "==== driver contracts ===="

@@ -49,6 +49,11 @@ def main():
     p.add_argument("--use-proprio", action="store_true",
                    help="OFT: condition on the request's proprio field.")
     p.add_argument("--proprio-dim", type=int, default=8)
+    p.add_argument("--checkpoint", type=str, default="",
+                   help="Orbax params dir from train_openvla_lora "
+                        "--save-params (full tree incl. QLoRA quant dicts "
+                        "and LoRA factors); --model-id still supplies the "
+                        "architecture spec.")
     p.add_argument("--tp", type=int, default=1,
                    help="Tensor-parallel over a (dp, tp) mesh — the capacity "
                         "path for the 7B on 16 GB chips.")
@@ -68,6 +73,7 @@ def main():
         max_text_tokens=args.max_text_tokens, oft=args.oft,
         chunk_len=args.chunk_len, use_proprio=args.use_proprio,
         proprio_dim=args.proprio_dim,
+        checkpoint_path=args.checkpoint or None,
     )
     logging.info("warming up (XLA compile)...")
     logging.info("warmup took %.1f s", server.warmup())

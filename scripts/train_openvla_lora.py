@@ -92,6 +92,11 @@ def parse_args():
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3: weights + moments additionally shard over "
                         "'data' (needs --dp > 1).")
+    p.add_argument("--save-params", type=str, default="",
+                   help="Save the FINAL full parameter tree (orbax dir): "
+                   "base weights incl. QLoRA quant dicts, LoRA factors, "
+                   "OFT aux — serve/eval it via --checkpoint on "
+                   "serve_openvla.py / eval_openloop_vla.py.")
     p.add_argument("--save-state", type=str, default="",
                    help="save the COMPLETE training state (params + "
                         "moments + step) at the end for EXACT resume.")
@@ -140,15 +145,9 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from blurr_tpu.models.openvla.model import (
-        EMPTY_TOKEN,
-        OpenVLA,
-        OpenVLAOFT,
-        OpenVLASpec,
-    )
+    from blurr_tpu.models.openvla.model import EMPTY_TOKEN
     from blurr_tpu.models.openvla.processing import (
         OpenVLAProcessor,
-        load_hf_tokenizer,
         process_image,
         tokenize_prompt_ids,
     )
@@ -161,67 +160,26 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
-    def make_model(spec):
-        if args.oft:
-            return OpenVLAOFT(
-                spec, chunk_len=args.chunk_len,
-                use_proprio=args.use_proprio, proprio_dim=args.proprio_dim,
-            )
-        return OpenVLA(spec)
+    # shared model-id resolution (models/openvla/build.py, also the server
+    # and open-loop evaluator): snapshot dir or RANDOM_SPECS id, OFT aux
+    # load-or-init (continued fine-tuning vs from-scratch head), and the
+    # base-quantization for QLoRA — the LoRA factors inject on top below
+    from blurr_tpu.models.openvla.build import build_openvla
 
-    tokenizer = None
-    path = Path(str(args.model_id)).expanduser()
-    if path.is_dir():
-        from blurr_tpu.models.openvla.checkpoint import (
-            load_oft_aux_params,
-            openvla_params_from_hf_dir,
+    try:
+        built = build_openvla(
+            args.model_id, dtype=dtype, oft=args.oft,
+            chunk_len=args.chunk_len, use_proprio=args.use_proprio,
+            proprio_dim=args.proprio_dim,
+            quantization=args.quantize_base,
         )
-
-        spec = OpenVLASpec.from_snapshot_dir(path)
-        model = make_model(spec)
-        params = openvla_params_from_hf_dir(str(path), spec, dtype)
-        tokenizer = load_hf_tokenizer(str(path))
-        if args.oft:
-            # resume the aux modules from the snapshot when present, else
-            # fresh-init them (continued fine-tuning vs from-scratch head)
-            from blurr_tpu.models.openvla.model import (
-                init_oft_action_head,
-                init_oft_proprio_projector,
-            )
-
-            head, proj = load_oft_aux_params(str(path), dtype)
-            h = spec.llama.hidden_size
-            n_tok = args.chunk_len * spec.action_dim
-            k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-            params["action_head"] = head if head is not None else (
-                init_oft_action_head(k1, n_tok * h, h, n_tok, 2, dtype)
-            )
-            if args.use_proprio:
-                params["proprio_projector"] = proj if proj is not None else (
-                    init_oft_proprio_projector(k2, args.proprio_dim, h, h, dtype)
-                )
-    else:
-        from blurr_tpu.models.openvla.model import RANDOM_SPECS
-
-        if str(args.model_id) not in RANDOM_SPECS:
-            sys.exit(f"unknown --model-id {args.model_id!r}; expected an "
-                     f"HF snapshot dir or one of {sorted(RANDOM_SPECS)}")
-        spec = RANDOM_SPECS[str(args.model_id)]()
-        model = make_model(spec)
-        params = model.init_params(jax.random.PRNGKey(0), dtype)
+    except ValueError as exc:
+        sys.exit(str(exc))
+    model, params, spec = built.model, built.params, built.spec
+    tokenizer = built.tokenizer
 
     targets = tuple(t.strip() for t in args.lora_targets.split(",") if t.strip())
-    llama = params["llama"]
-    if args.quantize_base != "none":
-        from blurr_tpu.models.openvla.llama import (
-            quantize_llama_w4a8,
-            quantize_llama_w8a8,
-        )
-
-        qfn = (quantize_llama_w8a8 if args.quantize_base == "w8a8"
-               else quantize_llama_w4a8)
-        llama = qfn(llama)
-    llama = dict(llama)
+    llama = dict(params["llama"])
     llama["layers"] = inject_lora_tree(
         llama["layers"], jax.random.PRNGKey(args.seed + 7), args.lora_rank,
         targets, args.lora_alpha or None, dtype=dtype,
@@ -519,6 +477,14 @@ def main():
         save_train_state(args.save_state, p, o, steps_done,
                          jax.random.PRNGKey(0))
         log.info("Saved training state to %s", args.save_state)
+    if args.save_params:
+        # serveable full tree (base incl. quant dicts + LoRA factors + OFT
+        # aux) — build_openvla(checkpoint_path=...) loads it directly into
+        # the action server / open-loop evaluator, no export step
+        from blurr_tpu.models.pi0.checkpoint import save_params
+
+        save_params(p, args.save_params)
+        log.info("Saved serveable params to %s", args.save_params)
     if loader is not None:
         loader.close()
     log.info("Done. final loss %.5f", float(loss))
