@@ -35,4 +35,9 @@ run serving_openvla_slo python experiments/serving_openvla_slo.py
 #    LoRA fine-tune (the capacity headline for the new trainer)
 run qlora7b_fit python experiments/qlora7b_memory.py
 
+# 5) Pi-0 SLO re-sweep: the harness now records server-side batch
+#    occupancy/padding per sweep point ({"kind": "stats"} counter diffs) —
+#    refresh docs/results/serving_slo_v5e.csv with the new columns
+run serving_slo python experiments/serving_slo.py
+
 echo "all done; logs in $OUT"
