@@ -35,6 +35,25 @@ except Exception:  # pragma: no cover
 log = logging.getLogger(__name__)
 
 
+def make_noise_infer(fn, n_tok: int, act_dim: int, dtype):
+    """Jitted control step with IN-GRAPH flow noise from
+    ``fold_in(base_key, step_idx)``: sampling on the host would dispatch
+    two extra device programs per control step (split + normal), which
+    costs real round-trips on the axon tunnel. This is the ONE noise/key
+    derivation (CLAUDE.md) shared by the serial agent, batched lockstep
+    eval, the Pi-0 action server, and the open-loop evaluator; the noise
+    batch follows ``ids.shape[0]``."""
+
+    def step(params, ids, am, px, pr, key, idx):
+        noise = jax.random.normal(
+            jax.random.fold_in(key, idx),
+            (ids.shape[0], n_tok, act_dim), dtype,
+        )
+        return fn(params, ids, am, px, pr, noise)
+
+    return jax.jit(step)
+
+
 class EvalAgent:
     def __init__(self, cfg):
         log.info("EvalAgent.__init__ start, task=%s", cfg["env"].get("task"))
@@ -104,25 +123,17 @@ class EvalAgent:
         log.info("Env adapter instantiated.")
 
     def _make_infer(self, fn, batch_size: int):
-        """Jitted control step with IN-GRAPH noise from (base_key, step_idx):
-        sampling on the host would dispatch two extra device programs per
-        control step (split + normal), which costs real round-trips on the
-        axon tunnel. ``batch_size`` is the noise batch — 1 for the serial
-        agent, N for batched lockstep eval (the single key-derivation
-        contract lives HERE for both)."""
-        noise_shape = (
-            batch_size,
-            self.model.spec.num_action_tokens,
-            self.model.spec.action_dim,
+        """Jitted control step with in-graph noise; the derivation lives in
+        module-level :func:`make_noise_infer` (the single key-derivation
+        contract for the serial agent, batched lockstep eval, the Pi-0
+        action server, and the open-loop evaluator). ``batch_size``
+        documents the caller's batch; the noise batch follows
+        ``ids.shape[0]``, which equals it by construction."""
+        del batch_size
+        return make_noise_infer(
+            fn, self.model.spec.num_action_tokens,
+            self.model.spec.action_dim, self.dtype,
         )
-
-        def step(params, ids, am, px, pr, key, idx):
-            noise = jax.random.normal(
-                jax.random.fold_in(key, idx), noise_shape, self.dtype
-            )
-            return fn(params, ids, am, px, pr, noise)
-
-        return jax.jit(step)
 
     @staticmethod
     def _sanitize(out: np.ndarray) -> np.ndarray:

@@ -88,9 +88,17 @@ def build_openvla(
         norm_stats = load_norm_stats(str(path))
         dataset_stats = load_dataset_statistics(str(path))
         model = make_model(spec, norm_stats)
-        params = openvla_params_from_hf_dir(str(path), spec, dtype)
         tokenizer = load_hf_tokenizer(str(path))
-        if oft:
+        if checkpoint_path:
+            # the orbax tree replaces every weight — only the spec/
+            # tokenizer/statistics come from the snapshot. Loading the
+            # full HF tree just to discard it would waste minutes AND
+            # transiently hold two 7B trees (the >16 GB OOM CLAUDE.md
+            # warns about).
+            params = None
+        else:
+            params = openvla_params_from_hf_dir(str(path), spec, dtype)
+        if oft and checkpoint_path is None:
             from blurr_tpu.models.openvla.checkpoint import (
                 load_oft_aux_params,
             )
@@ -118,8 +126,9 @@ def build_openvla(
             )
         spec = RANDOM_SPECS[str(model_id)]()
         model = make_model(spec)
-        if (quantization and memory_safe_quant_init
-                and checkpoint_path is None
+        if checkpoint_path:
+            params = None  # the orbax tree replaces the random init below
+        elif (quantization and memory_safe_quant_init
                 and spec.llama.num_layers >= 32):
             # full-dims checkpoint-free 7B: drop the bf16 LLM and rebuild
             # it straight in quantized form (quantize_llama_* holds source
@@ -139,7 +148,8 @@ def build_openvla(
             params["llama"] = init_q(jax.random.PRNGKey(0), spec.llama, dtype)
             return BuiltVLA(model, params, spec, tokenizer, norm_stats,
                             dataset_stats)
-        params = model.init_params(jax.random.PRNGKey(0), dtype)
+        else:
+            params = model.init_params(jax.random.PRNGKey(0), dtype)
 
     if checkpoint_path:
         # orbax dir from train_openvla_lora --save-params: the FULL tree
@@ -161,6 +171,15 @@ def build_openvla(
                     "(the tree serves as-is)"
                 )
             raise ValueError("params already quantized")
+        if _llama_has_lora_dicts(params["llama"]):
+            # quantize_llama_* skip dict-valued weights, so PTQ here would
+            # silently leave the LoRA-wrapped projections (the largest
+            # weights) unquantized — refuse instead of misleading the user
+            raise ValueError(
+                "the LLM carries LoRA factor dicts; PTQ would skip the "
+                "wrapped projections. Merge the adapter first "
+                "(ops.lora.merge_lora_tree) or train with --quantize-base."
+            )
         from blurr_tpu.models.openvla.llama import (
             quantize_llama_w4a8,
             quantize_llama_w8a8,
@@ -180,6 +199,40 @@ def _llama_has_quant_dicts(llama: dict) -> bool:
     def walk(t):
         if isinstance(t, dict):
             if {"q", "q8a", "q4", "fp"} & set(t):
+                hit.append(True)
+                return
+            for v in t.values():
+                walk(v)
+
+    walk(llama)
+    return bool(hit)
+
+
+def llama_has_w4a8(llama: dict) -> bool:
+    """True when any layer weight is a w4a8 dict ({"q4","s"}) — block-major
+    packed per-chip, so TP sharding must reject these trees however they
+    arrived (quantization= arg or a pre-quantized checkpoint)."""
+    hit = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if "q4" in t:
+                hit.append(True)
+                return
+            for v in t.values():
+                walk(v)
+
+    walk(llama)
+    return bool(hit)
+
+
+def _llama_has_lora_dicts(llama: dict) -> bool:
+    """True when any layer weight is a LoRA factor dict ({"w","lora_a",...})."""
+    hit = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if "lora_a" in t:
                 hit.append(True)
                 return
             for v in t.values():

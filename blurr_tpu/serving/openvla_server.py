@@ -67,16 +67,29 @@ class OpenVLAActionServer(ActionServer):
 
         # shared model-id resolution (models/openvla/build.py): snapshot
         # dir or RANDOM_SPECS id, OFT aux load-or-init, PTQ of the LLM
+        # (memory-safe: checkpoint-free 7B inits straight into quantized
+        # form instead of transiently holding bf16 + int8 trees)
         built = build_openvla(
             model_id, dtype=self.dtype, oft=self.oft, chunk_len=chunk_len,
             use_proprio=self.use_proprio, proprio_dim=proprio_dim,
-            quantization=quantization,
+            quantization=quantization, memory_safe_quant_init=True,
             checkpoint_path=checkpoint_path or None,
         )
         self.model = built.model
         params = built.params
         spec = built.spec
         tokenizer = built.tokenizer
+        if self.tp > 1:
+            from blurr_tpu.models.openvla.build import llama_has_w4a8
+
+            # a w4a8 CHECKPOINT must hit the same guard as quantization=
+            # ("w4a8" arg is caught above before the weights ever load)
+            if llama_has_w4a8(params["llama"]):
+                raise NotImplementedError(
+                    "tp>1 with a w4a8 tree: the Pallas int4 kernel's "
+                    "block-major packing is laid out per-chip. Serve w4a8 "
+                    "single-chip or use w8a8."
+                )
         if self.unnorm_key is not None:
             if not self.model.norm_stats or (
                 self.unnorm_key not in self.model.norm_stats

@@ -179,13 +179,12 @@ class ActionServer:
             params = shard_params(params, self.mesh)
         self.params = params
         self.processor = build_processor(cfg)
-        # noise sampled in-graph from (base_key, request_idx): one device
-        # program per request (host-side split/normal would dispatch two
-        # extra programs over the tunnel). Batch size comes from the input
-        # shapes, so one jitted fn serves every batch bucket (one compile
-        # per bucket).
-        n_tok = self.model.spec.num_action_tokens
-        act_dim = self.model.spec.action_dim
+        # noise sampled in-graph from (base_key, request_idx) — the shared
+        # derivation (agent/eval_agent.py:make_noise_infer). Batch size
+        # comes from the input shapes, so one jitted fn serves every batch
+        # bucket (one compile per bucket).
+        from blurr_tpu.agent.eval_agent import make_noise_infer
+
         # honor the preset semantics: baseline/vanilla presets set
         # use_prefix_kv_cache=False and must serve the naive path
         infer = (
@@ -193,15 +192,10 @@ class ActionServer:
             if cfg.get("use_prefix_kv_cache", True)
             else self.model.infer_action_naive
         )
-
-        def _step_fn(params, ids, am, px, pr, key, idx):
-            noise = jax.random.normal(
-                jax.random.fold_in(key, idx),
-                (ids.shape[0], n_tok, act_dim), self.dtype,
-            )
-            return infer(params, ids, am, px, pr, noise)
-
-        self._step = jax.jit(_step_fn)
+        self._step = make_noise_infer(
+            infer, self.model.spec.num_action_tokens,
+            self.model.spec.action_dim, self.dtype,
+        )
         self._init_runtime(seed, max_batch, batch_window_ms)
 
     # ------------------------------------------------------------------
@@ -590,6 +584,15 @@ class ActionServer:
                     continue
                 if req is None:
                     return
+                if not isinstance(req, dict):
+                    # valid JSON but not an object ('[1,2]', '"x"') — keep
+                    # the hostile-input containment: reply, don't die
+                    try:
+                        send_msg(conn, {"error": "request must be a JSON "
+                                        f"object, got {type(req).__name__}"})
+                    except OSError:
+                        return
+                    continue
                 kind = req.get("kind", "predict")
                 if kind == "stats":
                     try:

@@ -114,6 +114,10 @@ def load_eval_batches(cfg, args):
         n = args.examples
     elif args.data.endswith(".npz"):
         data = dict(np.load(args.data))
+        missing = [k for k in REQUIRED_KEYS if k not in data]
+        if missing:  # before any indexing, so the exit message wins
+            sys.exit(
+                f"dataset is missing keys {missing}; has {sorted(data)}")
         n = min(args.examples, data["actions"].shape[0])
         data = {k: v[-n:] for k, v in data.items()}
     else:
@@ -164,13 +168,11 @@ def main() -> None:
     n_tok, act_dim = cfg["horizon_steps"], cfg["action_dim"]
     key = jax.random.PRNGKey(args.seed)
 
-    def step(params, ids, am, px, pr, bidx):
-        noise = jax.random.normal(
-            jax.random.fold_in(key, bidx),
-            (ids.shape[0], n_tok, act_dim), dtype)
-        return infer(params, ids, am, px, pr, noise)
+    # the shared (base_key, batch_idx) -> in-graph noise derivation
+    # (agent/eval_agent.py:make_noise_infer — CLAUDE.md one-place rule)
+    from blurr_tpu.agent.eval_agent import make_noise_infer
 
-    jitted = jax.jit(step)
+    jitted = make_noise_infer(infer, n_tok, act_dim, dtype)
 
     # accumulate in fp64 on host
     se = np.zeros(act_dim)      # sum of squared error per dim (all steps)
@@ -191,7 +193,7 @@ def main() -> None:
             jnp.asarray(batch["attention_mask"]),
             jnp.asarray(batch["pixel_values"], dtype),
             jnp.asarray(batch["proprios"], dtype),
-            bidx,
+            key, bidx,
         ), np.float64)[:live]
         gt = np.asarray(batch["actions"], np.float64)[:live]
         err = pred - gt

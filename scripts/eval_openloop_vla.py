@@ -137,6 +137,7 @@ def main() -> None:
             args.model_id, dtype=dtype, oft=args.oft,
             chunk_len=args.chunk_len, use_proprio=args.use_proprio,
             proprio_dim=args.proprio_dim, quantization=args.quantization,
+            memory_safe_quant_init=True,
             checkpoint_path=args.checkpoint or None,
         )
     except ValueError as exc:
@@ -144,7 +145,22 @@ def main() -> None:
     model, params, spec = built.model, built.params, built.spec
 
     data = load_examples(args, spec, built.tokenizer)
-    n = data["action"].shape[0]
+    # rank/shape must match the variant BEFORE any metric math: a
+    # mismatched dataset would broadcast into silently wrong numbers
+    a_shape = data["action"].shape
+    if args.oft:
+        if len(a_shape) != 3 or a_shape[1:] != (args.chunk_len,
+                                                spec.action_dim):
+            sys.exit(
+                f"--oft expects actions [N, {args.chunk_len}, "
+                f"{spec.action_dim}] (chunk_len x action_dim); dataset has "
+                f"{list(a_shape)}. Match --chunk-len to the dataset or "
+                "drop --oft for a single-step (AR) dataset.")
+    elif len(a_shape) != 2 or a_shape[1] != spec.action_dim:
+        sys.exit(
+            f"AR eval expects actions [N, {spec.action_dim}]; dataset has "
+            f"{list(a_shape)}. Pass --oft for chunked datasets.")
+    n = a_shape[0]
     bs = args.batch_size
 
     if args.oft:
@@ -161,7 +177,6 @@ def main() -> None:
 
     se = 0.0
     ae = 0.0
-    l1 = 0.0
     se_prefix = 0.0
     grip_match = 0
     grip_total = 0
@@ -205,7 +220,6 @@ def main() -> None:
         err = pred - gt
         se += float((err ** 2).sum())
         ae += float(np.abs(err).sum())
-        l1 += float(np.abs(err).sum())
         if args.oft:
             se_prefix += float((err[:, :k] ** 2).sum())
             count_prefix += live * k * gt.shape[-1]
@@ -226,7 +240,9 @@ def main() -> None:
         "seed": args.seed,
     }
     if args.oft:
-        metrics["l1"] = l1 / count       # the OFT training loss
+        # mean |err| over the chunk == the OFT training loss normalization
+        # (oft_l1_loss reduces the same way); alias, not a second sum
+        metrics["l1"] = metrics["mae"]
         metrics["mse_prefix"] = se_prefix / count_prefix
         metrics["act_steps"] = k
     else:

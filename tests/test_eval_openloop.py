@@ -221,3 +221,40 @@ def test_vla_oft_schema(tmp_path, monkeypatch):
     for k in ("l1", "mse_prefix", "mse", "gripper_agreement"):
         assert k in got, k
     assert got["act_steps"] == 2 and got["examples"] == 5
+
+
+def test_npz_missing_actions_exits(tmp_path, monkeypatch):
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, foo=np.zeros((4, 1)))
+    with pytest.raises(SystemExit, match="missing keys"):
+        _run(tmp_path, monkeypatch, "--data", str(bad),
+             "--examples", "4", "--batch-size", "2")
+
+
+def test_vla_variant_shape_mismatch_exits(tmp_path, monkeypatch):
+    """--oft against an AR dataset (and vice versa) must exit with a clear
+    message instead of broadcasting into silently wrong metrics."""
+    from blurr_tpu.models.openvla.build import build_openvla
+    from blurr_tpu.models.openvla.data import write_openvla_dataset
+
+    import jax.numpy as jnp
+
+    spec = build_openvla("random", dtype=jnp.float32).spec
+    rng = np.random.RandomState(0)
+    n = 4
+    imgs = rng.randint(0, 256, (n, spec.siglip.image_size,
+                                spec.siglip.image_size, 3), np.uint8)
+    instr = ["pick up the carrot"] * n
+    ar_actions = rng.rand(n, spec.action_dim).astype(np.float32) * 2 - 1
+    write_openvla_dataset(tmp_path / "ar", imgs, instr, ar_actions,
+                          shard_size=4)
+    with pytest.raises(SystemExit, match="--oft expects actions"):
+        _run_vla(tmp_path, monkeypatch, "--data", str(tmp_path / "ar"),
+                 "--oft", "--chunk-len", "4",
+                 "--examples", "4", "--batch-size", "4")
+    chunk_actions = rng.rand(n, 4, spec.action_dim).astype(np.float32)
+    write_openvla_dataset(tmp_path / "oft", imgs, instr, chunk_actions,
+                          shard_size=4)
+    with pytest.raises(SystemExit, match="AR eval expects actions"):
+        _run_vla(tmp_path, monkeypatch, "--data", str(tmp_path / "oft"),
+                 "--examples", "4", "--batch-size", "4")

@@ -598,3 +598,37 @@ def test_save_params_serves_and_evals(tmp_path, monkeypatch):
         got = json.load(f)
     assert got["examples"] == 4 and np.isfinite(got["mse"])
     assert got["checkpoint"] == str(saved)
+
+
+def test_w4a8_checkpoint_rejects_tp_and_lora_ptq_refused(tmp_path):
+    """A w4a8 tree loaded via checkpoint_path must hit the same tp>1 guard
+    as quantization='w4a8'; PTQ over LoRA factor dicts is refused."""
+    import pytest as _pytest
+
+    import jax
+    import jax.numpy as jnp
+
+    from blurr_tpu.models.openvla.build import build_openvla
+    from blurr_tpu.models.pi0.checkpoint import save_params
+    from blurr_tpu.ops.lora import inject_lora_tree
+    from blurr_tpu.serving.openvla_server import OpenVLAActionServer
+
+    built = build_openvla("random", dtype=jnp.float32, quantization="w4a8")
+    saved = tmp_path / "w4"
+    save_params(built.params, str(saved))
+    with _pytest.raises(NotImplementedError, match="w4a8"):
+        OpenVLAActionServer("random", use_bf16=False, tp=2, max_batch=2,
+                            checkpoint_path=str(saved))
+
+    plain = build_openvla("random", dtype=jnp.float32)
+    llama = dict(plain.params["llama"])
+    llama["layers"] = inject_lora_tree(
+        llama["layers"], jax.random.PRNGKey(0), 2, ("q_w",), None,
+        dtype=jnp.float32)
+    p2 = dict(plain.params)
+    p2["llama"] = llama
+    saved2 = tmp_path / "lora"
+    save_params(p2, str(saved2))
+    with _pytest.raises(ValueError, match="LoRA factor dicts"):
+        build_openvla("random", dtype=jnp.float32,
+                      checkpoint_path=str(saved2), quantization="w8a8")

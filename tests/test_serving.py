@@ -520,3 +520,22 @@ def test_unknown_kind_keeps_connection(server):
     out = client.predict(np.zeros((28, 28, 3), np.uint8), "x", [0.0] * 7)
     assert out.shape == (4, 7)
     client.close()
+
+
+def test_non_dict_json_frame_keeps_connection(server):
+    """Valid JSON that is not an object ('[1,2]') must get an error reply,
+    not kill the handler thread (hostile-input containment)."""
+    from blurr_tpu.serving.server import recv_msg, send_msg
+
+    client = ActionClient(port=server.port)
+    import json as _json
+    import struct as _struct
+
+    for payload in (b"[1,2]", b'"x"'):
+        client.sock.sendall(_struct.pack(">I", len(payload)) + payload)
+        resp = recv_msg(client.sock)
+        assert "error" in resp and "JSON object" in resp["error"]
+    # connection still serves
+    out = client.predict(np.zeros((28, 28, 3), np.uint8), "x", [0.0] * 7)
+    assert out.shape == (4, 7)
+    client.close()
