@@ -44,7 +44,8 @@ class OpenVLAActionServer(ActionServer):
                  tp: int = 1, dp: int = 1, max_text_tokens: int = 32,
                  oft: bool = False, chunk_len: int = 8,
                  use_proprio: bool = False, proprio_dim: int = 8,
-                 checkpoint_path: Optional[str] = None):
+                 checkpoint_path: Optional[str] = None,
+                 max_queue: int = 0):
         import jax
         import jax.numpy as jnp
 
@@ -131,7 +132,8 @@ class OpenVLAActionServer(ActionServer):
                 return model.predict_action_tokens_ragged(params, ids, px, am)
 
         self._step = jax.jit(_step_fn)
-        self._init_runtime(seed, max_batch, batch_window_ms)
+        self._init_runtime(seed, max_batch, batch_window_ms,
+                           max_queue=max_queue)
 
     # ------------------------------------------------------------------
 

@@ -136,7 +136,8 @@ class ActionServer:
 
     def __init__(self, cfg, checkpoint_path: Optional[str] = None,
                  seed: int = 42, max_batch: int = 1,
-                 batch_window_ms: float = 2.0, tp: int = 1, dp: int = 1):
+                 batch_window_ms: float = 2.0, tp: int = 1, dp: int = 1,
+                 max_queue: int = 0):
         import jax
         import jax.numpy as jnp
 
@@ -196,7 +197,8 @@ class ActionServer:
             infer, self.model.spec.num_action_tokens,
             self.model.spec.action_dim, self.dtype,
         )
-        self._init_runtime(seed, max_batch, batch_window_ms)
+        self._init_runtime(seed, max_batch, batch_window_ms,
+                           max_queue=max_queue)
 
     # ------------------------------------------------------------------
     # model-agnostic serving runtime (mesh, batcher, transport) — shared
@@ -238,7 +240,7 @@ class ActionServer:
                 self._batch_shard = batch_sharding(self.mesh)
 
     def _init_runtime(self, seed: int, max_batch: int,
-                      batch_window_ms: float) -> None:
+                      batch_window_ms: float, max_queue: int = 0) -> None:
         import jax
 
         self._base_key = jax.random.PRNGKey(seed)
@@ -255,6 +257,11 @@ class ActionServer:
         # tests/test_pizero.py's padded-batch test)
         self.max_batch = max(1, int(max_batch))
         self.batch_window_s = batch_window_ms / 1000.0
+        # backpressure: > 0 bounds the number of QUEUED (not yet claimed)
+        # requests; excess requests are rejected immediately instead of
+        # accumulating unbounded latency behind a saturated device. 0 =
+        # admit everything (the default; robot-loop clients self-limit).
+        self.max_queue = max(0, int(max_queue))
         self._queue: "queue.Queue[_PendingRequest]" = queue.Queue()
         self._closed = False
         # observability counters ({"kind": "stats"} protocol message).
@@ -264,6 +271,7 @@ class ActionServer:
         self._t_start = time.monotonic()
         self._n_requests = 0
         self._n_errors = 0
+        self._n_rejected = 0
         self._n_batches = 0
         self._live_slots = 0
         self._padded_slots = 0
@@ -391,12 +399,14 @@ class ActionServer:
         with self._stats_lock:
             lat = list(self._latencies_ms)
             n_req, n_err = self._n_requests, self._n_errors
+            n_rej = self._n_rejected
             n_batch = self._n_batches
             live, padded = self._live_slots, self._padded_slots
             uptime = time.monotonic() - self._t_start
         out = {
             "requests_total": n_req,
             "errors_total": n_err,
+            "rejected_total": n_rej,
             "queue_depth": self._queue.qsize(),
             "uptime_s": round(uptime, 3),
             "max_batch": self.max_batch,
@@ -437,6 +447,13 @@ class ActionServer:
                 return self._post(np.asarray(actions))[0]
         if self._closed:
             raise RuntimeError("ActionServer is shut down")
+        if self.max_queue and self._queue.qsize() >= self.max_queue:
+            with self._stats_lock:
+                self._n_rejected += 1
+            raise RuntimeError(
+                f"Overloaded: {self._queue.qsize()} requests queued "
+                f"(max_queue={self.max_queue}); retry later"
+            )
         pending = _PendingRequest(inputs)
         self._queue.put(pending)
         # bounded waits: a request that raced stop()'s shutdown sentinel (or

@@ -67,6 +67,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--act-steps", type=int, default=4,
                    help="Executed-prefix length for the truncated metrics.")
     p.add_argument("--use-bf16", action="store_true")
+    p.add_argument("--dp", type=int, default=1,
+                   help="Data-parallel shards over the 'data' mesh axis "
+                   "(needs batch-size divisible by dp and dp devices; "
+                   "per-example math is unchanged, so metrics match "
+                   "single-device).")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--output-json", type=str, default="",
                    help="Also write the metrics dict to this path.")
@@ -174,6 +179,21 @@ def main() -> None:
 
     jitted = make_noise_infer(infer, n_tok, act_dim, dtype)
 
+    bsh = None
+    if args.dp > 1:
+        from blurr_tpu.parallel.mesh import (
+            batch_sharding,
+            make_mesh,
+            shard_params,
+        )
+
+        if args.batch_size % args.dp:
+            sys.exit(f"--batch-size {args.batch_size} must be divisible "
+                     f"by --dp {args.dp}")
+        mesh = make_mesh(data=args.dp, model=1)
+        params = shard_params(params, mesh)
+        bsh = batch_sharding(mesh)
+
     # accumulate in fp64 on host
     se = np.zeros(act_dim)      # sum of squared error per dim (all steps)
     ae = 0.0                    # sum |err| over everything
@@ -187,13 +207,16 @@ def main() -> None:
 
     n_eval = 0
     for bidx, (batch, live) in enumerate(load_eval_batches(cfg, args)):
-        pred = np.asarray(jitted(
-            params,
+        inputs = (
             jnp.asarray(batch["input_ids"]),
             jnp.asarray(batch["attention_mask"]),
             jnp.asarray(batch["pixel_values"], dtype),
             jnp.asarray(batch["proprios"], dtype),
-            key, bidx,
+        )
+        if bsh is not None:
+            inputs = tuple(jax.device_put(a, bsh) for a in inputs)
+        pred = np.asarray(jitted(
+            params, *inputs, key, bidx,
         ), np.float64)[:live]
         gt = np.asarray(batch["actions"], np.float64)[:live]
         err = pred - gt

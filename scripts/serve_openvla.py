@@ -39,6 +39,9 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max-batch", type=int, default=1)
     p.add_argument("--batch-window-ms", type=float, default=2.0)
+    p.add_argument("--max-queue", type=int, default=0,
+                   help="Backpressure: reject requests when more than this "
+                        "many are queued unclaimed (0 = admit everything).")
     p.add_argument("--max-text-tokens", type=int, default=32)
     p.add_argument("--oft", action="store_true",
                    help="serve the OFT parallel-decoding variant: one "
@@ -74,6 +77,7 @@ def main():
         chunk_len=args.chunk_len, use_proprio=args.use_proprio,
         proprio_dim=args.proprio_dim,
         checkpoint_path=args.checkpoint or None,
+        max_queue=args.max_queue,
     )
     logging.info("warming up (XLA compile)...")
     logging.info("warmup took %.1f s", server.warmup())

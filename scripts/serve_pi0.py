@@ -37,6 +37,11 @@ def main():
                         "--batch-window-ms are padded to the next power-of-2 "
                         "bucket and served by ONE device program.")
     p.add_argument("--batch-window-ms", type=float, default=2.0)
+    p.add_argument("--max-queue", type=int, default=0,
+                   help="Backpressure: reject requests when more than this "
+                        "many are queued unclaimed (0 = admit everything). "
+                        "Rejected requests get an immediate Overloaded "
+                        "error and count in stats rejected_total.")
     p.add_argument("--tp", type=int, default=1,
                    help="Tensor-parallel serving over a (1, tp) device mesh "
                         "(capacity path: per-chip weight bytes divided by tp; "
@@ -60,7 +65,7 @@ def main():
     server = ActionServer(cfg, args.checkpoint, seed=args.seed,
                           max_batch=args.max_batch,
                           batch_window_ms=args.batch_window_ms, tp=args.tp,
-                          dp=args.dp)
+                          dp=args.dp, max_queue=args.max_queue)
     logging.info("warming up (XLA compile)...")
     logging.info("warmup took %.1f s", server.warmup())
     server.serve_forever(args.host, args.port)

@@ -258,3 +258,19 @@ def test_vla_variant_shape_mismatch_exits(tmp_path, monkeypatch):
     with pytest.raises(SystemExit, match="AR eval expects actions"):
         _run_vla(tmp_path, monkeypatch, "--data", str(tmp_path / "oft"),
                  "--examples", "4", "--batch-size", "4")
+
+
+def test_dp2_matches_single_device(tmp_path, monkeypatch):
+    """--dp 2 splits each batch over the 'data' mesh axis; per-example
+    math is unchanged, so metrics match the single-device run."""
+    a = _run(tmp_path, monkeypatch, "--examples", "8", "--batch-size", "4")
+    b = _run(tmp_path, monkeypatch, "--examples", "8", "--batch-size", "4",
+             "--dp", "2")
+    for k in ("mse", "mae", "eef_l2", "gripper_agreement"):
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6), k
+
+
+def test_dp_requires_divisible_batch(tmp_path, monkeypatch):
+    with pytest.raises(SystemExit, match="divisible"):
+        _run(tmp_path, monkeypatch, "--examples", "4", "--batch-size", "3",
+             "--dp", "2")

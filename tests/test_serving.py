@@ -539,3 +539,58 @@ def test_non_dict_json_frame_keeps_connection(server):
     out = client.predict(np.zeros((28, 28, 3), np.uint8), "x", [0.0] * 7)
     assert out.shape == (4, 7)
     client.close()
+
+
+def test_max_queue_backpressure():
+    """With the batcher stalled, requests beyond max_queue are rejected
+    immediately with an Overloaded error (and counted in rejected_total)
+    instead of accumulating unbounded latency; queued requests still
+    complete once the batcher resumes."""
+    import time
+
+    from tests.util import tiny_pi0_cfg
+
+    cfg = tiny_pi0_cfg()
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg.pretrained_model_path = "(stub)"
+    cfg.max_seq_len = cfg.max_image_text_tokens
+    srv = ActionServer(cfg, checkpoint_path="random", max_batch=2,
+                       batch_window_ms=5.0, max_queue=1)
+    gate = threading.Event()
+    orig_run = srv._run_batch
+
+    def gated_run(batch):
+        gate.wait(60)
+        orig_run(batch)
+
+    srv._run_batch = gated_run
+    img = np.zeros((28, 28, 3), np.uint8)
+    results, errors = {}, {}
+
+    def hit(i):
+        try:
+            results[i] = srv.predict(img, f"bp {i}", [0.0] * 7)
+        except RuntimeError as e:
+            errors[i] = str(e)
+
+    # 2 requests fill the stalled batch (claimed), 1 more sits queued
+    # (= max_queue); the 4th must be rejected at admission
+    ts = [threading.Thread(target=hit, args=(i,), daemon=True)
+          for i in range(3)]
+    for t in ts:
+        t.start()
+    deadline = time.time() + 30
+    while srv._queue.qsize() < 1 and time.time() < deadline:
+        time.sleep(0.01)
+    assert srv._queue.qsize() >= 1
+    with pytest.raises(RuntimeError, match="Overloaded"):
+        srv.predict(img, "bp overflow", [0.0] * 7)
+    assert srv.stats()["rejected_total"] == 1
+    gate.set()
+    for t in ts:
+        t.join(120)
+    assert len(results) == 3 and len(errors) == 0
+    for a in results.values():
+        assert a.shape == (4, 7)
+    srv.stop()
