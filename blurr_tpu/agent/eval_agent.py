@@ -112,6 +112,11 @@ class EvalAgent:
             self.async_pipeline = False
         self._base_key = jax.random.PRNGKey(int(cfg.get("seed", 42)))
         self._step_idx = 0
+        # --record-dataset: stash every (model-ready inputs, predicted
+        # chunk) pair and write a blurr_tpu.data sharded dataset at the
+        # end of the run — the in-repo collect->train->validate loop
+        self.record_dir = str(cfg.get("record_dataset_dir") or "") or None
+        self._recorded: list = []
 
         log.info("Creating SimplerEnv env with task='%s'...", cfg["env"]["task"])
         t0 = time.time()
@@ -203,6 +208,25 @@ class EvalAgent:
     def _infer(self, inputs: dict) -> np.ndarray:
         return self._fetch(self._dispatch(inputs))
 
+    def _record_example(self, inputs: dict, actions: np.ndarray) -> None:
+        """One (model-ready inputs, predicted normalized chunk) pair for
+        --record-dataset. Model-ready keys pass straight through the
+        training loader (no Pi0TrainTransform), so a recorded rollout
+        trains with ``train_pi0_flow --data <dir>`` and scores with
+        ``eval_openloop.py`` unchanged. Actions are the POLICY's own
+        outputs (DAgger-style rollout collection); swap in teleop labels
+        for real demonstrations."""
+        if self.record_dir is None:
+            return
+        self._recorded.append({
+            "input_ids": np.asarray(inputs["input_ids"], np.int32)[0],
+            "attention_mask": np.asarray(
+                inputs["attention_mask"], np.int32)[0],
+            "pixel_values": np.asarray(inputs["pixel_values"], np.float32)[0],
+            "proprios": np.asarray(inputs["proprios"], np.float32)[0],
+            "actions": np.asarray(actions, np.float32),
+        })
+
     def run(self):
         log.info(
             "EvalAgent.run start: n_eval_episode=%d, n_video=%d, act_steps=%d",
@@ -247,6 +271,7 @@ class EvalAgent:
                 t0 = time.time()
                 actions = self._infer(inputs)
                 infer_times.append(time.time() - t0)
+                self._record_example(inputs, actions)
                 log.debug(
                     "Episode %d, step %d: model forward done in %.3f s.",
                     cnt_episode,
@@ -287,6 +312,9 @@ class EvalAgent:
                 t_wait = time.time()
                 next_chunk = self._fetch(pending)
                 fetch_waits.append(time.time() - t_wait)
+                # `inputs` still refers to the tensors this chunk was
+                # dispatched from (the async prefetch pairing)
+                self._record_example(inputs, next_chunk)
 
             if recording and video_writer is not None:
                 video_writer.append_data(env_adapter.get_video_frame(env, obs))
@@ -356,5 +384,15 @@ class EvalAgent:
                 float(np.mean(w)) * 1000,
                 len(w),
             )
+        if self.record_dir and self._recorded:
+            from blurr_tpu.data import write_dataset
+
+            arrays = {
+                k: np.stack([r[k] for r in self._recorded])
+                for k in self._recorded[0]
+            }
+            write_dataset(self.record_dir, arrays, shard_size=256)
+            log.info("Recorded %d control-step examples to %s",
+                     len(self._recorded), self.record_dir)
         log.info("============================================")
         return success_rate

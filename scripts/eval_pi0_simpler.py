@@ -116,6 +116,12 @@ def parse_args() -> argparse.Namespace:
              "dispatched after the first sub-step of the current one "
              "(actions land act_steps-1 env steps stale; needs act_steps>=2).")
     parser.add_argument(
+        "--record-dataset", type=str, default="",
+        help="Record every (model-ready inputs, predicted chunk) pair of "
+             "the run into a blurr_tpu.data sharded dataset at this dir — "
+             "trains with train_pi0_flow --data and scores with "
+             "eval_openloop.py (DAgger-style rollout collection).")
+    parser.add_argument(
         "--batch-envs", type=int, default=1,
         help="TPU extension: step N environments in lockstep with one "
              "batched device program per control step — the batch-1 step is "
@@ -152,6 +158,8 @@ def main() -> None:
         cfg["act_steps"] = args.act_steps
     if args.async_pipeline:
         cfg["async_pipeline"] = True
+    if args.record_dataset:
+        cfg["record_dataset_dir"] = str(Path(args.record_dataset).expanduser())
 
     log_dir = (
         Path(args.log_dir).expanduser()
@@ -163,6 +171,9 @@ def main() -> None:
     _setup_logging(log_dir)
 
     if args.batch_envs > 1:
+        if args.record_dataset:
+            sys.exit("--record-dataset is a serial-agent feature; drop "
+                     "--batch-envs or record with batch-envs 1.")
         from blurr_tpu.agent.batched_eval import BatchedEvalAgent
 
         cfg["batch_envs"] = args.batch_envs

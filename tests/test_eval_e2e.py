@@ -618,3 +618,60 @@ def test_train_cli_lora_exact_state_resume(tmp_path, monkeypatch):
     )
     for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(res)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+def test_record_dataset_full_loop(tmp_path, monkeypatch):
+    """collect -> train -> validate, all in-repo and all on ONE config:
+    the eval CLI records its rollout as a sharded dataset (model-ready
+    keys pass through the loader with no transform), train_pi0_flow
+    fine-tunes on it, and eval_openloop scores the result."""
+    import json
+    import sys as _sys
+
+    from blurr_tpu.data import ShardedDataset
+
+    CFG = "config/eval/bridge_tiny.yaml"
+    ds_dir = tmp_path / "rollout"
+
+    import scripts.eval_pi0_simpler as eval_cli
+
+    monkeypatch.setattr(_sys, "argv", [
+        "eval_pi0_simpler.py", "--task", "widowx_spoon_on_towel",
+        "--checkpoint", "random", "--config", CFG, "--preset", "blurr",
+        "--n-eval-episode", "1", "--n-video", "0",
+        "--log-dir", str(tmp_path / "log"),
+        "--record-dataset", str(ds_dir),
+    ])
+    eval_cli.main()
+
+    ds = ShardedDataset(ds_dir)
+    assert ds.num_examples >= 2  # >= 2 control steps in one fake episode
+    row = ds.gather_batch(np.arange(1))
+    assert row["input_ids"].ndim == 2
+    assert row["pixel_values"].shape[1] == 3
+    assert row["actions"].ndim == 3
+    assert np.isfinite(row["actions"]).all()
+
+    import scripts.train_pi0_flow as train_cli
+
+    n = ds.num_examples
+    bs = str(min(2, n))
+    monkeypatch.setattr(_sys, "argv", [
+        "train_pi0_flow.py", "--config", CFG,
+        "--steps", "2", "--batch-size", bs,
+        "--data", str(ds_dir), "--save-dir", str(tmp_path / "ft"),
+    ])
+    train_cli.main()
+
+    import scripts.eval_openloop as ol_cli
+
+    out = tmp_path / "ol.json"
+    monkeypatch.setattr(_sys, "argv", [
+        "eval_openloop.py", "--config", CFG,
+        "--checkpoint", str(tmp_path / "ft"), "--data", str(ds_dir),
+        "--examples", str(n), "--batch-size", bs,
+        "--output-json", str(out),
+    ])
+    ol_cli.main()
+    with open(out) as f:
+        got = json.load(f)
+    assert got["examples"] == n and np.isfinite(got["mse"])
