@@ -11,9 +11,18 @@ from blurr_tpu.serving.server import recv_msg, send_msg
 
 
 class ActionClient:
+    """Blocking client; one connection, request/response in lockstep.
+    Usable as a context manager: ``with ActionClient(port=p) as c: ...``."""
+
     def __init__(self, host: str = "127.0.0.1", port: int = 8787,
                  timeout: float = 120.0):
         self.sock = socket.create_connection((host, port), timeout=timeout)
+
+    def __enter__(self) -> "ActionClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def predict(self, image: np.ndarray, instruction: str, proprio) -> np.ndarray:
         image = np.ascontiguousarray(image, np.uint8)

@@ -594,3 +594,39 @@ def test_max_queue_backpressure():
     for a in results.values():
         assert a.shape == (4, 7)
     srv.stop()
+
+
+def test_wire_protocol_fuzz_never_kills_server(server):
+    """Hostile frames — random bytes, truncated frames, huge length
+    prefixes, valid-JSON non-objects, garbage kinds — must never take the
+    daemon down: every NEW connection afterwards still serves."""
+    import socket as _socket
+    import struct as _struct
+
+    rng = np.random.RandomState(0)
+    for trial in range(12):
+        s = _socket.create_connection(("127.0.0.1", server.port), timeout=30)
+        try:
+            kind = trial % 6
+            if kind == 0:    # random bytes in a well-framed payload
+                payload = rng.bytes(rng.randint(1, 200))
+                s.sendall(_struct.pack(">I", len(payload)) + payload)
+            elif kind == 1:  # truncated frame: length promises more
+                s.sendall(_struct.pack(">I", 1000) + b"x" * 10)
+            elif kind == 2:  # hostile length prefix (would be 1 GiB)
+                s.sendall(_struct.pack(">I", 1 << 30))
+            elif kind == 3:  # valid JSON, not an object
+                payload = b"[1, 2, 3]"
+                s.sendall(_struct.pack(">I", len(payload)) + payload)
+            elif kind == 4:  # object with an unknown kind
+                payload = b'{"kind": "exploit"}'
+                s.sendall(_struct.pack(">I", len(payload)) + payload)
+            else:            # predict with garbage fields
+                payload = b'{"instruction": 5, "image": 3, "image_shape": "x", "proprio": null}'
+                s.sendall(_struct.pack(">I", len(payload)) + payload)
+        finally:
+            s.close()
+    with ActionClient(port=server.port) as c:
+        out = c.predict(np.zeros((28, 28, 3), np.uint8), "x", [0.0] * 7)
+        assert out.shape == (4, 7)
+        assert c.stats()["closed"] is False
