@@ -438,3 +438,96 @@ def greedy_generate(
     )
     toks = jnp.moveaxis(toks, 0, 1)  # [B, n-1] generated before `last`
     return jnp.concatenate([toks, last[:, None]], axis=1)
+
+
+def greedy_generate_jacobi(
+    params: Dict,
+    spec: LlamaSpec,
+    prompt_embeds: jax.Array,  # [B, S, H]
+    attn_valid: jax.Array,  # [B, S] (right-padded ragged prompts supported,
+    # same semantics as greedy_generate)
+    num_new_tokens: int,
+    max_len: Optional[int] = None,
+    return_iters: bool = False,
+):
+    """LOSSLESS self-speculative greedy decode via Jacobi fixed-point
+    iteration: instead of ``num_new_tokens`` sequential single-token steps
+    (each a full weight-bound GEMV pass over the LLM — the dominant cost of
+    OpenVLA's 7-token action decode), guess the whole continuation, verify
+    every position in ONE multi-token forward (weights read once, tokens
+    ride the MXU), and repeat until the guess is a fixed point of the
+    greedy map.
+
+    Exactness: token 0 comes from the prompt prefill (always exact), and
+    after iteration k the first k+1 tokens equal ``greedy_generate``'s
+    output by induction (each verified position conditions only on the
+    already-exact prefix), so the fixed point IS the greedy chain and the
+    loop needs at most ``num_new_tokens - 1`` iterations. Convergence is
+    typically much faster when tokens depend mostly on the prompt (VLA
+    action dims are near-independent given the image), making the expected
+    cost ~2 weight passes instead of ``num_new_tokens``.
+
+    Returns [B, num_new_tokens] token ids (bit-identical to
+    ``greedy_generate``); with ``return_iters`` also the number of Jacobi
+    iterations taken (traced scalar). Jittable."""
+    b, s, _ = prompt_embeds.shape
+    n = int(num_new_tokens)
+    max_len = max_len or (s + n)
+    cache = alloc_cache(spec, b, max_len, prompt_embeds.dtype)
+
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    mask = causal_prefill_mask(attn_valid, max_len)
+    h, cache = forward(params, spec, prompt_embeds, pos, mask, cache,
+                       jnp.int32(0))
+    last_idx = jnp.sum(attn_valid.astype(jnp.int32), axis=-1) - 1  # [B]
+    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)
+    first_tok = jnp.argmax(logits(params, spec, h_last)[:, -1], axis=-1)
+    if n == 1:
+        out = first_tok[:, None]
+        return (out, jnp.int32(0)) if return_iters else out
+
+    valid_cols = jnp.pad(
+        attn_valid.astype(bool), ((0, 0), (0, max_len - s)),
+        constant_values=True,
+    )[:, None, :]
+    n_valid = jnp.sum(attn_valid.astype(jnp.int32), axis=-1)  # [B]
+    t = n - 1  # tail chunk: tokens 0..n-2 predict tokens 1..n-1
+
+    # tail attention: query at cache column s+i sees cols <= s+i (causal
+    # within the tail) and the prompt's valid columns
+    cols = jnp.arange(max_len)[None, None, :]
+    tail_mask = (cols <= (s + jnp.arange(t))[None, :, None]) & valid_cols
+    tail_mask = jnp.broadcast_to(tail_mask, (b, t, max_len))
+    # RoPE continues at each example's own prompt length (pad columns
+    # between n_valid and s stay masked, same scheme as greedy_generate)
+    tail_pos = (n_valid[:, None] + jnp.arange(t)[None, :]).astype(jnp.int32)
+
+    def verify(guess, cache):
+        """One Jacobi sweep: forward tokens guess[:, :-1] at columns
+        s..s+t-1, argmax every position -> refreshed guess[:, 1:]."""
+        emb = params["embed_tokens"][guess[:, :-1]].astype(
+            prompt_embeds.dtype)
+        h, cache = forward(params, spec, emb, tail_pos, tail_mask, cache,
+                           jnp.int32(s))
+        preds = jnp.argmax(logits(params, spec, h), axis=-1)  # [B, t]
+        return jnp.concatenate([first_tok[:, None], preds], axis=1), cache
+
+    # initial guess: token 0 exact, the rest seeded with token 0 (any seed
+    # converges; a same-row seed tends to be closer for action tokens)
+    init_guess = jnp.broadcast_to(first_tok[:, None], (b, n))
+
+    def cond(carry):
+        guess, _, converged, it = carry
+        return (~converged) & (it < n - 1)
+
+    def body(carry):
+        guess, cache, _, it = carry
+        new, cache = verify(guess, cache)
+        return new, cache, jnp.all(new == guess), it + 1
+
+    # the first sweep always runs (it also writes the tail K/V); converged
+    # starts False so cond admits it
+    guess, cache, converged, iters = jax.lax.while_loop(
+        cond, body, (init_guess, cache, jnp.bool_(False), jnp.int32(0))
+    )
+    return (guess, iters) if return_iters else guess

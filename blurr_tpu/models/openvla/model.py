@@ -272,6 +272,33 @@ class OpenVLA:
             params["llama"], s.llama, embeds, valid, s.action_dim
         )
 
+    def predict_action_tokens_jacobi(
+        self, params: Dict, input_ids: jax.Array, pixel_values: jax.Array,
+        attn_valid: Optional[jax.Array] = None, return_iters: bool = False,
+    ):
+        """Greedy action decode via LOSSLESS Jacobi self-speculation
+        (llama.greedy_generate_jacobi): bit-identical tokens to the AR
+        path, but each iteration verifies ALL ``action_dim`` positions in
+        one multi-token forward — weights stream once per iteration
+        instead of once per token, the win on a weight-bound 7B decode.
+        Ragged right-padded prompts co-batch exactly (same validity
+        scheme as predict_action_tokens_ragged). Jittable."""
+        s = self.spec
+        if attn_valid is None:
+            attn_valid = jnp.ones_like(input_ids)
+        embeds = self._build_prompt_embeds(params, input_ids, pixel_values)
+        b = embeds.shape[0]
+        n_patch = embeds.shape[1] - input_ids.shape[1]
+        valid = jnp.concatenate(
+            [jnp.ones((b, 1 + n_patch), jnp.int32),
+             attn_valid[:, 1:].astype(jnp.int32)],
+            axis=1,
+        )
+        return llama_lib.greedy_generate_jacobi(
+            params["llama"], s.llama, embeds, valid, s.action_dim,
+            return_iters=return_iters,
+        )
+
     def detokenize_actions(self, token_ids: np.ndarray) -> np.ndarray:
         """token ids [B, action_dim] -> normalized actions in [-1, 1]."""
         discretized = self.spec.action_token_vocab - np.asarray(token_ids)

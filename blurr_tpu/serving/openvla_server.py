@@ -45,7 +45,7 @@ class OpenVLAActionServer(ActionServer):
                  oft: bool = False, chunk_len: int = 8,
                  use_proprio: bool = False, proprio_dim: int = 8,
                  checkpoint_path: Optional[str] = None,
-                 max_queue: int = 0):
+                 max_queue: int = 0, decode: str = "ar"):
         import jax
         import jax.numpy as jnp
 
@@ -124,7 +124,16 @@ class OpenVLAActionServer(ActionServer):
                     return model.predict_action_continuous(
                         params, ids, px, attn_valid=am
                     )
+        elif decode == "jacobi":
+            # lossless self-speculative decode: bit-identical tokens, each
+            # Jacobi sweep verifies all action positions in one multi-token
+            # forward (weights stream once per sweep, not once per token)
+            def _step_fn(params, ids, am, px, key, idx):
+                return model.predict_action_tokens_jacobi(params, ids, px, am)
         else:
+            if decode != "ar":
+                raise ValueError(f"decode {decode!r}: expected 'ar'/'jacobi'")
+
             def _step_fn(params, ids, am, px, key, idx):
                 # key/idx keep the shared batcher contract; greedy decode is
                 # deterministic. Ragged right-padded prompts co-batch

@@ -40,4 +40,9 @@ run qlora7b_fit python experiments/qlora7b_memory.py
 #    refresh docs/results/serving_slo_v5e.csv with the new columns
 run serving_slo python experiments/serving_slo.py
 
+# 6) Jacobi self-speculative decode: AR vs fixed-point latency + iteration
+#    counts for OpenVLA-7B bf16/w8a8 and MiniVLA
+#    (writes docs/results/jacobi_decode_v5e.csv)
+run bench_jacobi python experiments/bench_jacobi.py
+
 echo "all done; logs in $OUT"

@@ -41,6 +41,12 @@ def parse_args():
     p.add_argument("--unnorm-key", type=str, default=None)
     p.add_argument("--use-bf16", action="store_true")
     p.add_argument(
+        "--decode", type=str, default="ar", choices=["ar", "jacobi"],
+        help="jacobi: lossless self-speculative decode — all action tokens "
+        "verified per multi-token forward (weights stream once per "
+        "iteration instead of once per token; tokens bit-identical to ar, "
+        "tests/test_openvla.py::test_jacobi_decode_bit_identical_to_greedy).")
+    p.add_argument(
         "--quantization", type=str, default="none",
         choices=["none", "w8a8", "w4a8"],
         help="w8a8: dynamic int8 activations x int8 weights for the LLM "
@@ -113,7 +119,23 @@ def main():
         )
     pixel_values = jnp.asarray(inputs["pixel_values"], dtype)
 
-    step = jax.jit(model.predict_action_tokens)
+    jacobi_iters = None
+    if args.decode == "jacobi":
+        valid = jnp.ones_like(input_ids)
+
+        def step(params, ids, px):
+            toks, _ = model.predict_action_tokens_jacobi(
+                params, ids, px, valid, return_iters=True)
+            return toks
+
+        step = jax.jit(step)
+        _, iters = jax.jit(
+            lambda p, i, x: model.predict_action_tokens_jacobi(
+                p, i, x, valid, return_iters=True)
+        )(params, input_ids, pixel_values)
+        jacobi_iters = int(iters)
+    else:
+        step = jax.jit(model.predict_action_tokens)
     avg_latency, _, _ = timed_call(
         step, params, input_ids, pixel_values, warmup=args.warmup, iters=args.iters
     )
@@ -132,6 +154,9 @@ def main():
     print(f"Device: {jax.devices()[0]}")
     print(f"Dtype: jax.{dtype_name}")
     print(f"Quantization: {args.quantization}")
+    if jacobi_iters is not None:
+        print(f"Decode: jacobi ({jacobi_iters} iterations; tokens "
+              "bit-identical to greedy AR)")
     print(f"torch.compile: {True}")
     print(f"Unnorm key: {unnorm_key}")
     print(f"Warmup iterations: {args.warmup}")

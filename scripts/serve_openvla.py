@@ -42,6 +42,12 @@ def main():
     p.add_argument("--max-queue", type=int, default=0,
                    help="Backpressure: reject requests when more than this "
                         "many are queued unclaimed (0 = admit everything).")
+    p.add_argument("--decode", type=str, default="ar",
+                   choices=["ar", "jacobi"],
+                   help="jacobi: lossless self-speculative decode (tokens "
+                        "bit-identical to ar; weights stream once per "
+                        "Jacobi sweep instead of once per token). AR "
+                        "variant only; ignored with --oft.")
     p.add_argument("--max-text-tokens", type=int, default=32)
     p.add_argument("--oft", action="store_true",
                    help="serve the OFT parallel-decoding variant: one "
@@ -77,7 +83,7 @@ def main():
         chunk_len=args.chunk_len, use_proprio=args.use_proprio,
         proprio_dim=args.proprio_dim,
         checkpoint_path=args.checkpoint or None,
-        max_queue=args.max_queue,
+        max_queue=args.max_queue, decode=args.decode,
     )
     logging.info("warming up (XLA compile)...")
     logging.info("warmup took %.1f s", server.warmup())

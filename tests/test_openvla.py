@@ -218,3 +218,49 @@ def test_greedy_generate_ragged_batch_matches_unbatched():
             )
         )
         np.testing.assert_array_equal(toks_batched[i], toks_single[0], err_msg=f"prompt len {n}")
+
+
+def test_jacobi_decode_bit_identical_to_greedy(tiny_model):
+    """Jacobi self-speculative decode is LOSSLESS: tokens bit-equal the
+    sequential greedy scan, iterations bounded by n-1, full + ragged
+    batches, any number of new tokens."""
+    model, params = tiny_model
+    spec = model.spec.llama
+    rng = np.random.RandomState(3)
+    for b, s, n in [(1, 6, 4), (2, 9, 7), (3, 8, 1)]:
+        embeds = jnp.asarray(rng.randn(b, s, spec.hidden_size)
+                             .astype(np.float32)) * 0.3
+        valid = np.ones((b, s), np.int32)
+        if b > 1:  # ragged: shorten later rows
+            for i in range(1, b):
+                valid[i, s - 2 * i:] = 0
+        valid = jnp.asarray(valid)
+        ref = np.asarray(llama_lib.greedy_generate(
+            params["llama"], spec, embeds, valid, n))
+        got, iters = llama_lib.greedy_generate_jacobi(
+            params["llama"], spec, embeds, valid, n, return_iters=True)
+        np.testing.assert_array_equal(np.asarray(got), ref)
+        assert int(iters) <= max(0, n - 1)
+
+
+def test_jacobi_model_surface_matches_ragged(tiny_model):
+    """The model method equals predict_action_tokens_ragged bitwise on a
+    ragged co-batch (and detokenizes to the same actions)."""
+    model, params = tiny_model
+    spec = model.spec
+    rng = np.random.RandomState(5)
+    b = 2
+    ids = np.ones((b, 10), np.int32)
+    ids[:, 1:] = rng.randint(3, 1000, (b, 9))
+    valid = np.ones((b, 10), np.int32)
+    valid[1, 7:] = 0
+    px = rng.randn(b, 3 if not spec.use_fused_vision else 6,
+                   spec.siglip.image_size, spec.siglip.image_size
+                   ).astype(np.float32)
+    ref = np.asarray(model.predict_action_tokens_ragged(
+        params, jnp.asarray(ids), jnp.asarray(px), jnp.asarray(valid)))
+    got = np.asarray(model.predict_action_tokens_jacobi(
+        params, jnp.asarray(ids), jnp.asarray(px), jnp.asarray(valid)))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(
+        model.detokenize_actions(got), model.detokenize_actions(ref))

@@ -194,3 +194,23 @@ def test_oft_server_requires_proprio():
     with pytest.raises(ValueError, match="proprio"):
         srv._prepare(img, instr, None)
     srv.stop()
+
+
+def test_jacobi_decode_serving_matches_ar():
+    """decode='jacobi' serves bit-identical actions to decode='ar' (the
+    Jacobi fixed point IS the greedy chain)."""
+    import numpy as np
+
+    from blurr_tpu.serving.openvla_server import OpenVLAActionServer
+
+    srv_ar = OpenVLAActionServer("random", use_bf16=False)
+    srv_j = OpenVLAActionServer("random", use_bf16=False, decode="jacobi")
+    img = np.random.RandomState(0).randint(
+        0, 256, (srv_ar.spec.siglip.image_size,
+                 srv_ar.spec.siglip.image_size, 3), np.uint8)
+    for instr in ("pick up the carrot", "move the cup near the plate"):
+        a = srv_ar.predict(img, instr, None)
+        j = srv_j.predict(img, instr, None)
+        np.testing.assert_array_equal(a, j)
+    srv_ar.stop()
+    srv_j.stop()
