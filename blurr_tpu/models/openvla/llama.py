@@ -449,6 +449,7 @@ def greedy_generate_jacobi(
     num_new_tokens: int,
     max_len: Optional[int] = None,
     return_iters: bool = False,
+    init_guess: Optional[jax.Array] = None,
 ):
     """LOSSLESS self-speculative greedy decode via Jacobi fixed-point
     iteration: instead of ``num_new_tokens`` sequential single-token steps
@@ -466,6 +467,12 @@ def greedy_generate_jacobi(
     typically much faster when tokens depend mostly on the prompt (VLA
     action dims are near-independent given the image), making the expected
     cost ~2 weight passes instead of ``num_new_tokens``.
+
+    ``init_guess`` [B, num_new_tokens] warm-starts the iteration (position
+    0 is always replaced by the exact prefill token): ANY seed converges
+    to the same greedy fixed point, but a close one converges in fewer
+    sweeps — in a robot control loop the PREVIOUS step's action tokens are
+    the natural seed (consecutive actions are similar).
 
     Returns [B, num_new_tokens] token ids (bit-identical to
     ``greedy_generate``); with ``return_iters`` also the number of Jacobi
@@ -512,9 +519,16 @@ def greedy_generate_jacobi(
         preds = jnp.argmax(logits(params, spec, h), axis=-1)  # [B, t]
         return jnp.concatenate([first_tok[:, None], preds], axis=1), cache
 
-    # initial guess: token 0 exact, the rest seeded with token 0 (any seed
-    # converges; a same-row seed tends to be closer for action tokens)
-    init_guess = jnp.broadcast_to(first_tok[:, None], (b, n))
+    # initial guess: token 0 exact; the rest from the caller's warm start
+    # when given, else seeded with token 0 (any seed converges; a same-row
+    # seed tends to be closer for action tokens)
+    if init_guess is not None:
+        init_guess = jnp.concatenate(
+            [first_tok[:, None], init_guess[:, 1:].astype(first_tok.dtype)],
+            axis=1,
+        )
+    else:
+        init_guess = jnp.broadcast_to(first_tok[:, None], (b, n))
 
     def cond(carry):
         guess, _, converged, it = carry

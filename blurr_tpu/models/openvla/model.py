@@ -275,6 +275,7 @@ class OpenVLA:
     def predict_action_tokens_jacobi(
         self, params: Dict, input_ids: jax.Array, pixel_values: jax.Array,
         attn_valid: Optional[jax.Array] = None, return_iters: bool = False,
+        init_guess: Optional[jax.Array] = None,
     ):
         """Greedy action decode via LOSSLESS Jacobi self-speculation
         (llama.greedy_generate_jacobi): bit-identical tokens to the AR
@@ -296,7 +297,7 @@ class OpenVLA:
         )
         return llama_lib.greedy_generate_jacobi(
             params["llama"], s.llama, embeds, valid, s.action_dim,
-            return_iters=return_iters,
+            return_iters=return_iters, init_guess=init_guess,
         )
 
     def detokenize_actions(self, token_ids: np.ndarray) -> np.ndarray:

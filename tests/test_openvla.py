@@ -264,3 +264,30 @@ def test_jacobi_model_surface_matches_ragged(tiny_model):
     np.testing.assert_array_equal(got, ref)
     np.testing.assert_array_equal(
         model.detokenize_actions(got), model.detokenize_actions(ref))
+
+
+def test_jacobi_warm_seed_same_fixed_point(tiny_model):
+    """ANY init_guess converges to the same exact greedy chain; a perfect
+    seed (the answer itself) converges in one sweep."""
+    model, params = tiny_model
+    spec = model.spec.llama
+    rng = np.random.RandomState(9)
+    embeds = jnp.asarray(rng.randn(2, 7, spec.hidden_size)
+                         .astype(np.float32)) * 0.3
+    valid = jnp.ones((2, 7), jnp.int32)
+    n = 5
+    ref = np.asarray(llama_lib.greedy_generate(
+        params["llama"], spec, embeds, valid, n))
+    # adversarial seed: random tokens
+    bad = jnp.asarray(rng.randint(0, spec.vocab_size, (2, n)), jnp.int32)
+    got, it_bad = llama_lib.greedy_generate_jacobi(
+        params["llama"], spec, embeds, valid, n, return_iters=True,
+        init_guess=bad)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    # perfect warm start: one verification sweep suffices
+    got2, it_warm = llama_lib.greedy_generate_jacobi(
+        params["llama"], spec, embeds, valid, n, return_iters=True,
+        init_guess=jnp.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(got2), ref)
+    assert int(it_warm) == 1
+    assert int(it_warm) <= int(it_bad)
