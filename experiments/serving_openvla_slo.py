@@ -31,12 +31,20 @@ import numpy as np
 
 from blurr_tpu.serving.server import recv_msg, send_msg
 
-# model_id -> (quantization, max_batch, client sweep). The 7B at bf16 is
-# ~14 GB of weights on a 16 GB chip: batch must stay small; w8a8 halves the
-# weights and rides higher batches.
+# model_id -> (quantization, max_batch, client sweep). Measured capacity
+# ceilings (experiments/openvla_serving_memory.py AOT buffer-assignment
+# probe + on-chip OOMs, 2026-08-19, docs/results/openvla_serving_memory_
+# v5e.csv): the 7B bf16 step fits ONLY at batch 1 (14.13 GB peak; batch 2
+# compile-OOMs), so bf16 is a batch-1 tier — extra clients measure queueing.
+# w8a8's per-program peaks fit through batch 16 (13.4 GB), but warmup
+# compiles EVERY bucket and the axon runtime holds each loaded executable's
+# temp arena: weights 7.8 GB + cumulative bucket temps (0.3+1.9+2.7+4.4)
+# exceed 15.75 GB at max_batch=8 (the measured RESOURCE_EXHAUSTED) —
+# max_batch=4 keeps the cumulative footprint at 12.7 GB. w4a8 (4.8 GB
+# weights) has the most headroom; w8a8 is the serving-grade 7B preset.
 PRESETS = {
-    "openvla7b_bf16": ("random-7b", None, 4, [1, 2, 4]),
-    "openvla7b_w8a8": ("random-7b", "w8a8", 8, [1, 4, 8]),
+    "openvla7b_bf16": ("random-7b", None, 1, [1, 2]),
+    "openvla7b_w8a8": ("random-7b", "w8a8", 4, [1, 2, 4]),
     "minivla_bf16": ("random-minivla", None, 8, [1, 4, 8]),
     # CPU smoke preset (not part of the measured table):
     #   BLURR_PLATFORM=cpu python experiments/serving_openvla_slo.py tiny
