@@ -45,7 +45,8 @@ class OpenVLAActionServer(ActionServer):
                  oft: bool = False, chunk_len: int = 8,
                  use_proprio: bool = False, proprio_dim: int = 8,
                  checkpoint_path: Optional[str] = None,
-                 max_queue: int = 0, decode: str = "ar"):
+                 max_queue: int = 0, decode: str = "ar",
+                 bucket_mode: str = "pow2"):
         import jax
         import jax.numpy as jnp
 
@@ -142,7 +143,7 @@ class OpenVLAActionServer(ActionServer):
 
         self._step = jax.jit(_step_fn)
         self._init_runtime(seed, max_batch, batch_window_ms,
-                           max_queue=max_queue)
+                           max_queue=max_queue, bucket_mode=bucket_mode)
 
     # ------------------------------------------------------------------
 

@@ -137,7 +137,7 @@ class ActionServer:
     def __init__(self, cfg, checkpoint_path: Optional[str] = None,
                  seed: int = 42, max_batch: int = 1,
                  batch_window_ms: float = 2.0, tp: int = 1, dp: int = 1,
-                 max_queue: int = 0):
+                 max_queue: int = 0, bucket_mode: str = "pow2"):
         import jax
         import jax.numpy as jnp
 
@@ -198,7 +198,7 @@ class ActionServer:
             self.model.spec.action_dim, self.dtype,
         )
         self._init_runtime(seed, max_batch, batch_window_ms,
-                           max_queue=max_queue)
+                           max_queue=max_queue, bucket_mode=bucket_mode)
 
     # ------------------------------------------------------------------
     # model-agnostic serving runtime (mesh, batcher, transport) — shared
@@ -240,7 +240,8 @@ class ActionServer:
                 self._batch_shard = batch_sharding(self.mesh)
 
     def _init_runtime(self, seed: int, max_batch: int,
-                      batch_window_ms: float, max_queue: int = 0) -> None:
+                      batch_window_ms: float, max_queue: int = 0,
+                      bucket_mode: str = "pow2") -> None:
         import jax
 
         self._base_key = jax.random.PRNGKey(seed)
@@ -254,7 +255,19 @@ class ActionServer:
         # dynamic batching: concurrent requests within batch_window_ms are
         # padded to the next power-of-2 bucket and run as ONE device program
         # (padded-batch decode correctness is locked by
-        # tests/test_pizero.py's padded-batch test)
+        # tests/test_pizero.py's padded-batch test).
+        # bucket_mode "max" pads EVERY batch to max_batch instead: one
+        # compiled program and ONE resident temp arena, for HBM-tight
+        # models — measured on v5e (docs/results/openvla_serving_memory_
+        # v5e.csv): the runtime holds every warmed bucket's temp arena, so
+        # OpenVLA-7B w8a8 at max_batch=8 OOMs under pow2 (weights 7.8 GB +
+        # 0.3+1.9+2.7+4.4 GB arenas) but fits under "max" (7.8 + 4.4 GB).
+        # The trade is padding compute at low occupancy.
+        if bucket_mode not in ("pow2", "max"):
+            raise ValueError(
+                f"bucket_mode {bucket_mode!r}: expected 'pow2' or 'max'"
+            )
+        self.bucket_mode = bucket_mode
         self.max_batch = max(1, int(max_batch))
         self.batch_window_s = batch_window_ms / 1000.0
         # backpressure: > 0 bounds the number of QUEUED (not yet claimed)
@@ -299,7 +312,8 @@ class ActionServer:
     # ------------------------------------------------------------------
 
     def warmup(self) -> float:
-        """Compile the step for EVERY batch bucket (1, 2, 4, ... max_batch)
+        """Compile the step for every batch bucket the batcher can emit —
+        (1, 2, 4, ... max_batch) under pow2, only max_batch under "max" —
         with dummy requests; returns seconds taken. Without this, the first
         live batch of each size stalls on a fresh XLA compile under the
         device lock (~15s per program over the axon tunnel)."""
@@ -307,7 +321,7 @@ class ActionServer:
         inputs = self._prepare(*self._dummy_request())
         import jax.numpy as jnp
 
-        bucket = self.dp
+        bucket = self.max_batch if self.bucket_mode == "max" else self.dp
         while True:
             batched = tuple(
                 jnp.concatenate([a] * bucket, axis=0) if bucket > 1 else a
@@ -410,6 +424,7 @@ class ActionServer:
             "queue_depth": self._queue.qsize(),
             "uptime_s": round(uptime, 3),
             "max_batch": self.max_batch,
+            "bucket_mode": self.bucket_mode,
             "dp": self.dp,
             "tp": self.tp,
             "closed": self._closed,
@@ -509,13 +524,18 @@ class ActionServer:
 
     def _run_batch(self, batch) -> None:
         """Pad to the next power-of-2 bucket (bounds compile count to
-        log2(max_batch)+1 programs) and run ONE device program."""
+        log2(max_batch)+1 programs) — or always to max_batch under
+        bucket_mode="max" (ONE program / one resident temp arena) — and run
+        ONE device program."""
         import jax.numpy as jnp
 
         n = len(batch)
-        bucket = self.dp  # smallest bucket the 'data' axis divides
-        while bucket < n:
-            bucket *= 2
+        if self.bucket_mode == "max":
+            bucket = self.max_batch
+        else:
+            bucket = self.dp  # smallest bucket the 'data' axis divides
+            while bucket < n:
+                bucket *= 2
         pad = bucket - n
         with self._stats_lock:
             self._n_batches += 1

@@ -39,6 +39,13 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max-batch", type=int, default=1)
     p.add_argument("--batch-window-ms", type=float, default=2.0)
+    p.add_argument("--bucket-mode", type=str, default="pow2",
+                   choices=["pow2", "max"],
+                   help="max: pad every dynamic batch to --max-batch — ONE "
+                        "compiled program / one resident temp arena. "
+                        "Measured on v5e: lets the 7B w8a8 serve "
+                        "max_batch=8 (pow2's cumulative bucket arenas OOM "
+                        "the 16 GB chip; openvla_serving_memory_v5e.csv).")
     p.add_argument("--max-queue", type=int, default=0,
                    help="Backpressure: reject requests when more than this "
                         "many are queued unclaimed (0 = admit everything).")
@@ -84,6 +91,7 @@ def main():
         proprio_dim=args.proprio_dim,
         checkpoint_path=args.checkpoint or None,
         max_queue=args.max_queue, decode=args.decode,
+        bucket_mode=args.bucket_mode,
     )
     logging.info("warming up (XLA compile)...")
     logging.info("warmup took %.1f s", server.warmup())

@@ -37,6 +37,13 @@ def main():
                         "--batch-window-ms are padded to the next power-of-2 "
                         "bucket and served by ONE device program.")
     p.add_argument("--batch-window-ms", type=float, default=2.0)
+    p.add_argument("--bucket-mode", type=str, default="pow2",
+                   choices=["pow2", "max"],
+                   help="max: pad every dynamic batch to --max-batch — ONE "
+                        "compiled program / one resident temp arena (for "
+                        "HBM-tight models; the runtime keeps every warmed "
+                        "bucket's arena resident). pow2: per-size buckets "
+                        "(less padding compute at low occupancy).")
     p.add_argument("--max-queue", type=int, default=0,
                    help="Backpressure: reject requests when more than this "
                         "many are queued unclaimed (0 = admit everything). "
@@ -65,7 +72,8 @@ def main():
     server = ActionServer(cfg, args.checkpoint, seed=args.seed,
                           max_batch=args.max_batch,
                           batch_window_ms=args.batch_window_ms, tp=args.tp,
-                          dp=args.dp, max_queue=args.max_queue)
+                          dp=args.dp, max_queue=args.max_queue,
+                          bucket_mode=args.bucket_mode)
     logging.info("warming up (XLA compile)...")
     logging.info("warmup took %.1f s", server.warmup())
     server.serve_forever(args.host, args.port)

@@ -179,6 +179,54 @@ def test_warmup_compiles_all_buckets():
     srv.stop()
 
 
+def test_bucket_mode_max_pads_every_batch_to_max():
+    """bucket_mode='max' runs ONE program shape: a single live request is
+    padded to max_batch (one resident temp arena — the HBM-tight serving
+    mode, docs/results/openvla_serving_memory_v5e.csv), and the result is
+    still a correct per-request chunk."""
+    cfg = tiny_pi0_cfg()
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg.pretrained_model_path = "(stub)"
+    cfg.max_seq_len = cfg.max_image_text_tokens
+    srv = ActionServer(cfg, checkpoint_path="random", max_batch=4,
+                       batch_window_ms=5.0, bucket_mode="max")
+    assert srv.warmup() > 0
+    ready = threading.Event()
+    t = threading.Thread(
+        target=srv.serve_forever, kwargs={"port": 0, "ready_event": ready},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(30)
+    try:
+        client = ActionClient(port=srv.port)
+        out = client.predict(
+            np.zeros((28, 28, 3), np.uint8), "solo request", [0.0] * 7
+        )
+        assert out.shape == (4, 7) and np.isfinite(out).all()
+        stats = client.stats()
+        assert stats["bucket_mode"] == "max"
+        # every batch occupies max_batch slots: live + padded ≡ 0 (mod 4)
+        total_slots = stats["live_slots_total"] + stats["padded_slots_total"]
+        assert total_slots == stats["batches_total"] * 4
+        assert stats["live_slots_total"] >= 1
+        client.close()
+    finally:
+        srv.stop()
+
+
+def test_bucket_mode_rejected_when_unknown():
+    cfg = tiny_pi0_cfg()
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg.pretrained_model_path = "(stub)"
+    cfg.max_seq_len = cfg.max_image_text_tokens
+    with pytest.raises(ValueError, match="bucket_mode"):
+        ActionServer(cfg, checkpoint_path="random", max_batch=2,
+                     bucket_mode="pow3")
+
+
 def test_baseline_preset_serves_naive_path():
     from tests.util import tiny_pi0_cfg
 
