@@ -440,6 +440,65 @@ def greedy_generate(
     return jnp.concatenate([toks, last[:, None]], axis=1)
 
 
+def relayout_qkv_for_jacobi(params: Dict) -> Dict:
+    """On-device relayout of the stacked attention projections for the
+    Jacobi decode program: q_w/k_w/v_w [L, H, H] move to the transposed
+    device layout (major_to_minor (0, 2, 1), contracting dim minor).
+
+    Why: XLA's small-S attention dots want the weight transposed. In the
+    AR program the conversion lands per-layer inside the decode scan
+    (3 x 32 MB temps); in the Jacobi program the extra outer while loop
+    makes the whole stacked tree loop-invariant and the conversion is
+    hoisted to 3 x 1 GB entry copies — a compile-time OOM for bf16-7B on
+    a 16 GB chip (measured 2026-08-19: 17.06 G of 15.75 G). With the
+    arguments ALREADY in the transposed layout the program needs no
+    conversion at all: temp drops to 0.15 GB and the program fits. The
+    same transposed arguments make the AR program compile-OOM (it wants
+    them natural at entry), so the layout must FOLLOW THE DECODE MODE:
+    call this once at load time in a Jacobi-decoding process; never mix
+    AR and Jacobi on the same 7B param tree in one process (small models
+    fit either way). Transposing o/gate/up/down too was probed and
+    compile-OOMs (the prefill wants those natural); qkv-only is the
+    measured sweet spot.
+
+    No-ops for quantized trees (dict leaves — int8 programs have 8 GB of
+    headroom and need no layout help) and on backends without custom
+    device layouts (CPU tests). Bit-identical outputs either way.
+
+    DONATION SEMANTICS: the input tree's q/k/v entries are released one
+    by one as each transposed copy lands (set to None in the input dict).
+    Holding both full-precision trees alive would itself OOM a 16 GB chip
+    at 7B scale (13.9 + 3 GB); the caller must rebind to the returned
+    tree. On a failed relayout (CPU) the input is returned untouched."""
+    layers = params.get("llama", {}).get("layers", {})
+    out = dict(params)
+    out["llama"] = dict(params["llama"])
+    out["llama"]["layers"] = dict(layers)
+    for k in ("q_w", "k_w", "v_w"):
+        w = layers.get(k)
+        if w is None or isinstance(w, dict) or w.ndim != 3:
+            continue
+        try:
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            devs = list(w.devices())
+            if len(devs) != 1:  # tp/dp-sharded trees: leave the GSPMD
+                return params   # layout to the partitioner
+            dev = devs[0]
+            fmt = Format(Layout((0, 2, 1)), SingleDeviceSharding(dev))
+            new = jax.device_put(w, fmt)
+        except Exception:  # CPU / backends without layout control
+            for kk in ("q_w", "k_w", "v_w"):  # undo earlier donations
+                if layers.get(kk) is None:
+                    layers[kk] = out["llama"]["layers"][kk]
+            return params
+        out["llama"]["layers"][k] = new
+        layers[k] = None  # free the original before the next 1 GB copy
+        del w
+    return out
+
+
 def greedy_generate_jacobi(
     params: Dict,
     spec: LlamaSpec,
@@ -450,6 +509,7 @@ def greedy_generate_jacobi(
     max_len: Optional[int] = None,
     return_iters: bool = False,
     init_guess: Optional[jax.Array] = None,
+    num_iters: Optional[int] = None,
 ):
     """LOSSLESS self-speculative greedy decode via Jacobi fixed-point
     iteration: instead of ``num_new_tokens`` sequential single-token steps
@@ -473,6 +533,13 @@ def greedy_generate_jacobi(
     to the same greedy fixed point, but a close one converges in fewer
     sweeps — in a robot control loop the PREVIOUS step's action tokens are
     the natural seed (consecutive actions are similar).
+
+    ``num_iters`` (static) runs EXACTLY that many sweeps instead of
+    iterating to the fixed point — the k-ladder instrument for latency
+    work (a trained checkpoint converging in k sweeps pays the
+    ``num_iters=k`` time). With ``num_iters >= num_new_tokens - 1`` the
+    output is still exact; below that it is the truncated iterate (the
+    first ``num_iters + 1`` tokens are exact by the induction above).
 
     Returns [B, num_new_tokens] token ids (bit-identical to
     ``greedy_generate``); with ``return_iters`` also the number of Jacobi
@@ -532,6 +599,8 @@ def greedy_generate_jacobi(
 
     def cond(carry):
         guess, _, converged, it = carry
+        if num_iters is not None:
+            return it < num_iters
         return (~converged) & (it < n - 1)
 
     def body(carry):

@@ -276,6 +276,7 @@ class OpenVLA:
         self, params: Dict, input_ids: jax.Array, pixel_values: jax.Array,
         attn_valid: Optional[jax.Array] = None, return_iters: bool = False,
         init_guess: Optional[jax.Array] = None,
+        num_iters: Optional[int] = None,
     ):
         """Greedy action decode via LOSSLESS Jacobi self-speculation
         (llama.greedy_generate_jacobi): bit-identical tokens to the AR
@@ -298,6 +299,7 @@ class OpenVLA:
         return llama_lib.greedy_generate_jacobi(
             params["llama"], s.llama, embeds, valid, s.action_dim,
             return_iters=return_iters, init_guess=init_guess,
+            num_iters=num_iters,
         )
 
     def detokenize_actions(self, token_ids: np.ndarray) -> np.ndarray:

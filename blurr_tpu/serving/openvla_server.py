@@ -128,7 +128,16 @@ class OpenVLAActionServer(ActionServer):
         elif decode == "jacobi":
             # lossless self-speculative decode: bit-identical tokens, each
             # Jacobi sweep verifies all action positions in one multi-token
-            # forward (weights stream once per sweep, not once per token)
+            # forward (weights stream once per sweep, not once per token).
+            # bf16-7B needs the stacked q/k/v in the transposed device
+            # layout or the Jacobi program compile-OOMs (see
+            # llama.relayout_qkv_for_jacobi) — a load-time relayout in
+            # this decode mode; no-op for quantized/small models.
+            if self.tp == 1 and self.dp == 1:
+                from blurr_tpu.models.openvla import llama as _llama
+
+                self.params = _llama.relayout_qkv_for_jacobi(self.params)
+
             def _step_fn(params, ids, am, px, key, idx):
                 return model.predict_action_tokens_jacobi(params, ids, px, am)
         else:

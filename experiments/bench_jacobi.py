@@ -42,6 +42,8 @@ def main() -> None:
                               quantization=quant,
                               memory_safe_quant_init=True)
         model, params, spec = built.model, built.params, built.spec
+        built.params = None  # sole reference below: relayout must be able
+        # to free each original q/k/v leaf as its transposed copy lands
         rng = np.random.RandomState(0)
         ids = np.ones((1, 32), np.int32)
         ids[:, 1:] = rng.randint(3, 1000, (1, 31))
@@ -55,12 +57,19 @@ def main() -> None:
         ar = jax.jit(lambda p, i, x: model.predict_action_tokens_ragged(
             p, i, x, valid))
         t_ar, _, _ = timed_call(ar, params, ids, px, warmup=3, iters=15)
+        toks_a = np.asarray(ar(params, ids, px))
+
+        # bf16-7B: the Jacobi program compile-OOMs with natural-layout
+        # q/k/v (XLA hoists 3 x 1 GB transposed copies); relayout the
+        # stacked projections on device AFTER every AR use (the AR
+        # program conversely OOMs when compiled for transposed args — the
+        # layout follows the decode mode; llama.relayout_qkv_for_jacobi).
+        params = llama_lib.relayout_qkv_for_jacobi(params)
 
         jac = jax.jit(lambda p, i, x: model.predict_action_tokens_jacobi(
             p, i, x, valid, return_iters=True))
         toks_j, iters = jac(params, ids, px)
-        toks_a = ar(params, ids, px)
-        exact = bool((np.asarray(toks_j) == np.asarray(toks_a)).all())
+        exact = bool((np.asarray(toks_j) == toks_a).all())
         t_jac, _, _ = timed_call(
             lambda p, i, x: jac(p, i, x)[0], params, ids, px,
             warmup=3, iters=15)
@@ -72,6 +81,21 @@ def main() -> None:
             "jacobi_iters": int(iters),
             "exact": exact,
         }
+
+        # k-ladder: EXACTLY k sweeps per decode (num_iters=k static) — the
+        # latency a trained checkpoint pays when its greedy chain converges
+        # in k sweeps. k = n-1 (= action_dim - 1) is the lossless worst
+        # case; random weights sit there, trained VLAs are expected at the
+        # bottom rungs (see jacobi_convergence.py for the k-vs-coupling
+        # map on controllable fake weights).
+        n_new = spec.action_dim
+        for k in range(1, n_new):
+            jk = jax.jit(lambda p, i, x, k=k: model.predict_action_tokens_jacobi(
+                p, i, x, valid, num_iters=k))
+            t_k, _, _ = timed_call(jk, params, ids, px, warmup=3, iters=15)
+            row[f"k{k}_ms"] = round(t_k * 1000, 2)
+            print(f"  k={k}: {row[f'k{k}_ms']} ms", flush=True)
+
         rows.append(row)
         print(row, flush=True)
         del built, params

@@ -122,6 +122,12 @@ def main():
     jacobi_iters = None
     if args.decode == "jacobi":
         valid = jnp.ones_like(input_ids)
+        # bf16-7B: the Jacobi program needs the stacked q/k/v in the
+        # transposed device layout or it compile-OOMs on a 16 GB chip
+        # (llama.relayout_qkv_for_jacobi); no-op for quantized trees.
+        from blurr_tpu.models.openvla import llama as llama_lib
+
+        params = llama_lib.relayout_qkv_for_jacobi(params)
 
         def step(params, ids, px):
             toks, _ = model.predict_action_tokens_jacobi(

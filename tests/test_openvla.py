@@ -291,3 +291,62 @@ def test_jacobi_warm_seed_same_fixed_point(tiny_model):
     np.testing.assert_array_equal(np.asarray(got2), ref)
     assert int(it_warm) == 1
     assert int(it_warm) <= int(it_bad)
+
+
+def test_jacobi_num_iters_ladder_prefix_exact(tiny_model):
+    """num_iters=k (the latency-ladder instrument) runs EXACTLY k sweeps:
+    the first k+1 tokens match the greedy chain (induction invariant),
+    and k >= n-1 reproduces the full chain bitwise."""
+    model, params = tiny_model
+    spec = model.spec.llama
+    rng = np.random.RandomState(11)
+    embeds = jnp.asarray(rng.randn(2, 8, spec.hidden_size)
+                         .astype(np.float32)) * 0.3
+    valid = jnp.ones((2, 8), jnp.int32)
+    n = 6
+    ref = np.asarray(llama_lib.greedy_generate(
+        params["llama"], spec, embeds, valid, n))
+    for k in range(1, n):
+        got, iters = llama_lib.greedy_generate_jacobi(
+            params["llama"], spec, embeds, valid, n, return_iters=True,
+            num_iters=k)
+        assert int(iters) == k
+        np.testing.assert_array_equal(np.asarray(got)[:, :k + 1],
+                                      ref[:, :k + 1])
+    np.testing.assert_array_equal(
+        np.asarray(llama_lib.greedy_generate_jacobi(
+            params["llama"], spec, embeds, valid, n, num_iters=n - 1)), ref)
+
+
+def test_jacobi_qkv_relayout_identity(tiny_model):
+    """relayout_qkv_for_jacobi returns a tree that decodes bit-identically
+    (on CPU it degrades to a no-op — custom device layouts are a TPU
+    feature — but the contract is the same either way), and the returned
+    tree still serves the AR path on small models."""
+    model, params = tiny_model
+    rng = np.random.RandomState(13)
+    spec = model.spec
+    ids = np.ones((1, 9), np.int32)
+    ids[:, 1:] = rng.randint(3, 1000, (1, 8))
+    px = rng.randn(1, 6 if spec.use_fused_vision else 3,
+                   spec.siglip.image_size, spec.siglip.image_size
+                   ).astype(np.float32)
+    ids, px = jnp.asarray(ids), jnp.asarray(px)
+    valid = jnp.ones_like(ids)
+    ref = np.asarray(model.predict_action_tokens_jacobi(params, ids, px,
+                                                        valid))
+    # fresh containers: relayout donates (mutates) the input tree's dicts,
+    # and the fixture is module-scoped
+    params = jax.tree.map(lambda x: x, params)
+    params2 = llama_lib.relayout_qkv_for_jacobi(params)
+    got = np.asarray(model.predict_action_tokens_jacobi(params2, ids, px,
+                                                        valid))
+    np.testing.assert_array_equal(got, ref)
+    # the returned tree is intact: every qkv leaf present. (The INPUT tree
+    # is donated on success — its leaves may be None — and restored intact
+    # when the backend rejects custom layouts and params2 is params.)
+    for k in ("q_w", "k_w", "v_w"):
+        assert params2["llama"]["layers"][k] is not None
+    if params2 is params:
+        for k in ("q_w", "k_w", "v_w"):
+            assert params["llama"]["layers"][k] is not None
