@@ -113,28 +113,63 @@ def main():
         "vs_baseline": round(REFERENCE_BLURR_MS / p50_ms, 3),
     }
 
-    # quantized-ladder rider (verdict r2 Next #8): the same weights through
-    # the W8A8 preset, as an extra key on the single JSON line (the driver
-    # reads metric/value/unit/vs_baseline; extra keys ride along). Disable
-    # with BLURR_BENCH_NO_LADDER=1 if the round is time-constrained.
+    # quantized/preset-ladder rider (verdict r2 #8 + r3 #8): the same
+    # weights through the measured speed-ladder presets, as extra keys on
+    # the single JSON line (the driver reads metric/value/unit/vs_baseline;
+    # extra keys ride along). Ladder entries mirror
+    # docs/results/pool64_pad_w8a8_v5e.csv. Disable with
+    # BLURR_BENCH_NO_LADDER=1 if the round is time-constrained.
     if not os.environ.get("BLURR_BENCH_NO_LADDER"):
-        try:
-            cfg_q = load_yaml(config_root() / "eval" / "bridge.yaml")
-            cfg_q["num_inference_steps"] = 1
-            cfg_q["use_bf16"] = True
-            cfg_q["vlm_quantization"] = {"mode": "w8a8", "include_vision": True}
-            cfg_q["action_quantization"] = {"mode": "w8a8"}
-            model_q = PiZero(cfg_q)
-            params_q = model_q.enable_vlm_quantization(
-                model_q.enable_action_quantization(params)
-            )
-            args_q = (params_q,) + args[1:]
-            step_q = jax.jit(model_q.infer_action).lower(*args_q).compile()
-            q50, _, _ = timed_call(step_q, *args_q, warmup=5, iters=30)
-            result["w8a8_ms"] = round(q50 * 1000, 3)
-            result["w8a8_vs_baseline"] = round(REFERENCE_BLURR_MS / (q50 * 1000), 3)
-        except Exception as exc:  # the headline number must still print
-            print(f"# w8a8 ladder failed: {exc}", file=sys.stderr)
+        import gc
+
+        def ladder(tag, yaml_name, quant, pad=None):
+            try:
+                cfg_q = load_yaml(config_root() / "eval" / yaml_name)
+                cfg_q["num_inference_steps"] = 1
+                cfg_q["use_bf16"] = True
+                if pad is not None:  # preset-static short pad (free on TPU)
+                    cfg_q["max_seq_len"] = pad
+                    cfg_q["max_image_text_tokens"] = pad
+                    cfg_q["env"]["adapter"]["max_seq_len"] = pad
+                if quant:
+                    cfg_q["vlm_quantization"] = {
+                        "mode": quant, "include_vision": True}
+                    cfg_q["action_quantization"] = {"mode": quant}
+                model_q = PiZero(cfg_q)
+                if pad is None:
+                    base_q = params
+                    args_in = args[1:]
+                else:
+                    # pool64 presets change the vision shapes (112 px -> 64
+                    # pos-embed rows): fresh iota weights + fresh inputs
+                    from experiments.bench_flash import make_inputs
+                    from experiments.fastinit import fake_params
+
+                    base_q = model_q.tie_action_proprio_weights(
+                        fake_params(model_q, jnp.bfloat16))
+                    args_in = make_inputs(cfg_q)
+                params_q = model_q.enable_vlm_quantization(
+                    model_q.enable_action_quantization(base_q)
+                )
+                args_q = (params_q,) + tuple(args_in)
+                del base_q
+                step_q = jax.jit(model_q.infer_action).lower(*args_q).compile()
+                q50, _, _ = timed_call(step_q, *args_q, warmup=5, iters=30)
+                result[f"{tag}_ms"] = round(q50 * 1000, 3)
+                result[f"{tag}_vs_baseline"] = round(
+                    REFERENCE_BLURR_MS / (q50 * 1000), 3)
+                del params_q, args_q, step_q
+            except Exception as exc:  # the headline number must still print
+                print(f"# {tag} ladder failed: {exc}", file=sys.stderr)
+            gc.collect()
+
+        ladder("w8a8", "bridge.yaml", "w8a8")
+        # the pool64 entries build their own (112 px vision) weight trees:
+        # drop the 6.6 GB base tree first or three trees OOM the chip
+        params = args = step = None
+        gc.collect()
+        ladder("pool64_w8a8", "bridge_pool64_steps2.yaml", "w8a8", pad=96)
+        ladder("pool64_w4a8", "bridge_pool64_steps2.yaml", "w4a8", pad=96)
 
     print(json.dumps(result))
     peak = hbm.get("peak_gb") or peak_tpu_memory_gb()
