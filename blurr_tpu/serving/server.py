@@ -269,6 +269,16 @@ class ActionServer:
             )
         self.bucket_mode = bucket_mode
         self.max_batch = max(1, int(max_batch))
+        # "max" pads every batch to max_batch, and that bucket is device_put
+        # to the 'data'-sharded layout — it must split evenly across dp
+        # replicas or warmup fails with an opaque sharding error (pow2
+        # buckets are powers of 2 >= dp, so they always divide).
+        if self.bucket_mode == "max" and self.max_batch % max(self.dp, 1):
+            raise ValueError(
+                f"bucket_mode='max' pads every batch to max_batch="
+                f"{self.max_batch}, which must be divisible by dp={self.dp} "
+                "for the data-parallel sharding"
+            )
         self.batch_window_s = batch_window_ms / 1000.0
         # backpressure: > 0 bounds the number of QUEUED (not yet claimed)
         # requests; excess requests are rejected immediately instead of

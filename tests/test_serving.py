@@ -227,6 +227,21 @@ def test_bucket_mode_rejected_when_unknown():
                      bucket_mode="pow3")
 
 
+def test_bucket_mode_max_rejects_indivisible_dp():
+    """bucket_mode='max' pads every batch to max_batch and device_puts it to
+    the 'data'-sharded layout; a max_batch that doesn't divide across dp
+    replicas must fail LOUDLY at construction, not with an opaque sharding
+    error at warmup (pow2 buckets always divide: powers of 2 >= dp)."""
+    cfg = tiny_pi0_cfg()
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg.pretrained_model_path = "(stub)"
+    cfg.max_seq_len = cfg.max_image_text_tokens
+    with pytest.raises(ValueError, match="divisible by dp"):
+        ActionServer(cfg, checkpoint_path="random", max_batch=5, dp=2,
+                     bucket_mode="max")
+
+
 def test_baseline_preset_serves_naive_path():
     from tests.util import tiny_pi0_cfg
 
