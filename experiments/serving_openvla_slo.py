@@ -43,12 +43,17 @@ from blurr_tpu.serving.server import recv_msg, send_msg
 # max_batch=4 keeps the cumulative footprint at 12.7 GB. w4a8 (4.8 GB
 # weights) has the most headroom; w8a8 is the serving-grade 7B preset.
 PRESETS = {
-    "openvla7b_bf16": ("random-7b", None, 1, [1, 2]),
-    "openvla7b_w8a8": ("random-7b", "w8a8", 4, [1, 2, 4]),
-    "minivla_bf16": ("random-minivla", None, 8, [1, 4, 8]),
+    # (model_id, quantization, max_batch, client sweep, bucket_mode)
+    "openvla7b_bf16": ("random-7b", None, 1, [1, 2], "pow2"),
+    "openvla7b_w8a8": ("random-7b", "w8a8", 4, [1, 2, 4], "pow2"),
+    # bucket_mode='max' holds ONE compiled program (one resident temp
+    # arena), which is exactly what lets w8a8 serve max_batch=8 without
+    # the cumulative-bucket OOM the pow2 preset dodges by halving capacity
+    "openvla7b_w8a8_max8": ("random-7b", "w8a8", 8, [1, 4, 8], "max"),
+    "minivla_bf16": ("random-minivla", None, 8, [1, 4, 8], "pow2"),
     # CPU smoke preset (not part of the measured table):
     #   BLURR_PLATFORM=cpu python experiments/serving_openvla_slo.py tiny
-    "tiny": ("random", None, 2, [1, 2]),
+    "tiny": ("random", None, 2, [1, 2], "pow2"),
 }
 DURATION_S = 15.0
 OUT_CSV = (Path(__file__).resolve().parents[1] / "docs" / "results"
@@ -96,12 +101,15 @@ def _percentiles(lat):
     }
 
 
-def run_preset(name, model_id, quantization, max_batch, sweep, rows):
+def run_preset(name, model_id, quantization, max_batch, sweep, rows,
+               bucket_mode="pow2"):
     from blurr_tpu.serving.openvla_server import OpenVLAActionServer
 
-    print(f"[{name}] building server (max_batch={max_batch})...", flush=True)
+    print(f"[{name}] building server (max_batch={max_batch}, "
+          f"bucket_mode={bucket_mode})...", flush=True)
     server = OpenVLAActionServer(
         model_id, quantization=quantization, max_batch=max_batch,
+        bucket_mode=bucket_mode,
     )
     t_warm = server.warmup()
     print(f"[{name}] warmup (all buckets compiled): {t_warm:.1f}s", flush=True)
@@ -188,9 +196,10 @@ def run_preset(name, model_id, quantization, max_batch, sweep, rows):
 
 
 def _run_single(name: str, out_path: Path):
-    model_id, quantization, max_batch, sweep = PRESETS[name]
+    model_id, quantization, max_batch, sweep, bucket_mode = PRESETS[name]
     rows: list = []
-    run_preset(name, model_id, quantization, max_batch, sweep, rows)
+    run_preset(name, model_id, quantization, max_batch, sweep, rows,
+               bucket_mode=bucket_mode)
     with out_path.open("w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=FIELDS)
         w.writeheader()

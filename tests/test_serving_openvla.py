@@ -214,3 +214,86 @@ def test_jacobi_decode_serving_matches_ar():
         np.testing.assert_array_equal(a, j)
     srv_ar.stop()
     srv_j.stop()
+
+
+def test_chaos_under_load_openvla_batcher_survives():
+    """Hostile frames (garbage kinds, mid-frame truncations, a client that
+    enqueues and vanishes before its reply) interleaved with live batched
+    traffic on the OpenVLA server: every live request completes, the queue
+    drains, and the server keeps serving (verdict r3 Next #7 — one chaos
+    test per server; the Pi-0 twin lives in test_serving.py)."""
+    import base64
+    import socket
+    import struct
+
+    srv = OpenVLAActionServer("random", use_bf16=False, seed=3, max_batch=2,
+                              batch_window_ms=10.0)
+    ready = threading.Event()
+    t = threading.Thread(
+        target=srv.serve_forever, kwargs={"port": 0, "ready_event": ready},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(60)
+    try:
+        img = np.zeros((28, 28, 3), np.uint8)
+        valid = (
+            b'{"image": "' + base64.b64encode(img.tobytes()) + b'", '
+            b'"image_shape": [28, 28, 3], "instruction": "x", '
+            b'"proprio": [0, 0, 0, 0, 0, 0, 0]}'
+        )
+        rng = np.random.RandomState(11)
+
+        def hostile():
+            for trial in range(12):
+                try:
+                    s = socket.create_connection(
+                        ("127.0.0.1", srv.port), timeout=30)
+                except OSError:
+                    continue
+                try:
+                    kind = trial % 4
+                    if kind == 0:  # valid request, vanish before the reply
+                        s.sendall(struct.pack(">I", len(valid)) + valid)
+                    elif kind == 1:  # disconnect mid-frame
+                        s.sendall(struct.pack(">I", len(valid))
+                                  + valid[: len(valid) // 2])
+                    elif kind == 2:  # garbage payload
+                        payload = rng.bytes(rng.randint(1, 120))
+                        s.sendall(struct.pack(">I", len(payload)) + payload)
+                    else:  # hostile length prefix
+                        s.sendall(struct.pack(">I", 1 << 30))
+                except OSError:
+                    pass
+                finally:
+                    s.close()
+
+        ok, fails = [], []
+
+        def live(i):
+            try:
+                with ActionClient(port=srv.port) as c:
+                    for j in range(4):
+                        out = np.asarray(c.predict(
+                            np.full((28, 28, 3), (i * 9 + j) % 255, np.uint8),
+                            f"load {i}", [0.0] * 7))
+                        assert out.shape == (7,)
+                    ok.append(i)
+            except Exception as exc:  # noqa: BLE001
+                fails.append((i, exc))
+
+        th = threading.Thread(target=hostile)
+        lives = [threading.Thread(target=live, args=(i,)) for i in range(2)]
+        th.start()
+        for x in lives:
+            x.start()
+        th.join(120)
+        for x in lives:
+            x.join(180)
+        assert not fails, fails
+        assert sorted(ok) == [0, 1]
+        assert srv.stats()["queue_depth"] == 0
+        with ActionClient(port=srv.port) as c:
+            assert np.asarray(c.predict(img, "post", [0.0] * 7)).shape == (7,)
+    finally:
+        srv.stop()
