@@ -125,6 +125,11 @@ class PiZero:
             {"int8", "int8_cached", "bnb_int8", "w8a8", "w4a8"},
         )
         self.action_quant_cache_fp = bool(aq.get("cache_fp_weight", False))
+        # w4a8 accuracy knobs (ops.quant.quantize_mixture_w4a8): row-group
+        # size for the group-wise int4 scales, and weight names kept in
+        # w8a8 (mixed precision for quantization-sensitive matrices)
+        self.action_w4a8_group_size = int(aq.get("group_size", 512) or 512)
+        self.action_w4a8_int8_keys = tuple(aq.get("int8_keys") or ())
         self.kv_quant_mode = _checked_mode(kq, "kv_quantization", {"int8"})
         self.kv_quant_clip = kq.get("activation_clip")
         vq = cfg.get("vlm_quantization") or {}
@@ -132,6 +137,8 @@ class PiZero:
             vq, "vlm_quantization", {"w8a8", "w4a8"}
         )
         self.vlm_quant_vision = bool(vq.get("include_vision", False))
+        self.vlm_w4a8_group_size = int(vq.get("group_size", 512) or 512)
+        self.vlm_w4a8_int8_keys = tuple(vq.get("int8_keys") or ())
         # kv_quantization.dtype is the DEQUANTIZATION dtype (the fp dtype
         # cached int8 chunks are restored to — reference kv_cache.py:100-106
         # and bridge.yaml:46 `dtype: bfloat16`)
@@ -275,9 +282,15 @@ class PiZero:
         params = dict(params)
         params["joint"] = dict(params["joint"])
         if self.action_quant_mode in ("w8a8", "w4a8"):
+            import functools
+
             qfn = (
                 quantize_mixture_w8a8 if self.action_quant_mode == "w8a8"
-                else quantize_mixture_w4a8
+                else functools.partial(
+                    quantize_mixture_w4a8,
+                    group_size=self.action_w4a8_group_size,
+                    int8_keys=self.action_w4a8_int8_keys,
+                )
             )
             params["joint"]["action"] = qfn(params["joint"]["action"])
             if tied:
@@ -317,11 +330,17 @@ class PiZero:
             quantize_vit_w8a8,
         )
 
+        import functools
+
         params = dict(params)
         params["joint"] = dict(params["joint"])
         qfn = (
             quantize_mixture_w8a8 if self.vlm_quant_mode == "w8a8"
-            else quantize_mixture_w4a8
+            else functools.partial(
+                quantize_mixture_w4a8,
+                group_size=self.vlm_w4a8_group_size,
+                int8_keys=self.vlm_w4a8_int8_keys,
+            )
         )
         params["joint"]["vlm"] = qfn(params["joint"]["vlm"])
         # the ViT tower stays int8 under w4a8 (small weights; int8 accuracy)

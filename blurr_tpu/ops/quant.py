@@ -224,11 +224,24 @@ def quantize_vit_w8a8(vit_params: dict) -> dict:
 # w8a8 end-to-end action rate on v5e).
 
 
-def quantize_weight_w4a8(w: jax.Array, group_size: int = 512) -> dict:
+_W4A8_CLIP_GRID = (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7)
+
+
+def quantize_weight_w4a8(w: jax.Array, group_size: int = 512,
+                         mse_scale: bool = True) -> dict:
     """[K, N] -> {"q4": block-major packed int8 [NB, K//2, BN],
     "s": fp32 [G, N]} with GROUP-WISE scales: each of the G = K/group_size
-    row-groups gets its own per-out-channel scale (GPTQ-style RTN — the
-    accuracy-credible int4 recipe; G=1 degenerates to plain per-channel).
+    row-groups gets its own per-out-channel scale (GPTQ-style rounding —
+    the accuracy-credible int4 recipe; G=1 degenerates to plain
+    per-channel).
+
+    ``mse_scale`` (default): instead of the max-abs scale (which minimizes
+    clipping but maximizes the rounding step — the classic int4 RTN
+    weakness on Gaussian-ish weights), each (group, out-channel) cell
+    searches a small clip grid and keeps the scale minimizing its own
+    reconstruction MSE. Data-free, same {"q4", "s"} format, quantization-
+    time only; measured -20-25% weight RMSE at g=512/128 (see
+    docs/results/quant_closed_loop_v5e.md for the closed-loop follow-up).
 
     N is zero-padded to NB*BN (pick_block_layout minimizes the padding) and
     the packed bytes are stored block-major so every kernel DMA is one
@@ -245,8 +258,22 @@ def quantize_weight_w4a8(w: jax.Array, group_size: int = 512) -> dict:
     k, n = w.shape
     g = pick_group_size(k, group_size)
     wf = w.astype(jnp.float32).reshape(k // g, g, n)
-    scale = jnp.clip(jnp.max(jnp.abs(wf), axis=1), 1e-6) / 7.0  # [G, N]
-    q = jnp.clip(jnp.round(wf / scale[:, None, :]), -8, 7)
+    amax = jnp.clip(jnp.max(jnp.abs(wf), axis=1), 1e-6)  # [G, N]
+    if mse_scale:
+        scale = amax / 7.0
+        q = jnp.clip(jnp.round(wf / scale[:, None, :]), -8, 7)
+        best = jnp.sum((q * scale[:, None, :] - wf) ** 2, axis=1)
+        for c in _W4A8_CLIP_GRID[1:]:
+            s_c = amax * (c / 7.0)
+            q_c = jnp.clip(jnp.round(wf / s_c[:, None, :]), -8, 7)
+            e_c = jnp.sum((q_c * s_c[:, None, :] - wf) ** 2, axis=1)
+            take = e_c < best  # [G, N]
+            best = jnp.where(take, e_c, best)
+            scale = jnp.where(take, s_c, scale)
+            q = jnp.where(take[:, None, :], q_c, q)
+    else:
+        scale = amax / 7.0
+        q = jnp.clip(jnp.round(wf / scale[:, None, :]), -8, 7)
     q = q.reshape(k, n).astype(jnp.int8)
     bn, n_pad = pick_block_layout(n)
     if n_pad != n:
@@ -324,18 +351,32 @@ def w4a8_mm(x: jax.Array, w: dict, activation_clip: Optional[float] = None) -> j
     return _int4_dot_ste(xf, w["q4"], w["s"]).astype(dtype)
 
 
-def quantize_mixture_w4a8(mixture_params: dict) -> dict:
+def quantize_mixture_w4a8(mixture_params: dict, group_size: int = 512,
+                          int8_keys: tuple = ()) -> dict:
     """Quantize all linear weights of one mixture for the w4a8 path.
 
     Stacked [L, K, N] weights are quantized per layer (vmap) so each layer
     keeps its own scales; scan slices the leading axis as usual.
+
+    Accuracy knobs (verdict r3 Next #5 — the measured w4a8 blocker is
+    quantization noise, 6.6x w8a8's closed-loop action MAE):
+    - ``group_size``: finer row-groups than the default 512 give each
+      group its own per-out-channel scale (more scales, less rounding
+      error; the Pallas kernel statically unrolls one int32 dot per
+      group, so very fine groups trade latency).
+    - ``int8_keys``: weight names to keep in W8A8 instead (mixed-
+      precision: protect the most quantization-sensitive matrices — mm()
+      dispatches per weight dict, so int4 and int8 coexist in one scan).
     """
+    import functools
+
+    qf = functools.partial(quantize_weight_w4a8, group_size=group_size)
     out = dict(mixture_params)
     for k in _QUANT_WEIGHT_KEYS:
         if k in out and not isinstance(out[k], dict):
             w = out[k]
-            out[k] = (
-                jax.vmap(quantize_weight_w4a8)(w) if w.ndim == 3
-                else quantize_weight_w4a8(w)
-            )
+            if k in tuple(int8_keys):
+                out[k] = quantize_weight_w8a8(w)
+            else:
+                out[k] = jax.vmap(qf)(w) if w.ndim == 3 else qf(w)
     return out

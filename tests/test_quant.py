@@ -347,3 +347,46 @@ def test_w8a8_random_shapes_property():
         out = np.asarray(mm(x, quantize_weight_w8a8(w)))
         denom = np.abs(ref).mean() + 1e-6
         assert np.abs(out - ref).mean() / denom < 0.03, (m, k, n)
+
+
+def test_w4a8_mse_scale_beats_maxabs_rtn():
+    """The default MSE-optimal clip search reconstructs strictly better
+    than max-abs RTN on Gaussian-ish weights (the measured w4a8 blocker is
+    quantization noise — verdict r3 Next #5)."""
+    import jax.numpy as jnp
+
+    from blurr_tpu.ops.quant import _w4a8_deq, quantize_weight_w4a8
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(256, 128).astype(np.float32) * 0.02)
+
+    def rel_rmse(q):
+        wd = _w4a8_deq(q["q4"], q["s"], 256)
+        return float(jnp.sqrt(jnp.mean((wd - w) ** 2))
+                     / jnp.sqrt(jnp.mean(w ** 2)))
+
+    e_mse = rel_rmse(quantize_weight_w4a8(w, group_size=128))
+    e_rtn = rel_rmse(quantize_weight_w4a8(w, group_size=128, mse_scale=False))
+    assert e_mse < e_rtn * 0.97, (e_mse, e_rtn)
+
+
+def test_w4a8_mixture_knobs_group_and_mixed_precision():
+    """group_size + int8_keys thread from the config into the quantized
+    tree: int8_keys members become {"q8a","s"} dicts, the rest pack int4
+    with the requested group count, and mm() serves both in one mixture."""
+    import jax.numpy as jnp
+
+    from blurr_tpu.ops.quant import mm, quantize_mixture_w4a8
+
+    rng = np.random.RandomState(1)
+    mix = {
+        "q_w": jnp.asarray(rng.randn(2, 256, 128).astype(np.float32) * 0.05),
+        "down_w": jnp.asarray(rng.randn(2, 128, 256).astype(np.float32) * 0.05),
+    }
+    out = quantize_mixture_w4a8(mix, group_size=128, int8_keys=("down_w",))
+    assert "q4" in out["q_w"] and out["q_w"]["s"].shape == (2, 2, 128)
+    assert "q8a" in out["down_w"]
+    x = jnp.asarray(rng.randn(4, 256).astype(np.float32))
+    y4 = mm(x, {k: v[0] for k, v in out["q_w"].items()})
+    ref = x @ np.asarray(mix["q_w"][0])
+    assert np.sqrt(((np.asarray(y4) - ref) ** 2).mean()) < 0.35 * np.abs(ref).std()
