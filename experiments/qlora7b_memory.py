@@ -112,23 +112,43 @@ def main():
     )
     print(f"rank-{RANK} factors: {n_factors/1e6:.1f} M trainable", flush=True)
 
+    import re
+
+    def classify(exc) -> str:
+        """Round-3 left batch>=4 failures as truncated 'HTTP 500' strings;
+        pull the compiler's own OOM accounting out of the message so the
+        CSV records the fit boundary as a RESULT, not a mystery."""
+        msg = str(exc)
+        m = re.search(r"Ran out of memory.*?Used ([0-9.]+[GM]) of "
+                      r"([0-9.]+[GM])", msg, re.S)
+        if m:
+            return f"compile OOM: {m.group(1)} of {m.group(2)}"
+        return ("compile failed (non-OOM): " + msg.replace("\n", " "))[:100]
+
     rows = []
     for bsz in (1, 2, 4, 8):
         for donate in (False, True):
             step = make_step(model, tx)
             jitted = jax.jit(step, donate_argnums=(0, 1) if donate else ())
-            try:
-                compiled = jitted.lower(
-                    shapes, opt_shapes, *batch_shapes(spec, bsz)
-                ).compile()
-                hbm = compiled_hbm_gb(compiled)
-                row = {"batch": bsz, "donate": donate,
-                       "peak_hbm_gb": round(hbm.get("peak_gb", -1), 2),
-                       "fits_16gb": hbm.get("peak_gb", 99) < 15.7}
-            except Exception as exc:  # noqa: BLE001 — OOM-at-compile rows matter
-                row = {"batch": bsz, "donate": donate,
-                       "peak_hbm_gb": f"compile failed: {exc}"[:80],
-                       "fits_16gb": False}
+            row = None
+            for attempt in range(2):  # one retry: OOM repeats, flakes don't
+                try:
+                    compiled = jitted.lower(
+                        shapes, opt_shapes, *batch_shapes(spec, bsz)
+                    ).compile()
+                    hbm = compiled_hbm_gb(compiled)
+                    row = {"batch": bsz, "donate": donate,
+                           "peak_hbm_gb": round(hbm.get("peak_gb", -1), 2),
+                           "fits_16gb": hbm.get("peak_gb", 99) < 15.7}
+                    break
+                except Exception as exc:  # noqa: BLE001 — OOMs are data
+                    note = classify(exc)
+                    row = {"batch": bsz, "donate": donate,
+                           "peak_hbm_gb": note, "fits_16gb": False}
+                    if "OOM" in note:
+                        break  # deterministic; no point retrying
+                    print(f"  attempt {attempt}: {note} (retrying)",
+                          flush=True)
             print(row, flush=True)
             rows.append(row)
 
@@ -210,6 +230,21 @@ def main():
     ms = per_iter_s * 1000
     print(f"QLoRA 7B train step, batch {bsz}: {ms:.1f} ms "
           f"({bsz / per_iter_s:.2f} samples/s)", flush=True)
+
+    # land the measured step time IN the CSV (round 3 printed it and left
+    # the column empty)
+    for r in rows:
+        if r["batch"] == bsz and r["donate"]:
+            r["step_ms"] = round(ms, 1)
+    with out_csv.open("w", newline="") as f:
+        w = csv.DictWriter(
+            f, fieldnames=["batch", "donate", "peak_hbm_gb", "fits_16gb",
+                           "step_ms"]
+        )
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+    print(f"rewrote {out_csv} with step_ms", flush=True)
 
 
 if __name__ == "__main__":
