@@ -66,6 +66,35 @@ class BatchedEvalAgent(EvalAgent):
         # the serial agent's jit wrapper with an N-row noise batch — one
         # key-derivation contract for both agents (EvalAgent._make_infer)
         self._infer_batched = self._make_infer(base, self.n_envs)
+
+        # slot stacking happens IN-GRAPH: adapter.preprocess returns DEVICE
+        # arrays (process_images runs on the TPU; proprio is jnp.asarray),
+        # so a host-side np.concatenate would FETCH 4 arrays per slot per
+        # control round across the device link — measured on the axon
+        # tunnel as the batched-eval scaling anomaly (round time ~ 4N x
+        # RTT: 135/517/915 ms at N=1/2/8, docs/results/
+        # batched_eval_phases_v5e.csv). Concatenating inside the same jit
+        # keeps the round at exactly ONE fetch (the action chunk).
+        infer = self._infer_batched
+        keys = ("input_ids", "attention_mask", "pixel_values", "proprios")
+
+        import jax
+
+        @jax.jit
+        def stack_and_infer(params, slot_inputs, key, idx):
+            import jax.numpy as jnp
+
+            s = {
+                k: jnp.concatenate([inp[k] for inp in slot_inputs])
+                for k in keys
+            }
+            return infer(
+                params, s["input_ids"], s["attention_mask"],
+                s["pixel_values"].astype(self.dtype),
+                s["proprios"].astype(self.dtype), key, idx,
+            )
+
+        self._stack_and_infer = stack_and_infer
         # per-slot host preprocessing (cv2 resize + tokenize) runs in a
         # thread pool — cv2 releases the GIL, so N slots' image work
         # overlaps instead of serializing in front of every device step
@@ -74,15 +103,11 @@ class BatchedEvalAgent(EvalAgent):
             if self.n_envs > 1 else None
         )
 
-    def _batched_infer(self, stacked: dict) -> np.ndarray:
-        out = self._infer_batched(
-            self.params,
-            stacked["input_ids"],
-            stacked["attention_mask"],
-            stacked["pixel_values"].astype(self.dtype),
-            stacked["proprios"].astype(self.dtype),
-            self._base_key,
-            self._step_idx,
+    def _batched_infer(self, slot_inputs: list) -> np.ndarray:
+        """One lockstep control step from the N slots' per-slot inputs
+        (list of dicts of [1, ...] arrays, stacked in-graph)."""
+        out = self._stack_and_infer(
+            self.params, list(slot_inputs), self._base_key, self._step_idx
         )
         self._step_idx += 1
         return self._sanitize(np.asarray(out, np.float32))
@@ -144,12 +169,10 @@ class BatchedEvalAgent(EvalAgent):
             else:
                 for s in active:
                     s.inputs = s.adapter.preprocess(s.env, s.obs, s.instruction)
-            stacked = {
-                k: np.concatenate([np.asarray(s.inputs[k]) for s in slots])
-                for k in slots[0].inputs
-            }
             t0 = time.time()
-            actions = self._batched_infer(stacked)  # [N, horizon, act_dim]
+            actions = self._batched_infer(
+                [s.inputs for s in slots]
+            )  # [N, horizon, act_dim]
             infer_times.append(time.time() - t0)
 
             for i, s in enumerate(slots):

@@ -119,6 +119,12 @@ def main() -> None:
                 t["infer_fetch_ms"] = (time.perf_counter() - t0) * 1000
                 agent._step_idx += 1
 
+                # the FIXED path (in-graph stacking, one fetch per round):
+                # agent._batched_infer on the per-slot device inputs
+                t0 = time.perf_counter()
+                agent._batched_infer(inputs)
+                t["fixed_path_ms"] = (time.perf_counter() - t0) * 1000
+
                 t0 = time.perf_counter()
                 for i, (env, adapter, obs, instr) in enumerate(slots):
                     env_actions = adapter.postprocess(actions[i])
