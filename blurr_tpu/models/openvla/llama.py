@@ -118,10 +118,16 @@ def forward(
     mask: jax.Array,  # bool [B, S, max_len]  (covers the cache buffer)
     cache: Tuple[jax.Array, jax.Array],
     cache_offset: jax.Array,  # scalar int32: write position
+    remat: bool = False,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One forward over S tokens with cache write at ``cache_offset``.
     Returns (hidden [B, S, H], updated cache). Used for both the prompt
-    prefill (S = prompt_len) and scan decode steps (S = 1)."""
+    prefill (S = prompt_len) and scan decode steps (S = 1).
+
+    ``remat``: rematerialize each layer in the backward pass
+    (``jax.checkpoint`` around the scanned body) — the training-memory
+    lever: per-layer activations ([B, S, H] x ~6 tensors x 32 layers at
+    7B) are recomputed instead of stored. No effect on inference."""
     nh, kvh, hd = spec.num_heads, spec.num_kv_heads, spec.head_dim
     eps = spec.eps
     cos, sin = rope_cos_sin(position_ids, hd, spec.rope_theta)
@@ -144,7 +150,8 @@ def forward(
         h = h + mm(jax.nn.silu(mm(x, lp["gate_w"])) * mm(x, lp["up_w"]), lp["down_w"])
         return h, (kc, vc)
 
-    h, (k_new, v_new) = jax.lax.scan(layer, embeds, (params["layers"], k_buf, v_buf))
+    body = jax.checkpoint(layer) if remat else layer
+    h, (k_new, v_new) = jax.lax.scan(body, embeds, (params["layers"], k_buf, v_buf))
     return h, (k_new, v_new)
 
 

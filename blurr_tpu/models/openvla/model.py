@@ -327,12 +327,15 @@ class OpenVLA:
         attn_valid: jax.Array,  # [B, T] 1 over prompt+action tokens
         pixel_values: jax.Array,
         action_tokens: jax.Array,  # [B, action_dim] labels
+        remat: bool = False,
     ) -> jax.Array:
         """Teacher-forced next-token cross-entropy over the action_dim
         action tokens (the OpenVLA fine-tuning objective — the loss the
         reference's OFT ``lora_adapter/`` checkpoints were trained with on
         GPU; here it runs as ONE jittable forward, no decode loop). Jittable;
-        differentiable through LoRA/QLoRA adapter dicts via ops.quant.mm."""
+        differentiable through LoRA/QLoRA adapter dicts via ops.quant.mm.
+        ``remat`` rematerializes the llama layers in the backward pass
+        (llama.forward) — the 7B single-chip capacity lever."""
         s = self.spec
         embeds = self._build_prompt_embeds(params, input_ids, pixel_values)
         b, total, _ = embeds.shape
@@ -348,7 +351,8 @@ class OpenVLA:
         mask = llama_lib.causal_prefill_mask(valid, total)
         cache = llama_lib.alloc_cache(s.llama, b, total, embeds.dtype)
         h, _ = llama_lib.forward(
-            params["llama"], s.llama, embeds, pos, mask, cache, jnp.int32(0)
+            params["llama"], s.llama, embeds, pos, mask, cache, jnp.int32(0),
+            remat=remat,
         )
         # action token i (ids position n_prompt+i) is predicted from the
         # PREVIOUS position's logits; ids position j embeds at n_patch + j.
@@ -519,6 +523,7 @@ class OpenVLAOFT(OpenVLA):
         pixel_values: jax.Array,
         proprio: Optional[jax.Array] = None,
         attn_valid: Optional[jax.Array] = None,
+        remat: bool = False,
     ) -> jax.Array:
         """[B, chunk_len, action_dim] normalized actions; jittable.
 
@@ -580,7 +585,8 @@ class OpenVLAOFT(OpenVLA):
         cols = jnp.arange(total)[None, None, :] >= total - n_tok
         mask = mask | (rows & cols)
         h, _ = llama_lib.forward(
-            params["llama"], s.llama, embeds, pos, mask, cache, jnp.int32(0)
+            params["llama"], s.llama, embeds, pos, mask, cache, jnp.int32(0),
+            remat=remat,
         )
         h = llama_lib.final_hidden(params["llama"], s.llama, h)
         act_hidden = h[:, -n_tok:, :].reshape(b, -1)
@@ -595,6 +601,7 @@ class OpenVLAOFT(OpenVLA):
         actions: jax.Array,  # [B, chunk_len, action_dim] normalized targets
         proprio: Optional[jax.Array] = None,
         attn_valid: Optional[jax.Array] = None,
+        remat: bool = False,
     ) -> jax.Array:
         """The OFT fine-tuning objective: L1 between the parallel-decoded
         continuous chunk and the ground truth (the loss the reference's
@@ -604,7 +611,8 @@ class OpenVLAOFT(OpenVLA):
         unpadded forward — see predict_action_continuous). Jittable;
         differentiable through LoRA/QLoRA llama adapters via ops.quant.mm."""
         pred = self.predict_action_continuous(
-            params, input_ids, pixel_values, proprio, attn_valid=attn_valid
+            params, input_ids, pixel_values, proprio, attn_valid=attn_valid,
+            remat=remat,
         )
         return jnp.mean(jnp.abs(pred - actions.astype(pred.dtype)))
 

@@ -17,6 +17,7 @@ Writes docs/results/qlora7b_memory_v5e.csv. Run on the v5e.
 from __future__ import annotations
 
 import csv
+import gc
 import sys
 from pathlib import Path
 
@@ -82,9 +83,9 @@ def batch_shapes(spec, bsz, dtype=jnp.bfloat16):
     )
 
 
-def make_step(model, tx):
+def make_step(model, tx, remat: bool = False):
     def loss_fn(p, ids, valid, px, labels):
-        return model.action_ce_loss(p, ids, valid, px, labels)
+        return model.action_ce_loss(p, ids, valid, px, labels, remat=remat)
 
     from blurr_tpu.utils.optim import value_and_grad_frozen_int
 
@@ -126,9 +127,9 @@ def main():
         return ("compile failed (non-OOM): " + msg.replace("\n", " "))[:100]
 
     rows = []
-    for bsz in (1, 2, 4, 8):
-        for donate in (False, True):
-            step = make_step(model, tx)
+    for bsz in (1, 2, 4, 8, 16):
+        for donate, remat in ((False, False), (True, False), (True, True)):
+            step = make_step(model, tx, remat=remat)
             jitted = jax.jit(step, donate_argnums=(0, 1) if donate else ())
             row = None
             for attempt in range(2):  # one retry: OOM repeats, flakes don't
@@ -137,13 +138,13 @@ def main():
                         shapes, opt_shapes, *batch_shapes(spec, bsz)
                     ).compile()
                     hbm = compiled_hbm_gb(compiled)
-                    row = {"batch": bsz, "donate": donate,
+                    row = {"batch": bsz, "donate": donate, "remat": remat,
                            "peak_hbm_gb": round(hbm.get("peak_gb", -1), 2),
                            "fits_16gb": hbm.get("peak_gb", 99) < 15.7}
                     break
                 except Exception as exc:  # noqa: BLE001 — OOMs are data
                     note = classify(exc)
-                    row = {"batch": bsz, "donate": donate,
+                    row = {"batch": bsz, "donate": donate, "remat": remat,
                            "peak_hbm_gb": note, "fits_16gb": False}
                     if "OOM" in note:
                         break  # deterministic; no point retrying
@@ -158,7 +159,7 @@ def main():
     out_csv.parent.mkdir(parents=True, exist_ok=True)
     with out_csv.open("w", newline="") as f:
         w = csv.DictWriter(
-            f, fieldnames=["batch", "donate", "peak_hbm_gb", "fits_16gb",
+            f, fieldnames=["batch", "donate", "remat", "peak_hbm_gb", "fits_16gb",
                            "step_ms"]
         )
         w.writeheader()
@@ -166,13 +167,19 @@ def main():
             w.writerow(r)
     print(f"wrote {out_csv}", flush=True)
 
-    # real step time at the largest fitting donated batch
+    # real step time at the largest fitting donated batch per remat mode
     fitting = [r for r in rows if r["donate"] and r["fits_16gb"] is True]
     if not fitting:
         print("no fitting configuration; skipping timing", flush=True)
         return
-    bsz = max(r["batch"] for r in fitting)
-    print(f"materializing int8-init 7B for timing at batch {bsz}...",
+    to_time = []
+    for remat in (False, True):
+        cand = [r for r in fitting if r["remat"] == remat]
+        if cand:
+            to_time.append((max(r["batch"] for r in cand), remat))
+    to_time = sorted(set(to_time))
+    bsz = max(b for b, _ in to_time)
+    print(f"materializing int8-init 7B for timing at {to_time}...",
           flush=True)
     k = jax.random.PRNGKey(0)
     dtype = jnp.bfloat16
@@ -203,42 +210,50 @@ def main():
     )
     params["llama"] = llama_q
     opt_state = tx.init(params)
-    rng = np.random.RandomState(0)
-    ids = np.zeros((bsz, SEQ), np.int32)
-    ids[:, 0] = 1
-    ids[:, 1:25] = rng.randint(3, 1000, (bsz, 24))
-    valid = np.zeros((bsz, SEQ), np.int32)
-    valid[:, :25 + spec.action_dim] = 1
-    ids[:, 25:25 + spec.action_dim] = 31800
     img = spec.siglip.image_size
-    batch = (
-        jnp.asarray(ids), jnp.asarray(valid),
-        jnp.asarray(rng.randn(bsz, 6, img, img), jnp.bfloat16),
-        jnp.full((bsz, spec.action_dim), 31800, jnp.int32),
-    )
-    # donated step (the fitting configuration); thread the donated buffers
-    # through a holder so repeated timing calls stay legal
-    jitted = jax.jit(make_step(model, tx), donate_argnums=(0, 1))
     state = {"p": params, "o": opt_state}
 
-    def one():
-        p, o, loss = jitted(state["p"], state["o"], *batch)
-        state["p"], state["o"] = p, o
-        return loss
+    def make_batch(bsz):
+        rng = np.random.RandomState(0)
+        ids = np.zeros((bsz, SEQ), np.int32)
+        ids[:, 0] = 1
+        ids[:, 1:25] = rng.randint(3, 1000, (bsz, 24))
+        valid = np.zeros((bsz, SEQ), np.int32)
+        valid[:, :25 + spec.action_dim] = 1
+        ids[:, 25:25 + spec.action_dim] = 31800
+        return (
+            jnp.asarray(ids), jnp.asarray(valid),
+            jnp.asarray(rng.randn(bsz, 6, img, img), jnp.bfloat16),
+            jnp.full((bsz, spec.action_dim), 31800, jnp.int32),
+        )
 
-    per_iter_s, _, _ = timed_call(one, warmup=2, iters=5)
-    ms = per_iter_s * 1000
-    print(f"QLoRA 7B train step, batch {bsz}: {ms:.1f} ms "
-          f"({bsz / per_iter_s:.2f} samples/s)", flush=True)
+    for bsz, remat in to_time:
+        batch = make_batch(bsz)
+        # donated step; thread the donated buffers through the holder so
+        # repeated timing calls stay legal
+        jitted = jax.jit(make_step(model, tx, remat=remat),
+                         donate_argnums=(0, 1))
 
-    # land the measured step time IN the CSV (round 3 printed it and left
-    # the column empty)
-    for r in rows:
-        if r["batch"] == bsz and r["donate"]:
-            r["step_ms"] = round(ms, 1)
+        def one():
+            p, o, loss = jitted(state["p"], state["o"], *batch)
+            state["p"], state["o"] = p, o
+            return loss
+
+        per_iter_s, _, _ = timed_call(one, warmup=2, iters=5)
+        ms = per_iter_s * 1000
+        print(f"QLoRA 7B train step, batch {bsz} remat={remat}: {ms:.1f} ms "
+              f"({bsz / per_iter_s:.2f} samples/s)", flush=True)
+        # land the measured step time IN the CSV (round 3 printed it and
+        # left the column empty)
+        for r in rows:
+            if (r["batch"] == bsz and r["donate"]
+                    and r["remat"] == remat):
+                r["step_ms"] = round(ms, 1)
+        del batch
+        gc.collect()
     with out_csv.open("w", newline="") as f:
         w = csv.DictWriter(
-            f, fieldnames=["batch", "donate", "peak_hbm_gb", "fits_16gb",
+            f, fieldnames=["batch", "donate", "remat", "peak_hbm_gb", "fits_16gb",
                            "step_ms"]
         )
         w.writeheader()

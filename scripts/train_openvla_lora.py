@@ -66,6 +66,12 @@ def parse_args():
                    choices=["fp32", "bf16"])
     p.add_argument("--max-text-tokens", type=int, default=32)
     p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize the llama layers in the backward "
+                        "pass (jax.checkpoint on the layer scan): trades "
+                        "~recompute FLOPs for activation HBM — the "
+                        "single-chip 7B batch-size lever (see "
+                        "docs/results/qlora7b_memory_v5e.csv).")
     p.add_argument("--accum-steps", type=int, default=1,
                    help="gradient accumulation via optax.MultiSteps: "
                         "factors update every k micro-batches with the "
@@ -250,11 +256,13 @@ def main():
     if args.oft:
         def loss_fn(p, ids, valid, px, actions, proprio):
             return model.oft_l1_loss(
-                p, ids, px, actions, proprio, attn_valid=valid
+                p, ids, px, actions, proprio, attn_valid=valid,
+                remat=args.remat,
             )
     else:
         def loss_fn(p, ids, valid, px, labels):
-            return model.action_ce_loss(p, ids, valid, px, labels)
+            return model.action_ce_loss(p, ids, valid, px, labels,
+                                        remat=args.remat)
 
     from blurr_tpu.utils.optim import value_and_grad_frozen_int
 

@@ -632,3 +632,60 @@ def test_w4a8_checkpoint_rejects_tp_and_lora_ptq_refused(tmp_path):
     with _pytest.raises(ValueError, match="LoRA factor dicts"):
         build_openvla("random", dtype=jnp.float32,
                       checkpoint_path=str(saved2), quantization="w8a8")
+
+
+def test_remat_matches_plain_loss_and_grads(tiny_setup):
+    """``remat=True`` (jax.checkpoint on the llama layer scan) must change
+    memory, never math: loss and LoRA-factor grads equal the plain path.
+    The 7B single-chip capacity lever (qlora7b_memory_v5e.csv)."""
+    model, params, (ids, valid, px, labels) = tiny_setup
+    llama = dict(params["llama"])
+    llama["layers"] = inject_lora_tree(
+        llama["layers"], jax.random.PRNGKey(3), 4, ("q_w", "v_w"),
+    )
+    p0 = dict(params, llama=llama)
+
+    def loss(p, remat):
+        return model.action_ce_loss(p, ids, valid, px, labels, remat=remat)
+
+    l_plain, g_plain = jax.value_and_grad(lambda p: loss(p, False))(p0)
+    l_remat, g_remat = jax.value_and_grad(lambda p: loss(p, True))(p0)
+    np.testing.assert_allclose(float(l_plain), float(l_remat), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        g_plain, g_remat,
+    )
+
+
+def test_remat_matches_plain_oft_l1():
+    """Same invariant through the OFT L1 objective (continuous head)."""
+    from blurr_tpu.models.openvla.model import OpenVLAOFT
+
+    spec = OpenVLASpec.tiny()
+    model = OpenVLAOFT(spec, chunk_len=2, use_proprio=True, proprio_dim=5)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(2)
+    b, seq = 2, 11
+    ids = np.zeros((b, seq), np.int32)
+    ids[:, 0] = 1
+    ids[:, 1:8] = rng.randint(3, 1000, (b, 7))
+    valid = (ids > 0).astype(np.int32)
+    px = jnp.asarray(
+        rng.randn(b, 6, spec.siglip.image_size, spec.siglip.image_size),
+        jnp.float32)
+    actions = jnp.asarray(
+        np.clip(rng.randn(b, 2, spec.action_dim) * 0.5, -1, 1), jnp.float32)
+    proprio = jnp.asarray(rng.randn(b, 5), jnp.float32)
+
+    def loss(p, remat):
+        return model.oft_l1_loss(
+            p, jnp.asarray(ids), px, actions, proprio,
+            attn_valid=jnp.asarray(valid), remat=remat)
+
+    l_plain, g_plain = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l_remat, g_remat = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l_plain), float(l_remat), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        g_plain, g_remat,
+    )
