@@ -378,5 +378,11 @@ def quantize_mixture_w4a8(mixture_params: dict, group_size: int = 512,
             if k in tuple(int8_keys):
                 out[k] = quantize_weight_w8a8(w)
             else:
-                out[k] = jax.vmap(qf)(w) if w.ndim == 3 else qf(w)
+                # lax.map, NOT vmap, over stacked [L, K, N] weights: the
+                # mse_scale clip search holds several fp32 copies of the
+                # weight at once, and vmap materializes that for ALL L
+                # layers simultaneously (~10 GB for the 18-layer Gemma MLP
+                # next to the resident bf16 tree — a measured 16 GB-chip
+                # OOM). Sequential per-layer keeps peak at one layer.
+                out[k] = jax.lax.map(qf, w) if w.ndim == 3 else qf(w)
     return out

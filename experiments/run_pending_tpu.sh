@@ -1,5 +1,11 @@
 #!/usr/bin/env bash
-# Pending real-TPU measurements for this round, in priority order.
+# Pending real-TPU measurements, in priority order. STATUS (round 4,
+# 2026-08-19): every item below has been executed and landed in
+# docs/results/ — bench (full preset ladder), batched-eval (post-fix
+# re-sweep + phase attribution), flash-at-batch (negative result),
+# OpenVLA SLO (full 7B rows), QLoRA-7B (remat sweep + step times),
+# Pi-0 SLO (occupancy/padding columns), Jacobi (latency + convergence).
+# Kept as the re-run entrypoint for future hardware.
 # Run when the axon tunnel is back:   bash experiments/run_pending_tpu.sh
 # Logs go unbuffered to /tmp/tpu_meas/ (never pipe background jobs through
 # tail — CLAUDE.md); each step is independently skippable on failure.
