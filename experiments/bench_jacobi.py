@@ -37,6 +37,7 @@ def main() -> None:
 
     rows = []
     for model_id, quant in [("random-7b", None), ("random-7b", "w8a8"),
+                            ("random-7b", "w4a8"),
                             ("random-minivla", None)]:
         built = build_openvla(model_id, dtype=jnp.bfloat16,
                               quantization=quant,
