@@ -476,11 +476,42 @@ def relayout_qkv_for_jacobi(params: Dict) -> Dict:
     by one as each transposed copy lands (set to None in the input dict).
     Holding both full-precision trees alive would itself OOM a 16 GB chip
     at 7B scale (13.9 + 3 GB); the caller must rebind to the returned
-    tree. On a failed relayout (CPU) the input is returned untouched."""
+    tree. On a failed relayout (CPU, sharded trees) the input is returned
+    untouched — already-converted leaves are transposed back to the
+    natural layout first; if THAT allocation fails too, the tree is
+    half-converted and a RuntimeError tells the caller to reload."""
     layers = params.get("llama", {}).get("layers", {})
     out = dict(params)
     out["llama"] = dict(params["llama"])
     out["llama"]["layers"] = dict(layers)
+
+    def _undo(reason: BaseException | None) -> Dict:
+        # Earlier keys were already donated (original freed, only the
+        # TRANSPOSED copy survives in `out`). "Untouched" must mean layout
+        # too — a mixed-layout tree makes the later decode program hoist
+        # GB-scale conversion copies and compile-OOM with no hint why — so
+        # restore by transposing each donated leaf back to the default
+        # layout. If even that allocation fails, the tree is genuinely
+        # half-converted: raise instead of returning a lie.
+        for kk in ("q_w", "k_w", "v_w"):
+            if layers.get(kk) is not None:
+                continue  # not donated yet
+            t = out["llama"]["layers"][kk]
+            try:
+                from jax.experimental.layout import Format, Layout
+                from jax.sharding import SingleDeviceSharding
+
+                dev = list(t.devices())[0]
+                nat = Format(Layout((0, 1, 2)), SingleDeviceSharding(dev))
+                layers[kk] = jax.device_put(t, nat)
+            except Exception as undo_exc:
+                raise RuntimeError(
+                    f"relayout_qkv_for_jacobi failed mid-way and could not "
+                    f"restore {kk!r} to the natural layout — the param tree "
+                    f"is half-converted; reload the weights"
+                ) from (reason or undo_exc)
+        return params
+
     for k in ("q_w", "k_w", "v_w"):
         w = layers.get(k)
         if w is None or isinstance(w, dict) or w.ndim != 3:
@@ -491,15 +522,12 @@ def relayout_qkv_for_jacobi(params: Dict) -> Dict:
 
             devs = list(w.devices())
             if len(devs) != 1:  # tp/dp-sharded trees: leave the GSPMD
-                return params   # layout to the partitioner
+                return _undo(None)  # layout to the partitioner
             dev = devs[0]
             fmt = Format(Layout((0, 2, 1)), SingleDeviceSharding(dev))
             new = jax.device_put(w, fmt)
-        except Exception:  # CPU / backends without layout control
-            for kk in ("q_w", "k_w", "v_w"):  # undo earlier donations
-                if layers.get(kk) is None:
-                    layers[kk] = out["llama"]["layers"][kk]
-            return params
+        except Exception as exc:  # CPU / backends without layout control
+            return _undo(exc)
         out["llama"]["layers"][k] = new
         layers[k] = None  # free the original before the next 1 GB copy
         del w

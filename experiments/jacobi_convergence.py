@@ -60,6 +60,13 @@ def main() -> None:
             q = dict(p)
             q["embed_tokens"] = p["embed_tokens"] * alpha.astype(
                 p["embed_tokens"].dtype)
+            # Both specs tie lm_head to embed_tokens; pin the logits head to
+            # the UNSCALED table or alpha would scale the logits too — at
+            # alpha=0 that degenerates to argmax-of-zeros (constant token 0),
+            # measuring a zero head instead of prompt-only conditionals.
+            # For alpha>0 argmax is scale-invariant so rows are unaffected.
+            if "lm_head" not in p:
+                q["lm_head"] = jnp.swapaxes(p["embed_tokens"], 0, 1)
             return q
 
         @jax.jit

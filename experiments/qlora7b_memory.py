@@ -148,8 +148,9 @@ def main():
                            "peak_hbm_gb": note, "fits_16gb": False}
                     if "OOM" in note:
                         break  # deterministic; no point retrying
-                    print(f"  attempt {attempt}: {note} (retrying)",
-                          flush=True)
+                    if attempt == 0:
+                        print(f"  attempt {attempt}: {note} (retrying)",
+                              flush=True)
             print(row, flush=True)
             rows.append(row)
 

@@ -129,17 +129,17 @@ def main():
 
         params = llama_lib.relayout_qkv_for_jacobi(params)
 
-        def step(params, ids, px):
-            toks, _ = model.predict_action_tokens_jacobi(
-                params, ids, px, valid, return_iters=True)
-            return toks
-
-        step = jax.jit(step)
-        _, iters = jax.jit(
+        # one jit for both the iteration count and the timed step — a
+        # second program shape would cost another ~15 s remote compile
+        jac = jax.jit(
             lambda p, i, x: model.predict_action_tokens_jacobi(
                 p, i, x, valid, return_iters=True)
-        )(params, input_ids, pixel_values)
+        )
+        _, iters = jac(params, input_ids, pixel_values)
         jacobi_iters = int(iters)
+
+        def step(params, ids, px):
+            return jac(params, ids, px)[0]
     else:
         step = jax.jit(model.predict_action_tokens)
     avg_latency, _, _ = timed_call(

@@ -350,3 +350,34 @@ def test_jacobi_qkv_relayout_identity(tiny_model):
     if params2 is params:
         for k in ("q_w", "k_w", "v_w"):
             assert params["llama"]["layers"][k] is not None
+
+
+def test_jacobi_qkv_relayout_midway_failure_restores(tiny_model, monkeypatch):
+    """A device_put failure AFTER earlier leaves were already donated must
+    hand back the input tree fully restored (values AND natural layout) —
+    a mixed-layout tree makes the later decode program hoist GB-scale
+    conversion copies and compile-OOM with no hint why. Simulates a
+    RESOURCE_EXHAUSTED on the second transpose; on backends that reject
+    custom layouts outright the same no-donation contract is asserted."""
+    model, params = tiny_model
+    params = jax.tree.map(lambda x: x, params)
+    before = {k: np.asarray(params["llama"]["layers"][k])
+              for k in ("q_w", "k_w", "v_w")}
+    real_put = jax.device_put
+    calls = {"n": 0}
+
+    def flaky(x, target=None, **kw):
+        maj = getattr(getattr(target, "layout", None), "major_to_minor", None)
+        if maj == (0, 2, 1):  # the forward transposes, not the undo puts
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated RESOURCE_EXHAUSTED")
+        return real_put(x, target, **kw)
+
+    monkeypatch.setattr(jax, "device_put", flaky)
+    out = llama_lib.relayout_qkv_for_jacobi(params)
+    assert out is params  # the documented "returned untouched" contract
+    for k in ("q_w", "k_w", "v_w"):
+        leaf = params["llama"]["layers"][k]
+        assert leaf is not None and not isinstance(leaf, dict)
+        np.testing.assert_array_equal(np.asarray(leaf), before[k])
