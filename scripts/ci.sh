@@ -6,8 +6,21 @@ REPO_ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 cd "${REPO_ROOT}"
 export BLURR_PLATFORM="${BLURR_PLATFORM:-cpu}"
 
+# Default: FAST tier (pytest -m "not slow": 315 tests, measured ~10 min)
+# + CLI smokes + driver contracts — enough to validate a focused change.
+# --full adds the slow tier (200 tests: mesh parallelism, train loops, e2e
+# CLI subprocesses, socket servers; measured 53 min total on the 1-vCPU
+# box, 2026-08-19). The slow list lives in tests/conftest.py (SLOW_FILES).
+FULL=0
+if [[ "${1:-}" == "--full" ]]; then FULL=1; fi
+
 echo "==== tests ===="
-python -m pytest tests/ -q
+if [[ "$FULL" == 1 ]]; then
+  python -m pytest tests/ -q
+else
+  python -m pytest tests/ -q -m "not slow"
+  echo "(fast tier only — scripts/ci.sh --full runs the complete suite)"
+fi
 
 echo "==== CLI smokes (tiny configs, CPU) ===="
 python scripts/benchmark_pi0.py --config config/eval/bridge_tiny.yaml \
@@ -24,6 +37,9 @@ python scripts/eval_pi0_simpler.py --preset blurr --config config/eval/bridge_ti
   && echo "eval_pi0_simpler --batch-envs OK"
 python scripts/benchmark_hf_vla.py --model-id random --warmup 1 --iters 2 \
   --skip-flops | grep "Average latency"
+python scripts/benchmark_hf_vla.py --model-id random --warmup 1 --iters 2 \
+  --skip-flops --decode jacobi | grep "Decode: jacobi" >/dev/null \
+  && echo "benchmark_hf_vla --decode jacobi OK"
 python scripts/collect_bridge_eval_results.py >/dev/null && echo "collector OK"
 python scripts/demo_paligemma_text.py --max-new-tokens 4 --fused >/dev/null \
   && echo "text demo OK"

@@ -216,6 +216,29 @@ def test_jacobi_decode_serving_matches_ar():
     srv_j.stop()
 
 
+def test_jacobi_decode_composes_with_tp_and_dp():
+    """decode='jacobi' under tensor-parallel (tp=2) and data-parallel
+    (dp=2) sharding still serves bit-identical actions to single-chip AR
+    — the relayout is deliberately skipped for sharded trees (GSPMD owns
+    the layout), so this proves the sharded Jacobi program itself."""
+    import numpy as np
+
+    from blurr_tpu.serving.openvla_server import OpenVLAActionServer
+
+    srv_ar = OpenVLAActionServer("random", use_bf16=False, seed=5)
+    img = np.random.RandomState(1).randint(
+        0, 256, (srv_ar.spec.siglip.image_size,
+                 srv_ar.spec.siglip.image_size, 3), np.uint8)
+    ref = srv_ar.predict(img, "pick up the carrot", None)
+    srv_ar.stop()
+    for kw in ({"tp": 2}, {"dp": 2, "max_batch": 2}):
+        srv = OpenVLAActionServer("random", use_bf16=False, seed=5,
+                                  decode="jacobi", **kw)
+        got = srv.predict(img, "pick up the carrot", None)
+        np.testing.assert_array_equal(got, ref)
+        srv.stop()
+
+
 def test_chaos_under_load_openvla_batcher_survives():
     """Hostile frames (garbage kinds, mid-frame truncations, a client that
     enqueues and vanishes before its reply) interleaved with live batched
