@@ -340,6 +340,90 @@ def restore_train_state(path: str, like_params, like_opt_state, like_rng):
     )
 
 
+class TrainCheckpointManager:
+    """Periodic ASYNC training-state checkpoints with retention — the
+    crash-safety layer the end-of-run ``--save-state`` cannot provide.
+
+    Wraps an orbax ``CheckpointManager``: step-numbered subdirs under
+    ``root``, ``keep`` newest checkpoints retained, and async persistence
+    — ``save()`` blocks only for the device→host snapshot (orbax's async
+    contract), after which the donated train step may immediately reuse
+    the buffers while serialization drains in a background thread. An
+    interrupted write is left as an orbax tmp dir and skipped by
+    ``latest_step()``, so a crash-restart resumes from the newest
+    COMPLETE step.
+
+    The state tree and resume semantics are identical to
+    ``save_train_state`` / ``restore_train_state`` (capability extension;
+    the reference stack is load-only and has no trainer)."""
+
+    def __init__(self, root: str, keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(root),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, step: int, params, opt_state, rng) -> None:
+        state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": jnp.asarray(step, jnp.int32),
+            "rng": rng,
+        }
+        self._mgr.save(step, args=self._ocp.args.StandardSave(state))
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def restore(self, like_params, like_opt_state, like_rng, step=None):
+        """Restore (params, opt_state, step, rng) from ``step`` (default:
+        the latest complete one). ``like_*`` as restore_train_state."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(
+                "no complete checkpoint step in the manager root"
+            )
+        template = _template_like(
+            {
+                "params": like_params,
+                "opt_state": like_opt_state,
+                "step": jnp.asarray(0, jnp.int32),
+                "rng": like_rng,
+            }
+        )
+        state = self._mgr.restore(
+            step, args=self._ocp.args.StandardRestore(template)
+        )
+        return (
+            state["params"],
+            state["opt_state"],
+            int(state["step"]),
+            state["rng"],
+        )
+
+    def close(self) -> None:
+        """Drain in-flight async writes and release the manager."""
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+
+def is_manager_root(path: str) -> bool:
+    """True when ``path`` is a TrainCheckpointManager root (step-numbered
+    subdirectories) rather than a single save_train_state tree — lets
+    ``--resume-state`` accept either without a flag."""
+    if not os.path.isdir(path):
+        return False
+    return any(
+        e.isdigit() and os.path.isdir(os.path.join(path, e))
+        for e in os.listdir(path)
+    )
+
+
 # ---------------------------------------------------------------------------
 # JAX -> torch export (capability extension: the reference is load-only; this
 # closes the interop loop — weights trained/quantize-prepped here deploy on

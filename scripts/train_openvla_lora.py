@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 from pathlib import Path
@@ -106,8 +107,19 @@ def parse_args():
     p.add_argument("--save-state", type=str, default="",
                    help="save the COMPLETE training state (params + "
                         "moments + step) at the end for EXACT resume.")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="checkpoint the COMPLETE training state every N "
+                        "steps into step-numbered subdirs of --save-state "
+                        "(orbax CheckpointManager, ASYNC). 0 = end-of-run "
+                        "only. Crash-restart by re-running with "
+                        "--resume-state <same root>.")
+    p.add_argument("--keep-checkpoints", type=int, default=3,
+                   help="with --save-every: retain only the newest K "
+                        "periodic checkpoints.")
     p.add_argument("--resume-state", type=str, default="",
-                   help="resume exactly from a --save-state tree; the data "
+                   help="resume exactly from a --save-state tree OR a "
+                        "--save-every manager root (auto-detected; "
+                        "resumes from the latest complete step); the data "
                         "stream fast-forwards to the saved step.")
     p.add_argument("--stop-after", type=int, default=0,
                    help="stop after this many steps (0 = run to --steps) "
@@ -408,15 +420,40 @@ def main():
                 jnp.asarray(np.stack(labels)),
             )
 
+    ckpt_mgr = None
+    if args.save_every > 0:
+        if not args.save_state:
+            sys.exit("--save-every needs --save-state <manager root>")
+        from blurr_tpu.models.pi0.checkpoint import TrainCheckpointManager
+
+        ckpt_mgr = TrainCheckpointManager(
+            args.save_state, keep=args.keep_checkpoints
+        )
+
     start_step = 0
     if args.resume_state:
-        from blurr_tpu.models.pi0.checkpoint import restore_train_state
+        from blurr_tpu.models.pi0.checkpoint import (
+            TrainCheckpointManager,
+            is_manager_root,
+            restore_train_state,
+        )
 
         # rng slot is unused (the data stream is a pure function of seed +
         # draws); a dummy key keeps the state-tree template shape
-        r_params, r_opt, start_step, _ = restore_train_state(
-            args.resume_state, params, opt_state, jax.random.PRNGKey(0)
-        )
+        if is_manager_root(args.resume_state):
+            same_root = ckpt_mgr is not None and os.path.abspath(
+                args.resume_state) == os.path.abspath(args.save_state)
+            rmgr = ckpt_mgr if same_root else TrainCheckpointManager(
+                args.resume_state, keep=args.keep_checkpoints)
+            r_params, r_opt, start_step, _ = rmgr.restore(
+                params, opt_state, jax.random.PRNGKey(0)
+            )
+            if rmgr is not ckpt_mgr:
+                rmgr.close()
+        else:
+            r_params, r_opt, start_step, _ = restore_train_state(
+                args.resume_state, params, opt_state, jax.random.PRNGKey(0)
+            )
         params = jax.tree.map(
             lambda r, l: jax.device_put(r, l.sharding), r_params, params
         )
@@ -445,6 +482,9 @@ def main():
     for it in range(start_step, args.steps):
         p, o, loss = step(p, o, *place(next_batch()))
         steps_done = it + 1
+        if ckpt_mgr is not None and steps_done % args.save_every == 0:
+            # async: blocks only for the device->host snapshot
+            ckpt_mgr.save(steps_done, p, o, jax.random.PRNGKey(0))
         if args.stop_after and steps_done >= args.stop_after:
             log.info("Stopping after %d steps (--stop-after)", steps_done)
             break
@@ -480,11 +520,18 @@ def main():
             )
             log.info("Exported OFT aux checkpoints to %s", aux_dir)
     if args.save_state:
-        from blurr_tpu.models.pi0.checkpoint import save_train_state
+        if ckpt_mgr is not None:
+            if steps_done > 0 and ckpt_mgr.latest_step() != steps_done:
+                ckpt_mgr.save(steps_done, p, o, jax.random.PRNGKey(0))
+            ckpt_mgr.close()
+            log.info("Saved training state to %s (latest step %d)",
+                     args.save_state, steps_done)
+        else:
+            from blurr_tpu.models.pi0.checkpoint import save_train_state
 
-        save_train_state(args.save_state, p, o, steps_done,
-                         jax.random.PRNGKey(0))
-        log.info("Saved training state to %s", args.save_state)
+            save_train_state(args.save_state, p, o, steps_done,
+                             jax.random.PRNGKey(0))
+            log.info("Saved training state to %s", args.save_state)
     if args.save_params:
         # serveable full tree (base incl. quant dicts + LoRA factors + OFT
         # aux) — build_openvla(checkpoint_path=...) loads it directly into

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 from pathlib import Path
@@ -150,11 +151,24 @@ def parse_args():
                         "this path at the end, for EXACT resume via "
                         "--resume-state.")
     p.add_argument("--resume-state", type=str, default="",
-                   help="resume exactly from a --save-state tree: restores "
-                        "params/opt-state/step/rng and fast-forwards the "
-                        "batch stream to the saved step. The run continues "
-                        "to --steps with bitwise-identical trajectory to an "
-                        "uninterrupted run.")
+                   help="resume exactly from a --save-state tree OR a "
+                        "--save-every manager root (auto-detected; manager "
+                        "roots resume from the latest COMPLETE step): "
+                        "restores params/opt-state/step/rng and "
+                        "fast-forwards the batch stream to the saved step. "
+                        "The run continues to --steps with "
+                        "bitwise-identical trajectory to an uninterrupted "
+                        "run.")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="checkpoint the COMPLETE training state every N "
+                        "optimizer steps into step-numbered subdirs of "
+                        "--save-state (orbax CheckpointManager, ASYNC — "
+                        "training continues while the write drains). 0 = "
+                        "only the end-of-run save. Crash-restart by "
+                        "re-running with --resume-state <same root>.")
+    p.add_argument("--keep-checkpoints", type=int, default=3,
+                   help="with --save-every: retain only the newest K "
+                        "periodic checkpoints.")
     p.add_argument("--stop-after", type=int, default=0,
                    help="stop after this many optimizer steps (0 = run to "
                         "--steps) while keeping the --steps LR schedule — "
@@ -465,13 +479,41 @@ def main():
         idx = nrng.randint(0, data["actions"].shape[0], args.batch_size)
         return {k: v[idx] for k, v in data.items()}
 
+    ckpt_mgr = None
+    if args.save_every > 0:
+        if not args.save_state:
+            sys.exit("--save-every needs --save-state <manager root>")
+        from blurr_tpu.models.pi0.checkpoint import TrainCheckpointManager
+
+        ckpt_mgr = TrainCheckpointManager(
+            args.save_state, keep=args.keep_checkpoints
+        )
+
     start_step = 0
     if args.resume_state:
-        from blurr_tpu.models.pi0.checkpoint import restore_train_state
-
-        r_params, r_opt, start_step, rng = restore_train_state(
-            args.resume_state, params, opt_state, rng
+        from blurr_tpu.models.pi0.checkpoint import (
+            TrainCheckpointManager,
+            is_manager_root,
+            restore_train_state,
         )
+
+        if is_manager_root(args.resume_state):
+            # crash-restart path: --resume-state is usually the SAME root
+            # as --save-state — reuse the live manager (two managers on
+            # one root would race its retention/metadata)
+            same_root = ckpt_mgr is not None and os.path.abspath(
+                args.resume_state) == os.path.abspath(args.save_state)
+            rmgr = ckpt_mgr if same_root else TrainCheckpointManager(
+                args.resume_state, keep=args.keep_checkpoints)
+            r_params, r_opt, start_step, rng = rmgr.restore(
+                params, opt_state, rng
+            )
+            if rmgr is not ckpt_mgr:
+                rmgr.close()
+        else:
+            r_params, r_opt, start_step, rng = restore_train_state(
+                args.resume_state, params, opt_state, rng
+            )
         # restore to the CURRENT run's placement (FSDP/TP/pipe shardings are
         # not serialized; the pre-restore trees carry them)
         params = jax.tree.map(
@@ -586,6 +628,11 @@ def main():
         with mesh_ctx:
             params, opt_state, loss = train_step(params, opt_state, batch, sub)
         steps_done = step + 1
+        if ckpt_mgr is not None and steps_done % args.save_every == 0:
+            # async: blocks only for the device->host snapshot; the write
+            # drains in the background while the next step runs (donation
+            # of these buffers is safe once save() returns)
+            ckpt_mgr.save(steps_done, params, opt_state, rng)
         val = None
         if (run_validation is not None and args.val_every > 0
                 and steps_done % args.val_every == 0):
@@ -652,10 +699,21 @@ def main():
                         args.save_dir + "_ema")
             log.info("Saved EMA params to %s_ema", args.save_dir)
     if args.save_state:
-        from blurr_tpu.models.pi0.checkpoint import save_train_state
+        if ckpt_mgr is not None:
+            # make sure the FINAL state is persisted even off the
+            # --save-every grid, then drain in-flight async writes
+            if steps_done > 0 and ckpt_mgr.latest_step() != steps_done:
+                ckpt_mgr.save(steps_done, params, opt_state, rng)
+            ckpt_mgr.close()
+            log.info("Saved training state to %s (latest step %d)",
+                     args.save_state, steps_done)
+        else:
+            from blurr_tpu.models.pi0.checkpoint import save_train_state
 
-        save_train_state(args.save_state, params, opt_state, steps_done, rng)
-        log.info("Saved training state to %s", args.save_state)
+            save_train_state(
+                args.save_state, params, opt_state, steps_done, rng
+            )
+            log.info("Saved training state to %s", args.save_state)
     log.info("Done. final loss %.5f", float(loss))
 
 

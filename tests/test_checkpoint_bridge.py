@@ -300,3 +300,50 @@ class TestTorchExport:
         assert set(sd) == ref_keys
         for k, v in sd.items():
             assert v.shape == tuple(synth_torch_state(cfg)[k].shape), k
+
+
+def test_train_checkpoint_manager_retention_and_restore(tmp_path):
+    """TrainCheckpointManager: step-numbered async saves, max_to_keep
+    retention, latest-step discovery, and restore equality with the
+    save_train_state tree contract."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from blurr_tpu.models.pi0.checkpoint import (
+        TrainCheckpointManager,
+        is_manager_root,
+        save_train_state,
+    )
+
+    def state(i):
+        params = {"w": jnp.full((4, 4), float(i)), "b": jnp.arange(3.0) * i}
+        opt = {"mu": jax.tree.map(jnp.zeros_like, params), "count": jnp.asarray(i)}
+        return params, opt, jax.random.PRNGKey(i)
+
+    root = tmp_path / "mgr"
+    mgr = TrainCheckpointManager(str(root), keep=2)
+    for i in (2, 4, 6):
+        p, o, r = state(i)
+        mgr.save(i, p, o, r)
+    assert mgr.latest_step() == 6
+    like_p, like_o, like_r = state(0)
+    rp, ro, step, rr = mgr.restore(like_p, like_o, like_r)
+    assert step == 6
+    np.testing.assert_array_equal(np.asarray(rp["w"]), np.full((4, 4), 6.0))
+    np.testing.assert_array_equal(np.asarray(rr), np.asarray(state(6)[2]))
+    # restore an explicitly retained older step too
+    _, _, step4, _ = mgr.restore(like_p, like_o, like_r, step=4)
+    assert step4 == 4
+    mgr.close()
+    # retention: only the 2 newest steps remain on disk
+    kept = sorted(int(e) for e in os.listdir(root) if e.isdigit())
+    assert kept == [4, 6]
+    # dispatch helper: manager root vs plain save_train_state tree
+    assert is_manager_root(str(root))
+    flat = tmp_path / "flat_state"
+    p, o, r = state(1)
+    save_train_state(str(flat), p, o, 1, r)
+    assert not is_manager_root(str(flat))
+    assert not is_manager_root(str(tmp_path / "nope"))

@@ -507,6 +507,49 @@ def test_train_cli_exact_state_resume(tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_train_cli_periodic_checkpoint_crash_resume(tmp_path, monkeypatch):
+    """--save-every writes step-numbered ASYNC checkpoints with retention
+    mid-run; a crash-restart (--resume-state <same root>) resumes from the
+    latest complete step and reproduces the uninterrupted 6-step run
+    bitwise — the crash-safety layer the end-of-run --save-state cannot
+    provide."""
+    import os
+    import sys
+
+    import jax
+
+    import scripts.train_pi0_flow as cli
+    from blurr_tpu.models.pi0.checkpoint import restore_params
+
+    base = ["train_pi0_flow.py", "--config", "config/eval/bridge_tiny.yaml",
+            "--batch-size", "2", "--steps", "6"]
+    d_full = tmp_path / "full"
+    monkeypatch.setattr(sys, "argv", base + ["--save-dir", str(d_full)])
+    cli.main()
+
+    st = tmp_path / "mgr"
+    monkeypatch.setattr(sys, "argv", base + [
+        "--stop-after", "4", "--save-every", "2", "--keep-checkpoints", "2",
+        "--save-state", str(st)])
+    cli.main()  # "crash" at step 4
+    kept = sorted(int(e) for e in os.listdir(st) if e.isdigit())
+    assert kept == [2, 4]  # periodic saves landed; retention capped at 2
+
+    d_res = tmp_path / "resumed"
+    monkeypatch.setattr(sys, "argv", base + [
+        "--resume-state", str(st), "--save-every", "2",
+        "--keep-checkpoints", "2", "--save-state", str(st),
+        "--save-dir", str(d_res)])
+    cli.main()  # restart with the SAME command + --resume-state
+    kept = sorted(int(e) for e in os.listdir(st) if e.isdigit())
+    assert kept[-1] == 6 and len(kept) <= 2
+
+    full = restore_params(str(d_full))
+    res = restore_params(str(d_res))
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(res)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_cli_pipeline_parallel(monkeypatch):
     """--pp 2 end-to-end: joint stacks sharded over a ('pipe',) mesh,
     microbatches rotating via ppermute — the CLI wiring on top of the

@@ -418,6 +418,38 @@ def test_cli_exact_state_resume(tmp_path, monkeypatch):
         np.testing.assert_array_equal(a[k], b[k])
 
 
+def test_cli_periodic_checkpoint_crash_resume(tmp_path, monkeypatch):
+    """--save-every periodic async checkpoints + crash-restart from the
+    manager root reproduce the uninterrupted run's adapters bitwise (the
+    Pi-0 twin lives in test_eval_e2e.py)."""
+    import os
+
+    base = ["--model-id", "random", "--steps", "4", "--batch-size", "2",
+            "--lora-rank", "2", "--dtype", "fp32"]
+    full = tmp_path / "full"
+    _run_cli(monkeypatch, base + ["--save-adapter", str(full)])
+
+    st = tmp_path / "mgr"
+    _run_cli(monkeypatch, base + ["--stop-after", "2", "--save-every", "1",
+                                  "--keep-checkpoints", "2",
+                                  "--save-state", str(st)])
+    assert sorted(int(e) for e in os.listdir(st) if e.isdigit()) == [1, 2]
+
+    res = tmp_path / "resumed"
+    _run_cli(monkeypatch, base + ["--resume-state", str(st),
+                                  "--save-every", "1",
+                                  "--keep-checkpoints", "2",
+                                  "--save-state", str(st),
+                                  "--save-adapter", str(res)])
+    kept = sorted(int(e) for e in os.listdir(st) if e.isdigit())
+    assert kept[-1] == 4 and len(kept) <= 2
+
+    a, b = _load_adapter_tensors(full), _load_adapter_tensors(res)
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_cli_dp2_smoke(monkeypatch, tmp_path):
     """--dp 2 on the virtual mesh: batches split over 'data', grads psum via
     GSPMD, adapter still exports."""
