@@ -50,5 +50,19 @@ class ActionClient:
             raise RuntimeError(resp["error"])
         return resp
 
+    def reload(self, path: str, drop_first: bool = False) -> dict:
+        """Hot-reload the server's weights from ``path`` (a checkpoint the
+        server's config can load — same formats as its startup
+        --checkpoint). Atomic by default; ``drop_first=True`` frees the
+        old tree before loading (for trees too big to hold twice)."""
+        send_msg(self.sock, {"kind": "reload", "path": str(path),
+                             "drop_first": bool(drop_first)})
+        resp = recv_msg(self.sock)
+        if resp is None:
+            raise ConnectionError("server closed the connection")
+        if "error" in resp:
+            raise RuntimeError(resp["error"])
+        return resp
+
     def close(self) -> None:
         self.sock.close()

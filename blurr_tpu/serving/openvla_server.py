@@ -106,6 +106,13 @@ class OpenVLAActionServer(ActionServer):
             params = shard_params(params, self.mesh)
         self.params = params
         self.spec = spec
+        # hot-reload (base reload_checkpoint -> our _build_params) rebuilds
+        # the params through the same constructor arguments
+        self._model_id = model_id
+        self._quantization = quantization
+        self._chunk_len = int(chunk_len)
+        self._decode = decode
+        self._checkpoint_desc = str(checkpoint_path or model_id)
         self._empty_token = EMPTY_TOKEN
         self.processor = OpenVLAProcessor(
             tokenizer, image_size=spec.siglip.image_size,
@@ -153,6 +160,33 @@ class OpenVLAActionServer(ActionServer):
         self._step = jax.jit(_step_fn)
         self._init_runtime(seed, max_batch, batch_window_ms,
                            max_queue=max_queue, bucket_mode=bucket_mode)
+
+    def _build_params(self, checkpoint_path):
+        """Hot-reload param build: the same build_openvla call as startup
+        with the NEW checkpoint, keeping this server's model/spec/tokenizer
+        (reload_checkpoint asserts structural compatibility before the
+        swap). Re-applies the per-decode-mode preparation (sharding,
+        Jacobi qkv relayout) so the reloaded tree serves through the
+        already-compiled programs."""
+        from blurr_tpu.models.openvla.build import build_openvla
+
+        built = build_openvla(
+            self._model_id, dtype=self.dtype, oft=self.oft,
+            chunk_len=self._chunk_len, use_proprio=self.use_proprio,
+            proprio_dim=self.proprio_dim, quantization=self._quantization,
+            memory_safe_quant_init=True,
+            checkpoint_path=checkpoint_path or None,
+        )
+        params = built.params
+        if self.mesh is not None:
+            from blurr_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, self.mesh)
+        if self._decode == "jacobi" and self.tp == 1 and self.dp == 1:
+            from blurr_tpu.models.openvla import llama as _llama
+
+            params = _llama.relayout_qkv_for_jacobi(params)
+        return params
 
     # ------------------------------------------------------------------
 

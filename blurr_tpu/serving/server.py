@@ -148,37 +148,19 @@ class ActionServer:
         self._init_parallel(tp, dp, max_batch)
         self.dtype = jnp.bfloat16 if cfg.get("use_bf16") else jnp.float32
         self.model = PiZeroInference(cfg)
-        if not checkpoint_path or str(checkpoint_path).lower() in {"random", "none"}:
-            params = self.model.init_params(jax.random.PRNGKey(0), self.dtype)
-            params = self.model.tie_action_proprio_weights(params)
-        else:
-            from blurr_tpu.models.pi0.checkpoint import (
-                load_pizero_params_auto,
-            )
-
-            # torch .pt OR an orbax dir from train_pi0_flow --save-dir
-            # (incl. QLoRA adapter trees — mm serves the dicts directly)
-            params = load_pizero_params_auto(
-                checkpoint_path, dtype=self.dtype
-            )
-        params = self.model.enable_action_quantization(params)
-        params = self.model.enable_vlm_quantization(params)
-        if self.mesh is not None:
-            if self.tp > 1:
-                for qcfg in (cfg.get("vlm_quantization"),
-                             cfg.get("action_quantization")):
-                    mode = (qcfg or {}).get("mode") if hasattr(qcfg, "get") else None
-                    if mode == "w4a8":
-                        raise NotImplementedError(
-                            "tp>1 with w4a8: the Pallas int4 kernel's block-major "
-                            "packing is laid out per-chip; repack-per-shard is not "
-                            "implemented. Serve w4a8 single-chip or use w8a8."
-                            " (dp-only replicates the weights and is fine.)"
-                        )
-            from blurr_tpu.parallel.mesh import shard_params
-
-            params = shard_params(params, self.mesh)
-        self.params = params
+        if self.mesh is not None and self.tp > 1:
+            for qcfg in (cfg.get("vlm_quantization"),
+                         cfg.get("action_quantization")):
+                mode = (qcfg or {}).get("mode") if hasattr(qcfg, "get") else None
+                if mode == "w4a8":
+                    raise NotImplementedError(
+                        "tp>1 with w4a8: the Pallas int4 kernel's block-major "
+                        "packing is laid out per-chip; repack-per-shard is not "
+                        "implemented. Serve w4a8 single-chip or use w8a8."
+                        " (dp-only replicates the weights and is fine.)"
+                    )
+        self.params = self._build_params(checkpoint_path)
+        self._checkpoint_desc = str(checkpoint_path or "random")
         self.processor = build_processor(cfg)
         # noise sampled in-graph from (base_key, request_idx) — the shared
         # derivation (agent/eval_agent.py:make_noise_infer). Batch size
@@ -199,6 +181,34 @@ class ActionServer:
         )
         self._init_runtime(seed, max_batch, batch_window_ms,
                            max_queue=max_queue, bucket_mode=bucket_mode)
+
+    def _build_params(self, checkpoint_path):
+        """Load → quantize → shard a ready-to-serve Pi-0 tree. Shared by
+        __init__ and reload_checkpoint (hot-reload loads through exactly
+        the startup path, so the two can never drift)."""
+        import jax
+
+        if (not checkpoint_path
+                or str(checkpoint_path).lower() in {"random", "none"}):
+            params = self.model.init_params(jax.random.PRNGKey(0), self.dtype)
+            params = self.model.tie_action_proprio_weights(params)
+        else:
+            from blurr_tpu.models.pi0.checkpoint import (
+                load_pizero_params_auto,
+            )
+
+            # torch .pt OR an orbax dir from train_pi0_flow --save-dir
+            # (incl. QLoRA adapter trees — mm serves the dicts directly)
+            params = load_pizero_params_auto(
+                checkpoint_path, dtype=self.dtype
+            )
+        params = self.model.enable_action_quantization(params)
+        params = self.model.enable_vlm_quantization(params)
+        if self.mesh is not None:
+            from blurr_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, self.mesh)
+        return params
 
     # ------------------------------------------------------------------
     # model-agnostic serving runtime (mesh, batcher, transport) — shared
@@ -298,6 +308,7 @@ class ActionServer:
         self._n_batches = 0
         self._live_slots = 0
         self._padded_slots = 0
+        self._n_reloads = 0
         self._latencies_ms: "collections.deque[float]" = collections.deque(
             maxlen=4096
         )
@@ -439,6 +450,8 @@ class ActionServer:
             "tp": self.tp,
             "closed": self._closed,
             "latency_window": len(lat),
+            "checkpoint": self._checkpoint_desc,
+            "reloads_total": self._n_reloads,
         }
         if lat:
             p50, p95, p99 = np.percentile(lat, [50, 95, 99])
@@ -460,7 +473,67 @@ class ActionServer:
             )
         return out
 
+    def reload_checkpoint(self, path: str, drop_first: bool = False) -> dict:
+        """Weight HOT-RELOAD: swap in a new checkpoint without restarting
+        the server or recompiling — the deploy step of the in-repo
+        collect → train → validate → serve loop.
+
+        The new tree loads through the SAME path as startup
+        (``_build_params``: load → quantize → shard) off the device lock,
+        is checked structurally against the live tree (same treedef +
+        leaf shapes/dtypes — the already-compiled batch-bucket programs
+        must serve it as-is), and is rebound under the device lock, so
+        in-flight batches finish on the old weights and the next batch
+        runs the new ones. Zero downtime beyond one batch boundary.
+
+        ``drop_first=True`` frees the old tree BEFORE loading — required
+        when two copies exceed HBM (bf16-7B on a 16 GB chip) — at the
+        cost of atomicity: requests stall for the load, and a FAILED load
+        leaves the server without weights (it keeps rejecting until a
+        reload succeeds). The default atomic mode keeps serving the old
+        tree on any failure."""
+        import jax
+
+        if drop_first:
+            with self._lock:
+                old_desc = self._checkpoint_desc
+                self.params = None
+                self._checkpoint_desc = f"(reloading from {old_desc})"
+                try:
+                    self.params = self._build_params(path)
+                    self._checkpoint_desc = str(path)
+                except Exception:
+                    self._checkpoint_desc = f"(reload of {path!r} FAILED)"
+                    raise
+        else:
+            new = self._build_params(path)
+            old_leaves, old_def = jax.tree.flatten(self.params)
+            new_leaves, new_def = jax.tree.flatten(new)
+            if old_def != new_def or any(
+                (getattr(o, "shape", None), getattr(o, "dtype", None))
+                != (getattr(n, "shape", None), getattr(n, "dtype", None))
+                for o, n in zip(old_leaves, new_leaves)
+            ):
+                raise ValueError(
+                    f"checkpoint {path!r} is structurally incompatible with "
+                    "the serving config (tree/shape/dtype mismatch) — the "
+                    "compiled programs cannot serve it; restart the server "
+                    "with the matching config instead"
+                )
+            with self._lock:
+                self.params = new
+                self._checkpoint_desc = str(path)
+        with self._stats_lock:
+            self._n_reloads += 1
+        log.info("hot-reloaded checkpoint: %s", path)
+        return {"reloaded": str(path), "drop_first": bool(drop_first)}
+
     def _predict_impl(self, image: np.ndarray, instruction: str, proprio) -> np.ndarray:
+        if self.params is None:
+            raise RuntimeError(
+                "no weights loaded (a drop_first reload failed); "
+                "reload a checkpoint"
+            )
         inputs = self._prepare(image, instruction, proprio)
         if self.max_batch <= 1:
             with self._lock:
@@ -644,6 +717,20 @@ class ActionServer:
                 if kind == "stats":
                     try:
                         send_msg(conn, self.stats())
+                    except OSError:
+                        return
+                    continue
+                if kind == "reload":
+                    try:
+                        resp = self.reload_checkpoint(
+                            str(req["path"]),
+                            drop_first=bool(req.get("drop_first", False)),
+                        )
+                    except Exception as exc:
+                        log.exception("reload failed")
+                        resp = {"error": f"{type(exc).__name__}: {exc}"}
+                    try:
+                        send_msg(conn, resp)
                     except OSError:
                         return
                     continue

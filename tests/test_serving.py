@@ -811,3 +811,118 @@ def test_chaos_under_concurrent_load_batcher_survives(batch_server):
     with ActionClient(port=batch_server.port) as c:
         assert c.predict(np.zeros((28, 28, 3), np.uint8), "post", [0.0] * 7
                          ).shape == (4, 7)
+
+
+def test_hot_reload_checkpoint(tmp_path):
+    """{"kind": "reload"} hot-swaps weights without restart or recompile:
+    post-reload predictions equal a fresh server started on the new
+    checkpoint; an incompatible tree is rejected over the wire and the old
+    weights keep serving; stats() reports the live checkpoint + count."""
+    import jax
+    import jax.numpy as jnp
+
+    from blurr_tpu.models.pi0.checkpoint import save_params
+    from blurr_tpu.models.pi0.pizero import PiZeroInference
+
+    cfg = tiny_pi0_cfg()
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg.pretrained_model_path = "(stub)"
+    cfg.max_seq_len = cfg.max_image_text_tokens
+    model = PiZeroInference(cfg)
+    ck_a, ck_b = tmp_path / "ck_a", tmp_path / "ck_b"
+    for seed, path in ((1, ck_a), (2, ck_b)):
+        p = model.tie_action_proprio_weights(
+            model.init_params(jax.random.PRNGKey(seed), jnp.float32))
+        save_params(p, str(path))
+
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 256, (28, 28, 3), np.uint8)
+
+    # noise derives from (base_key, request_idx): the fresh reference
+    # server must be queried at the SAME request indices (0, 1, 2) the
+    # reloaded server will be at
+    srv_b = ActionServer(cfg, checkpoint_path=str(ck_b), seed=7)
+    want_b = [srv_b.predict(image, "pick up the carrot", [0.1] * 7)
+              for _ in range(3)]
+    srv_b.stop()
+
+    srv = ActionServer(cfg, checkpoint_path=str(ck_a), seed=7)
+    ready = threading.Event()
+    t = threading.Thread(
+        target=srv.serve_forever, kwargs={"port": 0, "ready_event": ready},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(30)
+    try:
+        client = ActionClient(port=srv.port)
+        before = client.predict(image, "pick up the carrot", [0.1] * 7)
+        assert not np.array_equal(before, want_b[0])  # different weights
+
+        resp = client.reload(str(ck_b))
+        assert resp["reloaded"] == str(ck_b)
+        after = client.predict(image, "pick up the carrot", [0.1] * 7)
+        np.testing.assert_array_equal(after, want_b[1])  # == fresh server on B
+
+        st = client.stats()
+        assert st["reloads_total"] == 1 and st["checkpoint"] == str(ck_b)
+
+        # incompatible tree (different dims) is rejected; old weights live on
+        bad_cfg = tiny_pi0_cfg()
+        bad_cfg.image_token_index = 257152
+        bad_cfg.vocab_size = 258000
+        bad_cfg.pretrained_model_path = "(stub)"
+        bad_cfg.max_seq_len = bad_cfg.max_image_text_tokens
+        bad_cfg.action_dim = 5  # changes the action projection shapes
+        bad_model = PiZeroInference(bad_cfg)
+        bad = tmp_path / "bad"
+        save_params(bad_model.tie_action_proprio_weights(
+            bad_model.init_params(jax.random.PRNGKey(3), jnp.float32)),
+            str(bad))
+        with pytest.raises(RuntimeError, match="incompatible"):
+            client.reload(str(bad))
+        still = client.predict(image, "pick up the carrot", [0.1] * 7)
+        np.testing.assert_array_equal(still, want_b[2])
+        client.close()
+    finally:
+        srv.stop()
+
+
+def test_hot_reload_drop_first_and_failure_recovery(tmp_path):
+    """drop_first=True reload (for trees too big to hold twice) frees the
+    old weights before loading; a FAILED drop_first load leaves the server
+    rejecting with a clear error — and a later successful reload
+    recovers."""
+    import jax
+    import jax.numpy as jnp
+
+    from blurr_tpu.models.pi0.checkpoint import save_params
+    from blurr_tpu.models.pi0.pizero import PiZeroInference
+
+    cfg = tiny_pi0_cfg()
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg.pretrained_model_path = "(stub)"
+    cfg.max_seq_len = cfg.max_image_text_tokens
+    model = PiZeroInference(cfg)
+    ck = tmp_path / "ck"
+    save_params(model.tie_action_proprio_weights(
+        model.init_params(jax.random.PRNGKey(4), jnp.float32)), str(ck))
+
+    srv = ActionServer(cfg, checkpoint_path="random")
+    image = np.zeros((28, 28, 3), np.uint8)
+    assert srv.reload_checkpoint(str(ck), drop_first=True)["drop_first"]
+    out = srv.predict(image, "after drop-first reload", [0.0] * 7)
+    assert out.shape == (4, 7)
+
+    with pytest.raises(Exception):
+        srv.reload_checkpoint(str(tmp_path / "missing"), drop_first=True)
+    with pytest.raises(RuntimeError, match="no weights"):
+        srv.predict(image, "server has no weights", [0.0] * 7)
+    assert "FAILED" in srv.stats()["checkpoint"]
+
+    srv.reload_checkpoint(str(ck), drop_first=True)  # recovery path
+    out = srv.predict(image, "recovered", [0.0] * 7)
+    assert out.shape == (4, 7)
+    srv.stop()

@@ -320,3 +320,44 @@ def test_chaos_under_load_openvla_batcher_survives():
             assert np.asarray(c.predict(img, "post", [0.0] * 7)).shape == (7,)
     finally:
         srv.stop()
+
+
+def test_hot_reload_checkpoint_openvla(tmp_path):
+    """OpenVLA-family hot-reload: reload_checkpoint swaps in a new orbax
+    tree (the --save-params train->serve format) without restart — the
+    live tree becomes bit-identical to the new checkpoint (leaf-level;
+    random tiny-spec weights all decode to the same clamped action bin,
+    so output-level inequality can't distinguish trees here — the Pi-0
+    twin test proves the served-output swap end-to-end) and the server
+    keeps serving through the already-compiled program."""
+    import jax
+    import numpy as np
+
+    from blurr_tpu.models.pi0.checkpoint import save_params
+    from blurr_tpu.serving.openvla_server import OpenVLAActionServer
+
+    srv = OpenVLAActionServer("random", use_bf16=False)
+    ck_a, ck_b = tmp_path / "ck_a", tmp_path / "ck_b"
+    save_params(srv.params, str(ck_a))
+    params_b = srv.model.init_params(jax.random.PRNGKey(123))
+    save_params(params_b, str(ck_b))
+    leaf = lambda tree: np.asarray(tree["llama"]["embed_tokens"])  # noqa: E731
+    assert not np.array_equal(leaf(srv.params), leaf(params_b))
+
+    img = np.random.RandomState(2).randint(
+        0, 256, (srv.spec.siglip.image_size,
+                 srv.spec.siglip.image_size, 3), np.uint8)
+    a_orig = srv.predict(img, "pick up the carrot", None)
+
+    resp = srv.reload_checkpoint(str(ck_b))
+    assert resp["reloaded"] == str(ck_b)
+    np.testing.assert_array_equal(leaf(srv.params), leaf(params_b))
+    out = srv.predict(img, "pick up the carrot", None)  # still serves
+    assert out.shape == a_orig.shape and np.isfinite(out).all()
+    # reload back (atomic mode keeps structure): original tree + actions
+    srv.reload_checkpoint(str(ck_a))
+    np.testing.assert_array_equal(
+        srv.predict(img, "pick up the carrot", None), a_orig)
+    assert srv.stats()["reloads_total"] == 2
+    assert srv.stats()["checkpoint"] == str(ck_a)
+    srv.stop()
