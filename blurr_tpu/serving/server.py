@@ -528,15 +528,24 @@ class ActionServer:
         log.info("hot-reloaded checkpoint: %s", path)
         return {"reloaded": str(path), "drop_first": bool(drop_first)}
 
-    def _predict_impl(self, image: np.ndarray, instruction: str, proprio) -> np.ndarray:
+    def _require_params(self) -> None:
+        """Called UNDER self._lock: a drop_first reload in progress holds
+        the lock, so requests STALL on it instead of observing the
+        transient params=None (checked outside the lock they would error
+        mid-reload — caught by experiments/hot_reload_latency.py's smoke
+        run). None here means a drop_first load FAILED; the server rejects
+        until a reload succeeds."""
         if self.params is None:
             raise RuntimeError(
                 "no weights loaded (a drop_first reload failed); "
                 "reload a checkpoint"
             )
+
+    def _predict_impl(self, image: np.ndarray, instruction: str, proprio) -> np.ndarray:
         inputs = self._prepare(image, instruction, proprio)
         if self.max_batch <= 1:
             with self._lock:
+                self._require_params()
                 actions = self._step(
                     self.params, *inputs, self._base_key, self._req_idx
                 )
@@ -640,6 +649,7 @@ class ActionServer:
                     jax.device_put(a, self._batch_shard) for a in inputs
                 )
             with self._lock:
+                self._require_params()
                 actions = self._step(
                     self.params, *inputs, self._base_key, self._req_idx
                 )

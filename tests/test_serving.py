@@ -926,3 +926,79 @@ def test_hot_reload_drop_first_and_failure_recovery(tmp_path):
     out = srv.predict(image, "recovered", [0.0] * 7)
     assert out.shape == (4, 7)
     srv.stop()
+
+
+def test_hot_reload_drop_first_stalls_inflight_requests():
+    """Requests racing a drop_first reload STALL on the device lock until
+    the new weights land (the documented semantics) — they must not observe
+    the transient params=None and error (regression: the None check used to
+    run outside the lock)."""
+    import time
+
+    cfg = tiny_pi0_cfg()
+    cfg.image_token_index = 257152
+    cfg.vocab_size = 258000
+    cfg.pretrained_model_path = "(stub)"
+    cfg.max_seq_len = cfg.max_image_text_tokens
+    srv = ActionServer(cfg, checkpoint_path="random")
+    image = np.zeros((28, 28, 3), np.uint8)
+    srv.predict(image, "warm", [0.0] * 7)
+
+    orig_build = srv._build_params
+    in_reload = threading.Event()
+
+    def slow_build(path):
+        in_reload.set()
+        time.sleep(0.8)  # window where params is None and the lock is held
+        return orig_build(path)
+
+    srv._build_params = slow_build
+    results, errors = [], []
+
+    def rel():
+        try:
+            srv.reload_checkpoint("random", drop_first=True)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def req():
+        try:
+            results.append(srv.predict(image, "during reload", [0.0] * 7))
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    rt = threading.Thread(target=rel)
+    rt.start()
+    assert in_reload.wait(10)
+    qt = threading.Thread(target=req)
+    qt.start()
+    rt.join(60)
+    qt.join(60)
+    assert not errors, errors
+    assert len(results) == 1 and results[0].shape == (4, 7)
+    assert srv.stats()["reloads_total"] == 1
+    srv.stop()
+
+
+def test_serve_ctl_cli(server, capsys):
+    """scripts/serve_ctl.py drives stats + reload over the wire and prints
+    the server's JSON response (the ops surface for a running daemon)."""
+    import importlib
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    ctl = importlib.import_module("serve_ctl")
+
+    ctl.main(["stats", "--port", str(server.port)])
+    st = json.loads(capsys.readouterr().out)
+    assert st["errors_total"] >= 0 and "checkpoint" in st
+
+    ctl.main(["reload", "random", "--port", str(server.port)])
+    resp = json.loads(capsys.readouterr().out)
+    assert resp["reloaded"] == "random" and resp["drop_first"] is False
+
+    ctl.main(["stats", "--port", str(server.port)])
+    st2 = json.loads(capsys.readouterr().out)
+    assert st2["reloads_total"] >= st.get("reloads_total", 0) + 1
