@@ -45,13 +45,23 @@ _BLOCK_M = 256
 
 
 
-def pick_block_layout(n: int) -> tuple:
+def pick_block_layout(n: int, shards: int = 1) -> tuple:
     """(block_n, padded_n): the largest block whose zero padding stays under
     5% — big contiguous DMAs beat minimal padding (bn=1408 measured fastest
     at the decode GEMV shape; e.g. Llama's N=11008 pads 2.3% to 11264 rather
     than dropping to unmeasured 256-wide blocks). Falls back to the
-    minimum-padding block for small/awkward widths."""
-    candidates = [(bn, _round_up(n, bn)) for bn in (1408, 1024, 512, 256, 128)]
+    minimum-padding block for small/awkward widths.
+
+    ``shards > 1`` (tensor-parallel packing): the padded width is
+    additionally a multiple of ``block_n * shards``, so the block axis NB
+    divides evenly over the 'model' mesh axis and every shard's blocks
+    cover one contiguous column range (padding confined to the tail
+    shard). GSPMD shards the packed weight on NB and the padded scales on
+    N with no repartitioning inside the kernel."""
+    assert shards >= 1, shards
+    candidates = [
+        (bn, _round_up(n, bn * shards)) for bn in (1408, 1024, 512, 256, 128)
+    ]
     for bn, n_pad in candidates:
         if n_pad <= n * 1.05:
             return bn, n_pad
@@ -174,3 +184,78 @@ def from_block_major(packed_bm: jax.Array) -> jax.Array:
     """Inverse of to_block_major: [..., NB, K//2, BN] -> [..., K//2, NB*BN]."""
     *lead, nb, k2, bn = packed_bm.shape
     return jnp.moveaxis(packed_bm, -3, -2).reshape(*lead, k2, nb * bn)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD partitioning: tensor-parallel int4 matmul
+# ---------------------------------------------------------------------------
+# pallas_call is an opaque custom call to the SPMD partitioner, so a
+# TP-sharded w4a8 weight needs an explicit rule. The block-major layout
+# makes column sharding natural: splitting the NB axis over 'model' hands
+# each chip whole contiguous blocks (its own contiguous column range of the
+# padded width), and the padded scales split identically on N — each chip
+# runs the UNCHANGED kernel on its local [NB/t, K//2, BN] slice. x stays
+# whole (its leading sharding, e.g. dp over the batch, is preserved).
+
+
+def _int4_spmd_rules(interpret: bool):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def _axes(arg_shapes):
+        xspec = arg_shapes[0].sharding.spec
+        pspec = arg_shapes[1].sharding.spec
+        m_axis = xspec[0] if len(xspec) else None
+        nb_axis = pspec[0] if len(pspec) else None
+        return m_axis, nb_axis
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        m_axis, nb_axis = _axes(arg_shapes)
+        return NamedSharding(mesh, P(m_axis, nb_axis))
+
+    def partition(mesh, arg_shapes, result_shape):
+        m_axis, nb_axis = _axes(arg_shapes)
+        arg_shardings = (
+            NamedSharding(mesh, P(m_axis, None)),
+            NamedSharding(mesh, P(nb_axis, None, None)),
+            NamedSharding(mesh, P(None, nb_axis)),
+        )
+        out_sharding = NamedSharding(mesh, P(m_axis, nb_axis))
+
+        def lower(x, packed, scale):
+            return int4_matmul(x, packed, scale, interpret=interpret)
+
+        return mesh, lower, out_sharding, arg_shardings
+
+    return infer_sharding, partition
+
+
+@functools.lru_cache(maxsize=2)
+def _int4_matmul_spmd(interpret: bool = False):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def spmd(x, packed, scale):
+        return int4_matmul(x, packed, scale, interpret=interpret)
+
+    infer_sharding, partition = _int4_spmd_rules(interpret)
+    spmd.def_partition(
+        infer_sharding_from_operands=infer_sharding,
+        partition=partition,
+        # Shardy factor rule: NB is shared between the packed weight, the
+        # padded scales' compound N = (NB BN), and the output columns —
+        # sharding any of them along 'model' propagates to the others.
+        sharding_rule="m k, nb hk bn, g (nb bn) -> m (nb bn)",
+    )
+    return spmd
+
+
+def int4_matmul_spmd(
+    x: jax.Array, packed: jax.Array, scale: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """``int4_matmul`` wrapped for GSPMD: under a mesh with the packed
+    weight sharded on its NB axis (parallel/mesh.py's rule for TP-packed
+    w4a8 dicts), each device runs the kernel on its own column blocks;
+    replicated operands lower exactly like the raw kernel. Requires the
+    weight packed with ``pick_block_layout(n, shards=tp)`` so NB divides
+    the 'model' axis (ops/quant.py:repack_w4a8)."""
+    return _int4_matmul_spmd(interpret)(x, packed, scale)

@@ -18,6 +18,7 @@ matching Int8QuantConfig.activation_clip.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -228,7 +229,7 @@ _W4A8_CLIP_GRID = (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7)
 
 
 def quantize_weight_w4a8(w: jax.Array, group_size: int = 512,
-                         mse_scale: bool = True) -> dict:
+                         mse_scale: bool = True, shards: int = 1) -> dict:
     """[K, N] -> {"q4": block-major packed int8 [NB, K//2, BN],
     "s": fp32 [G, N]} with GROUP-WISE scales: each of the G = K/group_size
     row-groups gets its own per-out-channel scale (GPTQ-style rounding —
@@ -246,6 +247,9 @@ def quantize_weight_w4a8(w: jax.Array, group_size: int = 512,
     N is zero-padded to NB*BN (pick_block_layout minimizes the padding) and
     the packed bytes are stored block-major so every kernel DMA is one
     contiguous chunk; "s" keeps the exact N (w4a8_mm slices the output back).
+
+    ``shards`` pre-lays the packing for ``shards``-way tensor parallelism
+    (NB divides evenly; see repack_w4a8 for re-laying an existing dict).
     """
     from blurr_tpu.ops.pallas_int4_matmul import (
         pack_int4,
@@ -275,10 +279,65 @@ def quantize_weight_w4a8(w: jax.Array, group_size: int = 512,
         scale = amax / 7.0
         q = jnp.clip(jnp.round(wf / scale[:, None, :]), -8, 7)
     q = q.reshape(k, n).astype(jnp.int8)
-    bn, n_pad = pick_block_layout(n)
+    bn, n_pad = pick_block_layout(n, shards)
     if n_pad != n:
         q = jnp.pad(q, ((0, 0), (0, n_pad - n)))
     return {"q4": to_block_major(pack_int4(q), bn), "s": scale.astype(jnp.float32)}
+
+
+def repack_w4a8(w: dict, shards: int) -> dict:
+    """Losslessly re-lay a {"q4", "s"} dict for ``shards``-way tensor
+    parallelism: the packed bytes are re-padded and re-blocked so the
+    block-major NB axis divides ``shards`` (``pick_block_layout(n,
+    shards)``) and each shard owns whole contiguous column blocks. The int4
+    values are untouched — nibbles pack along K, so column relayout never
+    splits a byte — and the group scales carry over as-is. Handles stacked
+    [L, ...] leaves; a layout that already divides returns unchanged."""
+    from blurr_tpu.ops.pallas_int4_matmul import (
+        from_block_major,
+        pick_block_layout,
+        to_block_major,
+    )
+
+    q4, s = w["q4"], w["s"]
+    n = s.shape[-1]
+    nb, bn = q4.shape[-3], q4.shape[-1]
+    bn2, n_pad2 = pick_block_layout(n, shards)
+    if bn2 == bn and n_pad2 == nb * bn:
+        return w
+    flat = from_block_major(q4)[..., :n]  # drop the old layout's padding
+    if n_pad2 != n:
+        pad = [(0, 0)] * (flat.ndim - 1) + [(0, n_pad2 - n)]
+        flat = jnp.pad(flat, pad)
+    out = dict(w)
+    out["q4"] = to_block_major(flat, bn2)
+    return out
+
+
+def repack_w4a8_tree(params, shards: int):
+    """``repack_w4a8`` over every w4a8 dict in a parameter pytree.
+    Identity-preserving: untouched subtrees come back as the same objects
+    and aliased (tied) dicts stay aliased, so shard_params' tie detection
+    still works downstream."""
+    if shards <= 1:
+        return params
+    seen: dict = {}
+
+    def walk(t):
+        if id(t) in seen:
+            return seen[id(t)]
+        if isinstance(t, dict):
+            if "q4" in t:
+                r = repack_w4a8(t, shards)
+            else:
+                new = {k: walk(v) for k, v in t.items()}
+                r = new if any(new[k] is not t[k] for k in t) else t
+        else:
+            r = t
+        seen[id(t)] = r
+        return r
+
+    return walk(params)
 
 
 def _w4a8_deq(q4: jax.Array, s: jax.Array, k: int) -> jax.Array:
@@ -308,17 +367,25 @@ def _int4_dot_ste(xf: jax.Array, q4: jax.Array, s: jax.Array) -> jax.Array:
     groups, n = s.shape
     nb, _, bn = q4.shape
     n_pad = nb * bn
-    if jax.default_backend() != "tpu":
+    # BLURR_INT4_FORCE: "" (backend decides) / "interpret" (run the Pallas
+    # kernel + its GSPMD rule in interpret mode — how the 8-device CPU mesh
+    # tests exercise the REAL tensor-parallel lowering) / "deq"
+    force = os.environ.get("BLURR_INT4_FORCE", "")
+    on_tpu = jax.default_backend() == "tpu"
+    if force == "deq" or (not on_tpu and force != "interpret"):
         # CPU/test path: dequantized fp32 matmul — mathematically identical
         # to the kernel's per-group int32 dots ((x_g @ w_g)*s_g == x_g @
         # (w_g*s_g) since s_g is constant over each group's rows)
         y = xq.astype(jnp.float32) @ _w4a8_deq(q4, s, k)
         return y * xs
-    from blurr_tpu.ops.pallas_int4_matmul import int4_matmul
+    from blurr_tpu.ops.pallas_int4_matmul import int4_matmul_spmd
 
     s_pad = s if n_pad == n else jnp.pad(s, ((0, 0), (0, n_pad - n)))
-    y = int4_matmul(xq.reshape(m, k), q4, s_pad)[:, :n]
-    y = y * xs.reshape(m, 1)
+    # the custom_partitioning wrapper: single-device jit lowers exactly like
+    # the raw kernel; under a TP mesh each chip runs the unchanged kernel on
+    # its own column blocks (pallas_int4_matmul.int4_matmul_spmd)
+    y = int4_matmul_spmd(xq.reshape(m, k), q4, s_pad, interpret=not on_tpu)
+    y = y[:, :n] * xs.reshape(m, 1)
     return y.reshape(*lead, n)
 
 

@@ -142,18 +142,36 @@ def _spec_for_path(path: str, leaf) -> P:
         return P(*entries[:-2], None, entries[-1])  # lora_b
     if name in _QUANT_LEAF_KEYS and len(parts) >= 2:
         parent = _spec_for_path("/".join(parts[:-1]), leaf)
+        tp_parent = any(e == "model" for e in parent)
         if name in ("q", "q8a", "fp"):
             return parent  # same shape/layout as the fp weight
+        if name == "q4":
+            # block-major packed int4 [..., NB, K//2, BN]: COLUMN-parallel
+            # on the NB block axis whenever the parent weight is TP-sharded
+            # at all (row-parallel parents too — sharding the contraction
+            # dim would split a group's int32 accumulation across chips;
+            # column-sharding keeps the Pallas kernel unchanged per shard
+            # and at decode batch sizes the extra activation all-gather is
+            # KB-scale while the weight streaming, the int4 point, scales
+            # 1/t). shard_params repacks the layout so NB divides 'model'
+            # (ops/quant.py:repack_w4a8); the kernel's GSPMD rule is
+            # ops/pallas_int4_matmul.py:int4_matmul_spmd.
+            if tp_parent:
+                nd = getattr(leaf, "ndim", 3)
+                return P(*([None] * (nd - 3) + ["model", None, None]))
+            return P()
         if name == "s":
             # int8/w8a8 scales are per-output-channel: the weight minus its
             # contracted (-2) axis, identified by ndim == weight_ndim - 1.
             # w4a8 scales are GROUP-wise [..., G, N] (same ndim as the
-            # weight) — they replicate, matching their q4 sibling below.
+            # weight) — their exact-N axis splits alongside the q4 blocks.
             nd = getattr(leaf, "ndim", None)
+            if nd == len(parent) and tp_parent:  # w4a8 group scales
+                return P(*([None] * (nd - 1) + ["model"]))
             if len(parent) >= 2 and nd == len(parent) - 1:
                 return P(*parent[:-2], parent[-1])
             return P()
-        return P()  # q4 block-major packing is not TP-sharded (see server)
+        return P()
     if ("joint" in parts or "llama" in parts) and name in rules:
         # Gemma mixtures are MQA (KV replicated); Llama-2 is MHA, where the
         # 32 KV heads shard cleanly alongside Q
@@ -226,6 +244,13 @@ def shard_params(params, mesh: Mesh, fsdp: bool = False):
     by identity — a plain tree.map(device_put) would silently break it (and
     duplicate the tied weights' HBM). Leaves that are the same array object
     map to the same sharded array."""
+    if mesh.shape.get("model", 1) > 1:
+        # TP: losslessly re-lay any w4a8 packing whose block axis does not
+        # divide the 'model' axis (identity-preserving walk — no-op for
+        # trees without int4 weights or already-divisible layouts)
+        from blurr_tpu.ops.quant import repack_w4a8_tree
+
+        params = repack_w4a8_tree(params, mesh.shape["model"])
     shardings = pi0_param_sharding(params, mesh, fsdp=fsdp)
     cache: Dict = {}
 

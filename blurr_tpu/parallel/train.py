@@ -501,6 +501,106 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
         err_msg=f"QLoRA sharded CE loss diverges at {data}x{model_par}",
     )
 
+    # 7) w4a8 x tensor parallelism (round-4 verdict Next #3): the Pallas
+    # int4 kernel's GSPMD rule (ops/pallas_int4_matmul.py:int4_matmul_spmd)
+    # column-shards the repacked block-major weights over 'model'; the
+    # greedy-decoded action TOKENS must be bit-identical to single-device
+    # (column sharding never splits a dot's K reduction). BLURR_INT4_FORCE=
+    # interpret runs the REAL kernel + partitioning rule per shard on the
+    # virtual CPU devices instead of the dequantized fallback.
+    from blurr_tpu.models.openvla.llama import quantize_llama_w4a8
+
+    params_w4 = model_q.init_params(jax.random.PRNGKey(2))
+    params_w4 = dict(params_w4, llama=quantize_llama_w4a8(params_w4["llama"]))
+    prompt_q = jnp.asarray(ids_q[:, :n_prompt])
+    px_j = jnp.asarray(px_q)
+    prev_force = os.environ.get("BLURR_INT4_FORCE")
+    os.environ["BLURR_INT4_FORCE"] = "interpret"
+    try:
+        toks_1d = jax.jit(model_q.predict_action_tokens)(
+            params_w4, prompt_q, px_j
+        )
+        sharded_w4 = shard_params(params_w4, mesh)  # repacks NB per 'model'
+        with mesh:
+            toks_tp = jax.jit(model_q.predict_action_tokens)(
+                sharded_w4, jax.device_put(prompt_q, bsh),
+                jax.device_put(px_j, bsh),
+            )
+            jax.block_until_ready(toks_tp)
+    finally:
+        if prev_force is None:
+            os.environ.pop("BLURR_INT4_FORCE", None)
+        else:
+            os.environ["BLURR_INT4_FORCE"] = prev_force
+    np.testing.assert_array_equal(
+        np.asarray(toks_tp), np.asarray(toks_1d),
+        err_msg=f"w4a8 TP action tokens diverge at {data}x{model_par}",
+    )
+
+    # 8) ring attention (ops/ring_attention.py): K/V blocks rotating over
+    # the 'seq' axis via ppermute — output AND input gradients must equal
+    # the plain grouped_attention reference.
+    from blurr_tpu.ops.attention import grouped_attention
+    from blurr_tpu.ops.ring_attention import ring_attention
+
+    rb, rnh, rkvh, rs, rd = 2, 4, 2, 8, 16
+    qkv = [
+        jnp.asarray(rng.randn(rb, h, rs, rd), jnp.float32)
+        for h in (rnh, rkvh, rkvh)
+    ]
+    causal_mask = jnp.tril(jnp.ones((rs, rs), bool))[None]
+
+    def ref_attn(q, k, v):
+        return grouped_attention(q, k, v, jnp.broadcast_to(
+            causal_mask, (rb, rs, rs)))
+
+    ring_mesh = make_mesh(data=1, seq=2, devices=devices[:2])
+
+    def ring_attn(q, k, v):
+        return ring_attention(q, k, v, ring_mesh, causal=True)
+
+    out_ref, grads_ref = jax.value_and_grad(
+        lambda *a: jnp.sum(jnp.sin(ref_attn(*a))), argnums=(0, 1, 2)
+    )(*qkv)
+    out_ring, grads_ring = jax.value_and_grad(
+        lambda *a: jnp.sum(jnp.sin(ring_attn(*a))), argnums=(0, 1, 2)
+    )(*qkv)
+    np.testing.assert_allclose(
+        float(out_ring), float(out_ref), rtol=5e-5, atol=5e-5,
+        err_msg="ring attention output diverges from grouped_attention",
+    )
+    for g_r, g_p in zip(grads_ring, grads_ref):
+        np.testing.assert_allclose(
+            np.asarray(g_r), np.asarray(g_p), rtol=5e-4, atol=5e-5,
+            err_msg="ring attention gradients diverge from grouped_attention",
+        )
+
+    # 9) dp/tp serving bucket: the Pi-0 action server's jitted control step
+    # (agent/eval_agent.py:make_noise_infer — in-graph fold_in noise, the
+    # ONE shared derivation) over the same (data, model) mesh must produce
+    # the single-device bucket's actions. This is serving/server.py's
+    # steady-state program, asserted at the driver-contract level.
+    from blurr_tpu.agent.eval_agent import make_noise_infer
+
+    step_srv = make_noise_infer(
+        model.infer_action, cfg.horizon_steps, cfg.action_dim, jnp.float32
+    )
+    srv_key, srv_idx = jax.random.PRNGKey(7), 3
+    with mesh:
+        acts_srv = step_srv(
+            params, batch["input_ids"], batch["attention_mask"],
+            batch["pixel_values"], batch["proprios"], srv_key, srv_idx,
+        )
+        jax.block_until_ready(acts_srv)
+    acts_srv_1d = step_srv(
+        params_1d, batch_1d["input_ids"], batch_1d["attention_mask"],
+        batch_1d["pixel_values"], batch_1d["proprios"], srv_key, srv_idx,
+    )
+    np.testing.assert_allclose(
+        np.asarray(acts_srv), np.asarray(acts_srv_1d), rtol=5e-4, atol=5e-5,
+        err_msg=f"dp/tp serving bucket diverges at {data}x{model_par}",
+    )
+
     return {
         "loss": float(loss),
         "infer_ok": infer_ok,
@@ -508,4 +608,7 @@ def dryrun_multichip(n_devices: int, data: int = None, model_par: int = None):
         "pipeline_parallel_ok": True,
         "sequence_parallel_ok": True,
         "qlora_openvla_ok": True,
+        "w4a8_tp_ok": True,
+        "ring_attention_ok": True,
+        "serving_bucket_ok": True,
     }

@@ -55,11 +55,6 @@ class OpenVLAActionServer(ActionServer):
         from blurr_tpu.models.openvla.processing import OpenVLAProcessor
 
         self._init_parallel(tp, dp, max_batch)
-        if quantization == "w4a8" and self.tp > 1:
-            raise NotImplementedError(
-                "tp>1 with w4a8: the Pallas int4 kernel's block-major packing "
-                "is laid out per-chip. Serve w4a8 single-chip or use w8a8."
-            )
         self.dtype = jnp.bfloat16 if use_bf16 else jnp.float32
         self.unnorm_key = unnorm_key
         self.max_text_tokens = int(max_text_tokens)
@@ -81,17 +76,11 @@ class OpenVLAActionServer(ActionServer):
         params = built.params
         spec = built.spec
         tokenizer = built.tokenizer
-        if self.tp > 1:
-            from blurr_tpu.models.openvla.build import llama_has_w4a8
-
-            # a w4a8 CHECKPOINT must hit the same guard as quantization=
-            # ("w4a8" arg is caught above before the weights ever load)
-            if llama_has_w4a8(params["llama"]):
-                raise NotImplementedError(
-                    "tp>1 with a w4a8 tree: the Pallas int4 kernel's "
-                    "block-major packing is laid out per-chip. Serve w4a8 "
-                    "single-chip or use w8a8."
-                )
+        # w4a8 x tp>1 is supported: shard_params repacks the block-major
+        # int4 layout so the NB block axis divides the 'model' axis and the
+        # kernel's GSPMD rule column-shards it (ops/pallas_int4_matmul.py:
+        # int4_matmul_spmd); tp-sharded actions are asserted equal to
+        # single-chip in tests/test_parallel.py and __graft_entry__.
         if self.unnorm_key is not None:
             if not self.model.norm_stats or (
                 self.unnorm_key not in self.model.norm_stats

@@ -148,17 +148,10 @@ class ActionServer:
         self._init_parallel(tp, dp, max_batch)
         self.dtype = jnp.bfloat16 if cfg.get("use_bf16") else jnp.float32
         self.model = PiZeroInference(cfg)
-        if self.mesh is not None and self.tp > 1:
-            for qcfg in (cfg.get("vlm_quantization"),
-                         cfg.get("action_quantization")):
-                mode = (qcfg or {}).get("mode") if hasattr(qcfg, "get") else None
-                if mode == "w4a8":
-                    raise NotImplementedError(
-                        "tp>1 with w4a8: the Pallas int4 kernel's block-major "
-                        "packing is laid out per-chip; repack-per-shard is not "
-                        "implemented. Serve w4a8 single-chip or use w8a8."
-                        " (dp-only replicates the weights and is fine.)"
-                    )
+        # w4a8 composes with tp>1: shard_params (called in _build_params)
+        # repacks the block-major int4 layout per the 'model' axis and the
+        # kernel's GSPMD rule column-shards it — see parallel/mesh.py and
+        # ops/pallas_int4_matmul.py:int4_matmul_spmd.
         self.params = self._build_params(checkpoint_path)
         self._checkpoint_desc = str(checkpoint_path or "random")
         self.processor = build_processor(cfg)
@@ -507,6 +500,18 @@ class ActionServer:
                     raise
         else:
             new = self._build_params(path)
+            if self.params is None:
+                # a prior drop_first reload FAILED: there is no live tree to
+                # compare against, and the compiled programs were traced from
+                # the startup tree of the same config — rebind directly so a
+                # plain atomic reload recovers the server.
+                with self._lock:
+                    self.params = new
+                    self._checkpoint_desc = str(path)
+                with self._stats_lock:
+                    self._n_reloads += 1
+                log.info("hot-reloaded checkpoint (recovery): %s", path)
+                return {"reloaded": str(path), "drop_first": False}
             old_leaves, old_def = jax.tree.flatten(self.params)
             new_leaves, new_def = jax.tree.flatten(new)
             if old_def != new_def or any(

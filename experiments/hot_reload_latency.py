@@ -64,7 +64,8 @@ def _payload(cfg) -> dict:
 
 def _client_loop(port, payload, t0, stop_at, out, errors):
     try:
-        sock = socket.create_connection(("127.0.0.1", port))
+        # a wedged server must surface as an error, not hang join() forever
+        sock = socket.create_connection(("127.0.0.1", port), timeout=30.0)
         try:
             while time.time() < stop_at:
                 a = time.time()
@@ -146,9 +147,10 @@ def main():
     steady = [ms for tr, ms in pts if 2.0 < tr < first_reload - 0.5]
     rows = [{
         "phase": "steady", "mode": "", "requests": len(steady),
-        "p50_ms": round(float(np.percentile(steady, 50)), 1),
-        "p95_ms": round(float(np.percentile(steady, 95)), 1),
-        "max_ms": round(max(steady), 1), "reload_wall_ms": "",
+        "p50_ms": round(float(np.percentile(steady, 50)), 1) if steady else "",
+        "p95_ms": round(float(np.percentile(steady, 95)), 1) if steady else "",
+        "max_ms": round(max(steady), 1) if steady else "",
+        "reload_wall_ms": "",
         "reloads_total": "",
     }]
     for mode, tr, wall, ok in reload_events:

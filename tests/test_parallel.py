@@ -488,12 +488,14 @@ def test_bf16_params_accept_fp32_batch(model_and_canon_params):
     assert p1["joint"]["action"]["q_w"].dtype == jnp.bfloat16
 
 
-def test_w4a8_scale_sharding_replicates_with_q4(model_and_params):
+def test_w4a8_tp_sharding_rules(model_and_params):
     """TP rule consistency across the three quant-dict formats: w8a8 scales
     are per-output-channel ([L, out], sharded with the weight's out axis);
-    w4a8 scales are group-wise [L, G, N] and must REPLICATE, matching their
-    (unsharded) block-major q4 sibling — sharding G would hand the Pallas
-    kernel partial group scales against full packed weights."""
+    w4a8 packed weights [L, NB, K//2, BN] COLUMN-shard on the NB block axis
+    whenever the parent is TP-sharded at all (row-parallel parents included
+    — sharding the contraction dim would split a group's int32 accumulation
+    across chips) and their group scales [L, G, N] split on the exact-N
+    axis alongside the blocks."""
     from jax.sharding import PartitionSpec as P
 
     from blurr_tpu.ops.quant import quantize_mixture_w4a8, quantize_mixture_w8a8
@@ -513,8 +515,78 @@ def test_w4a8_scale_sharding_replicates_with_q4(model_and_params):
     p4["joint"] = dict(params["joint"])
     p4["joint"]["vlm"] = quantize_mixture_w4a8(params["joint"]["vlm"])
     sh4 = pi0_param_sharding(p4, mesh)
-    assert sh4["joint"]["vlm"]["q_w"]["s"].spec == P()
-    assert sh4["joint"]["vlm"]["q_w"]["q4"].spec == P()
+    for key in ("q_w", "o_w", "gate_w", "down_w"):  # column AND row parents
+        assert sh4["joint"]["vlm"][key]["q4"].spec == P(
+            None, "model", None, None), key
+        assert sh4["joint"]["vlm"][key]["s"].spec == P(None, None, "model"), key
+
+
+def test_repack_w4a8_lossless_and_divisible():
+    """repack_w4a8 re-lays the block-major packing for t-way TP without
+    touching a single int4 value: the dequantized weight is bit-identical
+    and the new NB axis divides the shard count. Stacked [L, ...] leaves
+    repack per layer; an already-divisible layout returns unchanged."""
+    from blurr_tpu.ops.quant import (
+        _w4a8_deq,
+        quantize_weight_w4a8,
+        repack_w4a8,
+        repack_w4a8_tree,
+    )
+
+    rng = np.random.RandomState(0)
+    k, n = 256, 384  # awkward width: single-chip layout pads 384 -> bn=128x3
+    w = jnp.asarray(rng.randn(k, n).astype(np.float32))
+    q = quantize_weight_w4a8(w, group_size=128)
+    ref = _w4a8_deq(q["q4"], q["s"], k)
+    for t in (2, 4, 8):
+        r = repack_w4a8(q, t)
+        assert r["q4"].shape[-3] % t == 0, (t, r["q4"].shape)
+        np.testing.assert_array_equal(_w4a8_deq(r["q4"], r["s"], k), ref)
+    # stacked tree walk: repacks q4 dicts, leaves others aliased
+    stacked = {"a": {"q4": jnp.stack([q["q4"]] * 3), "s": jnp.stack([q["s"]] * 3)},
+               "b": {"w": w}}
+    out = repack_w4a8_tree(stacked, 8)
+    assert out["b"] is stacked["b"]
+    assert out["a"]["q4"].shape[-3] % 8 == 0
+    np.testing.assert_array_equal(
+        _w4a8_deq(out["a"]["q4"][1], out["a"]["s"][1], k), ref)
+    same = quantize_weight_w4a8(w, group_size=128, shards=8)
+    assert repack_w4a8_tree({"x": same}, 8)["x"] is same  # no-op path
+
+
+def test_int4_matmul_spmd_tp_matches_unsharded():
+    """The Pallas int4 kernel's GSPMD rule (interpret mode on the 8-device
+    CPU mesh): column-sharding the packed weight on NB runs the UNCHANGED
+    kernel per shard on its own contiguous blocks and the result equals the
+    single-device kernel exactly (integer arithmetic — zero tolerance)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from blurr_tpu.ops.pallas_int4_matmul import (
+        int4_matmul,
+        int4_matmul_spmd,
+        pack_int4,
+        pick_block_layout,
+        to_block_major,
+    )
+
+    rng = np.random.RandomState(1)
+    m, k, n, g = 8, 256, 512, 4
+    x = jnp.asarray(rng.randint(-127, 128, (m, k)), jnp.int8)
+    bn, n_pad = pick_block_layout(n, shards=8)
+    qcols = np.pad(rng.randint(-8, 8, (k, n)).astype(np.int8),
+                   ((0, 0), (0, n_pad - n)))
+    packed = to_block_major(pack_int4(jnp.asarray(qcols)), bn)
+    scale = jnp.asarray(rng.rand(g, n_pad).astype(np.float32))
+    ref = int4_matmul(x, packed, scale, interpret=True)
+
+    mesh = make_mesh(data=1, model=8)
+    ps = jax.device_put(packed, NamedSharding(mesh, P("model", None, None)))
+    ss = jax.device_put(scale, NamedSharding(mesh, P(None, "model")))
+    y = jax.jit(
+        lambda a, b, c: int4_matmul_spmd(a, b, c, interpret=True)
+    )(x, ps, ss)
+    assert "model" in y.sharding.spec
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
 
 
 # ---------------------------------------------------------------------------

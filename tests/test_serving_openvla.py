@@ -143,6 +143,29 @@ def test_w8a8_serves():
     srv.stop()
 
 
+def test_w4a8_tp2_matches_single_device(monkeypatch):
+    """w4a8 composes with tensor parallelism (the round-4 guard is gone):
+    shard_params repacks the block-major int4 layout per the 'model' axis
+    and the actions equal the single-chip w4a8 server's bit-for-bit. Run
+    twice: once on the dequantized CPU path (validates the mesh rules +
+    repack end-to-end through GSPMD) and once with BLURR_INT4_FORCE=
+    interpret, which runs the REAL Pallas kernel + its custom_partitioning
+    rule per shard in interpret mode."""
+    img, instr, prop = _request(2)
+    for force in ("", "interpret"):
+        monkeypatch.setenv("BLURR_INT4_FORCE", force)
+        acts = []
+        for tp in (1, 2):
+            srv = OpenVLAActionServer("random", quantization="w4a8",
+                                      use_bf16=False, seed=5, tp=tp)
+            acts.append(srv.predict(img, instr, prop))
+            srv.stop()
+        # column sharding never splits a dot's K reduction, so the sharded
+        # logits are bit-identical, not merely close
+        np.testing.assert_array_equal(acts[1], acts[0],
+                                      err_msg=f"force={force!r}")
+
+
 def test_oft_server_serves_chunks():
     """The OFT variant behind the same batcher: continuous [chunk, 7]
     chunks, proprio conditioning, ragged co-batching request-exact."""
