@@ -43,17 +43,29 @@ from blurr_tpu.serving.server import recv_msg, send_msg
 # max_batch=4 keeps the cumulative footprint at 12.7 GB. w4a8 (4.8 GB
 # weights) has the most headroom; w8a8 is the serving-grade 7B preset.
 PRESETS = {
-    # (model_id, quantization, max_batch, client sweep, bucket_mode)
-    "openvla7b_bf16": ("random-7b", None, 1, [1, 2], "pow2"),
-    "openvla7b_w8a8": ("random-7b", "w8a8", 4, [1, 2, 4], "pow2"),
+    # (model_id, quantization, max_batch, client sweep, bucket_mode, decode)
+    "openvla7b_bf16": ("random-7b", None, 1, [1, 2], "pow2", "ar"),
+    "openvla7b_w8a8": ("random-7b", "w8a8", 4, [1, 2, 4], "pow2", "ar"),
     # bucket_mode='max' holds ONE compiled program (one resident temp
     # arena), which is exactly what lets w8a8 serve max_batch=8 without
     # the cumulative-bucket OOM the pow2 preset dodges by halving capacity
-    "openvla7b_w8a8_max8": ("random-7b", "w8a8", 8, [1, 4, 8], "max"),
-    "minivla_bf16": ("random-minivla", None, 8, [1, 4, 8], "pow2"),
+    "openvla7b_w8a8_max8": ("random-7b", "w8a8", 8, [1, 4, 8], "max", "ar"),
+    "minivla_bf16": ("random-minivla", None, 8, [1, 4, 8], "pow2", "ar"),
+    # Jacobi decode behind the SAME dynamic batcher (round-4 verdict Next
+    # #1: the SERVING.md recommendation needs server-level rows, not just
+    # benchmark-loop numbers). The batched lax.while_loop couples
+    # co-batched requests — bucket latency = MAX sweeps over the batch —
+    # so the multi-client rows price exactly that straggler coupling.
+    "openvla7b_bf16_jacobi": ("random-7b", None, 1, [1, 2], "pow2",
+                              "jacobi"),
+    "openvla7b_w8a8_jacobi": ("random-7b", "w8a8", 4, [1, 2, 4], "pow2",
+                              "jacobi"),
+    "minivla_jacobi": ("random-minivla", None, 8, [1, 4, 8], "pow2",
+                       "jacobi"),
     # CPU smoke preset (not part of the measured table):
     #   BLURR_PLATFORM=cpu python experiments/serving_openvla_slo.py tiny
-    "tiny": ("random", None, 2, [1, 2], "pow2"),
+    "tiny": ("random", None, 2, [1, 2], "pow2", "ar"),
+    "tiny_jacobi": ("random", None, 2, [1, 2], "pow2", "jacobi"),
 }
 DURATION_S = 15.0
 OUT_CSV = (Path(__file__).resolve().parents[1] / "docs" / "results"
@@ -102,14 +114,14 @@ def _percentiles(lat):
 
 
 def run_preset(name, model_id, quantization, max_batch, sweep, rows,
-               bucket_mode="pow2"):
+               bucket_mode="pow2", decode="ar"):
     from blurr_tpu.serving.openvla_server import OpenVLAActionServer
 
     print(f"[{name}] building server (max_batch={max_batch}, "
-          f"bucket_mode={bucket_mode})...", flush=True)
+          f"bucket_mode={bucket_mode}, decode={decode})...", flush=True)
     server = OpenVLAActionServer(
         model_id, quantization=quantization, max_batch=max_batch,
-        bucket_mode=bucket_mode,
+        bucket_mode=bucket_mode, decode=decode,
     )
     t_warm = server.warmup()
     print(f"[{name}] warmup (all buckets compiled): {t_warm:.1f}s", flush=True)
@@ -196,10 +208,11 @@ def run_preset(name, model_id, quantization, max_batch, sweep, rows,
 
 
 def _run_single(name: str, out_path: Path):
-    model_id, quantization, max_batch, sweep, bucket_mode = PRESETS[name]
+    (model_id, quantization, max_batch, sweep, bucket_mode,
+     decode) = PRESETS[name]
     rows: list = []
     run_preset(name, model_id, quantization, max_batch, sweep, rows,
-               bucket_mode=bucket_mode)
+               bucket_mode=bucket_mode, decode=decode)
     with out_path.open("w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=FIELDS)
         w.writeheader()
@@ -220,8 +233,8 @@ def main():
     rows: list = []
     only = set(sys.argv[1:])
     out_csv = OUT_CSV
-    full = {k for k in PRESETS if k != "tiny"}
-    if only and only <= {"tiny"}:
+    full = {k for k in PRESETS if not k.startswith("tiny")}
+    if only and only <= {"tiny", "tiny_jacobi"}:
         # the CPU smoke must not overwrite the measured v5e table
         out_csv = Path("/tmp/serving_openvla_slo_smoke.csv")
     elif only and only != full:
