@@ -230,9 +230,12 @@ def _qkv(lp, x, cos, sin, joint: JointSpec, m: "MixtureSpec" = None):
     return q, k, v
 
 
-def _mlp(lp, x, joint: JointSpec = None, m: "MixtureSpec" = None):
+def _mlp(lp, x, joint: JointSpec = None, m: "MixtureSpec" = None,
+         return_inner: bool = False):
     clip = _clip_for(joint, m) if joint is not None else None
-    return mm(geglu(mm(x, lp["gate_w"], clip), mm(x, lp["up_w"], clip)), lp["down_w"], clip)
+    inner = geglu(mm(x, lp["gate_w"], clip), mm(x, lp["up_w"], clip))
+    out = mm(inner, lp["down_w"], clip)
+    return (out, inner) if return_inner else out
 
 
 def scale_embeds(x: jax.Array) -> jax.Array:
@@ -422,6 +425,8 @@ def naive_forward(
     remat: bool = False,
     pipeline=None,  # parallel.pipeline.PipelineCtx: stage the layer scan
     sp_axis: Optional[str] = None,  # mesh axis to sequence-shard vlm tokens
+    capture: bool = False,  # also return per-layer linear INPUTS (GPTQ
+    # calibration, models/pi0/calibrate.py); incompatible with pipeline
 ) -> jax.Array:
     """Forward all mixtures jointly with the full block mask (the reference's
     infer_action_naive / flow-matching-training path). Returns the action
@@ -478,14 +483,17 @@ def naive_forward(
     def tc_for(n):  # the un-pipelined closure form (also the final norms)
         return _tc_for(n, time_cond, prefix_time_cond)
 
-    def layer_core(hs, lps, ropes, mask, tc, ptc):
+    def layer_core(hs, lps, ropes, mask, tc, ptc, capture=False):
         def tc_for(n):
             return _tc_for(n, tc, ptc)
 
+        cap = {n: {} for n in names} if capture else None
         qs, ks, vs = [], [], []
         for n in names:
             m = spec.mixtures[n]
             x = _apply_norm(lps[n]["input_norm"], hs[n], tc_for(n), m, eps)
+            if capture:
+                cap[n]["attn_in"] = x  # q_w/k_w/v_w share this input
             q, k, v = _qkv(lps[n], x, *ropes[n], spec, m)
             qs.append(q)
             ks.append(k)
@@ -501,27 +509,36 @@ def naive_forward(
         outs = {}
         for n, s, off in zip(names, svs, offsets):
             m = spec.mixtures[n]
-            a = mm(attn[:, off : off + s], lps[n]["o_w"], _clip_for(spec, m))
+            o_in = attn[:, off : off + s]
+            a = mm(o_in, lps[n]["o_w"], _clip_for(spec, m))
             a = _apply_scale(lps[n], "post_scale", a, tc_for(n), m)
             h = hs[n] + a
             x = _apply_norm(lps[n]["post_norm"], h, tc_for(n), m, eps)
-            mlp_out = _mlp(lps[n], x, spec, m)
+            if capture:
+                cap[n]["o_in"] = o_in
+                cap[n]["mlp_in"] = x  # gate_w/up_w share this input
+                mlp_out, cap[n]["down_in"] = _mlp(
+                    lps[n], x, spec, m, return_inner=True
+                )
+            else:
+                mlp_out = _mlp(lps[n], x, spec, m)
             mlp_out = _apply_scale(lps[n], "final_scale", mlp_out, tc_for(n), m)
             outs[n] = h + mlp_out
-        return outs
+        return (outs, cap) if capture else outs
 
     def full_layer(carry, lps):
-        outs = layer_core(
+        res = layer_core(
             dict(zip(names, carry)), lps, ropes, full_mask,
-            time_cond, prefix_time_cond,
+            time_cond, prefix_time_cond, capture=capture,
         )
+        outs, cap = res if capture else (res, None)
         if sp_axis is not None:
             # re-pin after every layer so the scan carry stays token-sharded
             # (without this GSPMD may all-gather once and keep it replicated)
             from blurr_tpu.parallel.mesh import sp_constrain
 
             outs["vlm"] = sp_constrain(outs["vlm"], sp_axis)
-        return tuple(outs[n] for n in names), None
+        return tuple(outs[n] for n in names), cap
 
     # Uniform scan over ALL layers (no stacked-tree slicing — see prefill).
     # The last layer's vlm/proprio outputs are computed and discarded; the
@@ -531,6 +548,10 @@ def naive_forward(
         n: {k: v for k, v in params[n].items() if k != "final_norm"} for n in names
     }
     carry = tuple(hs[n] for n in names)
+    if capture and pipeline is not None:
+        raise ValueError("capture (GPTQ calibration) and pipeline "
+                         "parallelism do not compose; calibrate single-chip")
+    caps = None
     if pipeline is not None:
         # Pipeline-parallel layer scan (parallel/pipeline.py): the hidden
         # states rotate stage-to-stage; the batch-dependent layer INVARIANTS
@@ -553,7 +574,7 @@ def naive_forward(
         )
     else:
         layer_fn = jax.checkpoint(full_layer) if remat else full_layer
-        carry, _ = jax.lax.scan(layer_fn, carry, stacked)
+        carry, caps = jax.lax.scan(layer_fn, carry, stacked)
     hs = dict(zip(names, carry))
     m_a = spec.mixtures["action"]
     out = _apply_norm(
@@ -571,8 +592,10 @@ def naive_forward(
                 )
             else:
                 all_out[n] = hs[n]
-        return all_out
-    return out
+        return (all_out, caps) if capture else all_out
+    # caps: {mixture: {"attn_in"/"o_in"/"mlp_in"/"down_in": [L, B, S, K]}}
+    # — the per-layer inputs of every quantizable linear (scan-stacked)
+    return (out, caps) if capture else out
 
 
 # ---------------------------------------------------------------------------

@@ -85,7 +85,8 @@ def run_model(model_id: str, episodes: int, steps: int, rows: list) -> dict:
         prev_toks = None
         for t in range(steps):
             px = jnp.asarray(process_image(
-                np.asarray(obs["image"]), int(spec.siglip.image_size), True
+                np.asarray(obs["image"]), int(spec.siglip.image_size),
+                bool(spec.use_fused_vision),
             ))
             toks_c, it_c = step_cold(params, ids, px)
             if prev_toks is None:

@@ -59,6 +59,12 @@ VARIANTS = {
     "pool64_bf16": ("bridge_pool64_w8a8_steps1.yaml", "none"),
     "pool64_w8a8": ("bridge_pool64_w8a8_steps1.yaml", None),
     "pool64_w4a8": ("bridge_pool64_w4a8_steps1.yaml", None),
+    # round-4 verdict Next #4: GPTQ error-feedback rounding against a
+    # calibration batch drawn from the model's own fake-env control loop
+    # (models/pi0/calibrate.py) — same {"q4","s"} format, same presets,
+    # only the ROUNDING differs from the MSE-clip rows above
+    "w4a8_gptq": ("bridge.yaml", "w4a8_gptq"),
+    "pool64_w4a8_gptq": ("bridge_pool64_w4a8_steps1.yaml", "gptq"),
 }
 
 
@@ -102,12 +108,69 @@ def base_params(yaml_name: str):
     return model.tie_action_proprio_weights(params)
 
 
+def _calib_batches(model, params, adapter, cfg, n_steps=6):
+    """Draw calibration observations by driving the fake env with the FP
+    model for a few control steps (episode ids disjoint from the eval
+    rollout's), through the same adapter preprocessing — the activations
+    GPTQ optimizes for are the ones the quantized model will actually see."""
+    env = FakeSimplerEnv()
+    infer = jax.jit(model.infer_action)
+    rng = jax.random.PRNGKey(123)
+    obs, _ = env.reset(options={"obj_init_options": {"episode_id": 100}})
+    adapter.reset()
+    instruction = env.get_language_instruction()
+    batches = []
+    act_steps = int(cfg["act_steps"])
+    truncated = False
+    for _ in range(n_steps):
+        inputs = adapter.preprocess(env, obs, instruction)
+        batch = {
+            "input_ids": inputs["input_ids"],
+            "attention_mask": inputs["attention_mask"],
+            "pixel_values": inputs["pixel_values"].astype(jnp.bfloat16),
+            "proprios": inputs["proprios"].astype(jnp.bfloat16),
+        }
+        batches.append(batch)
+        rng, sub = jax.random.split(rng)
+        noise = jax.random.normal(
+            sub, (1, model.spec.num_action_tokens, model.spec.action_dim),
+            jnp.bfloat16,
+        )
+        actions = infer(params, inputs["input_ids"],
+                        inputs["attention_mask"], batch["pixel_values"],
+                        batch["proprios"], noise)
+        for a in adapter.postprocess(np.asarray(actions[0], np.float32))[:act_steps]:
+            obs, _, _, truncated, _ = env.step(a)
+            if truncated:
+                break
+        if truncated:
+            break
+    return batches
+
+
 def build(yaml_name: str, quant, shared_params):
-    cfg = variant_cfg(yaml_name, quant)
+    gptq = quant is not None and "gptq" in str(quant)
+    if gptq:
+        # the pool64 yaml already carries its w4a8 modes; the bridge row
+        # layers the full-dims w4a8 recipe on first
+        base_quant = "w4a8" if yaml_name == "bridge.yaml" else None
+        cfg = variant_cfg(yaml_name, base_quant)
+    else:
+        cfg = variant_cfg(yaml_name, quant)
     model = PiZeroInference(cfg)
-    params = model.enable_action_quantization(shared_params)
-    params = model.enable_vlm_quantization(params)
     adapter = instantiate(cfg["env"]["adapter"])
+    if gptq:
+        from blurr_tpu.models.pi0.calibrate import gptq_quantize_pi0
+
+        batches = _calib_batches(model, shared_params, adapter, cfg)
+        params = gptq_quantize_pi0(
+            model, shared_params, batches,
+            num_flow_steps=int(cfg["num_inference_steps"]),
+        )
+        adapter.reset()
+    else:
+        params = model.enable_action_quantization(shared_params)
+        params = model.enable_vlm_quantization(params)
     infer = jax.jit(model.infer_action)
     return cfg, model, params, adapter, infer
 
@@ -175,9 +238,11 @@ CONTROL = {
     "w4a8_g128": "bf16",
     "w4a8_mixed": "bf16",
     "w4a8_g128_mixed": "bf16",
+    "w4a8_gptq": "bf16",
     "int8kv": "bf16",
     "pool64_w8a8": "pool64_bf16",
     "pool64_w4a8": "pool64_bf16",
+    "pool64_w4a8_gptq": "pool64_bf16",
 }
 
 
@@ -212,12 +277,12 @@ def main():
     pool_ref = results.get("pool64_bf16")
     print("\n=== vs bf16 (full bridge.yaml dims) ===", flush=True)
     for tag in ("bf16_rerun", "w8a8", "w4a8", "w4a8_g128", "w4a8_mixed",
-                "w4a8_g128_mixed", "int8kv"):
+                "w4a8_g128_mixed", "w4a8_gptq", "int8kv"):
         if tag in results:
             _report(f"{tag} vs bf16", full_ref, results[tag])
     if pool_ref is not None:
         print("\n=== vs pool64_bf16 (pool64 pad96 preset dims) ===", flush=True)
-        for tag in ("pool64_w8a8", "pool64_w4a8"):
+        for tag in ("pool64_w8a8", "pool64_w4a8", "pool64_w4a8_gptq"):
             if tag in results:
                 _report(f"{tag} vs pool64_bf16", pool_ref, results[tag])
 
