@@ -168,20 +168,60 @@ def main():
             w.writerow(r)
     print(f"wrote {out_csv}", flush=True)
 
-    # real step time at the largest fitting donated batch per remat mode
+    # real step time for EVERY fitting donated configuration (round-4
+    # verdict Next #5: the remat samples/s curve must be measured, not
+    # interpolated between two endpoints). One subprocess per config: the
+    # axon runtime holds each loaded executable's temp arena, so timing 7
+    # distinct programs in one process walks into the cumulative-arena OOM
+    # the serving sweep documented.
     fitting = [r for r in rows if r["donate"] and r["fits_16gb"] is True]
     if not fitting:
         print("no fitting configuration; skipping timing", flush=True)
         return
-    to_time = []
-    for remat in (False, True):
-        cand = [r for r in fitting if r["remat"] == remat]
-        if cand:
-            to_time.append((max(r["batch"] for r in cand), remat))
-    to_time = sorted(set(to_time))
-    bsz = max(b for b, _ in to_time)
-    print(f"materializing int8-init 7B for timing at {to_time}...",
-          flush=True)
+    import subprocess
+
+    to_time = sorted({(r["batch"], r["remat"]) for r in fitting})
+    for bsz, remat in to_time:
+        cmd = [sys.executable, str(Path(__file__).resolve()), "--time-one",
+               str(bsz), str(int(remat))]
+        if "--tiny" in sys.argv[1:]:
+            cmd.append("--tiny")
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        ms = None
+        for line in res.stdout.splitlines():
+            if line.startswith("STEP_MS "):
+                ms = float(line.split()[3])
+        if ms is None:
+            print(f"timing batch={bsz} remat={remat} FAILED "
+                  f"(rc={res.returncode}): {res.stdout[-200:]} "
+                  f"{res.stderr[-200:]}", flush=True)
+            continue
+        print(f"QLoRA 7B train step, batch {bsz} remat={remat}: {ms:.1f} ms "
+              f"({bsz / (ms / 1000):.2f} samples/s)", flush=True)
+        for r in rows:
+            if r["batch"] == bsz and r["donate"] and r["remat"] == remat:
+                r["step_ms"] = round(ms, 1)
+    with out_csv.open("w", newline="") as f:
+        w = csv.DictWriter(
+            f, fieldnames=["batch", "donate", "remat", "peak_hbm_gb",
+                           "fits_16gb", "step_ms"]
+        )
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+    print(f"wrote {out_csv} (timed {len(to_time)} configs)", flush=True)
+
+
+def time_one(bsz: int, remat: bool):
+    """Subprocess entry: materialize the int8-init 7B QLoRA state, time one
+    donated train step config, print 'STEP_MS <batch> <remat> <ms>'."""
+    spec = (OpenVLASpec.tiny() if "--tiny" in sys.argv[1:]
+            else OpenVLASpec())
+    model, shapes = param_shapes(spec)
+    mask = lora_trainable_mask(shapes)
+    tx = masked_freeze(optax.adamw(1e-4), mask)
+    print(f"materializing int8-init 7B for timing at batch={bsz} "
+          f"remat={remat}...", flush=True)
     k = jax.random.PRNGKey(0)
     dtype = jnp.bfloat16
     ldim = spec.llama.hidden_size
@@ -228,40 +268,26 @@ def main():
             jnp.full((bsz, spec.action_dim), 31800, jnp.int32),
         )
 
-    for bsz, remat in to_time:
-        batch = make_batch(bsz)
-        # donated step; thread the donated buffers through the holder so
-        # repeated timing calls stay legal
-        jitted = jax.jit(make_step(model, tx, remat=remat),
-                         donate_argnums=(0, 1))
+    batch = make_batch(bsz)
+    # donated step; thread the donated buffers through the holder so
+    # repeated timing calls stay legal
+    jitted = jax.jit(make_step(model, tx, remat=remat),
+                     donate_argnums=(0, 1))
 
-        def one():
-            p, o, loss = jitted(state["p"], state["o"], *batch)
-            state["p"], state["o"] = p, o
-            return loss
+    def one():
+        p, o, loss = jitted(state["p"], state["o"], *batch)
+        state["p"], state["o"] = p, o
+        return loss
 
-        per_iter_s, _, _ = timed_call(one, warmup=2, iters=5)
-        ms = per_iter_s * 1000
-        print(f"QLoRA 7B train step, batch {bsz} remat={remat}: {ms:.1f} ms "
-              f"({bsz / per_iter_s:.2f} samples/s)", flush=True)
-        # land the measured step time IN the CSV (round 3 printed it and
-        # left the column empty)
-        for r in rows:
-            if (r["batch"] == bsz and r["donate"]
-                    and r["remat"] == remat):
-                r["step_ms"] = round(ms, 1)
-        del batch
-        gc.collect()
-    with out_csv.open("w", newline="") as f:
-        w = csv.DictWriter(
-            f, fieldnames=["batch", "donate", "remat", "peak_hbm_gb", "fits_16gb",
-                           "step_ms"]
-        )
-        w.writeheader()
-        for r in rows:
-            w.writerow(r)
-    print(f"rewrote {out_csv} with step_ms", flush=True)
+    per_iter_s, _, _ = timed_call(one, warmup=2, iters=5)
+    ms = per_iter_s * 1000
+    gc.collect()
+    print(f"STEP_MS {bsz} {int(remat)} {ms:.2f}", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if "--time-one" in sys.argv[1:]:
+        i = sys.argv.index("--time-one")
+        time_one(int(sys.argv[i + 1]), bool(int(sys.argv[i + 2])))
+    else:
+        main()

@@ -4,7 +4,10 @@
 Parity surface: reference scripts/paper/hf_microbench.py (same profile names
 fp32_eager / bf16_eager / bf16_compile / fp16_compile, same CSV columns,
 graceful OOM skip). The native JAX stack always jits, so the *_eager profiles
-differ only in dtype; fp16 maps to bf16 on TPU.
+differ only in dtype; fp16 maps to bf16 on TPU. TPU extension:
+``w8a8_compile`` runs the int8-MXU W8A8 LLM (the serving-grade 7B tier) —
+memory-safe quantized init for the random 7B, PTQ of the loaded tree for
+snapshot dirs.
 """
 
 from __future__ import annotations
@@ -34,6 +37,9 @@ def _profiles(spec: List[str]) -> List[Dict]:
             out.append({"name": item, "dtype": "bf16", "compile": True})
         elif item == "fp16_compile":
             out.append({"name": item, "dtype": "fp16", "compile": True})
+        elif item == "w8a8_compile":
+            out.append({"name": item, "dtype": "bf16", "compile": True,
+                        "quant": "w8a8"})
         else:
             raise ValueError(f"Unknown profile: {item}")
     return out
@@ -72,6 +78,7 @@ def main() -> None:
     for model_id in args.model_id:
         for profile in _profiles(args.profiles):
             dtype = jnp.float32 if profile["dtype"] == "fp32" else jnp.bfloat16
+            quant = profile.get("quant")
             note = "fp16->bf16 (TPU)" if profile["dtype"] == "fp16" else ""
             latency_s = peak_gb = gflops = None
             tokenizer = None
@@ -85,6 +92,12 @@ def main() -> None:
                     spec = OpenVLASpec.from_snapshot_dir(model_path)
                     model = OpenVLA(spec)
                     params = openvla_params_from_hf_dir(str(model_path), spec, dtype)
+                    if quant:
+                        from blurr_tpu.models.openvla.llama import (
+                            quantize_llama_w8a8,
+                        )
+
+                        params["llama"] = quantize_llama_w8a8(params["llama"])
                     # real snapshot: use the real tokenizer so the measured
                     # prompt length matches benchmark_hf_vla.py (the stub
                     # hash tokenizer gives a different token count)
@@ -100,11 +113,39 @@ def main() -> None:
                             "Skipping FP32 7B on a 16GB chip (likely OOM)."
                         )
                     model = OpenVLA(spec)
-                    params = model.init_params(jax.random.PRNGKey(0), dtype)
+                    if quant:
+                        # memory-safe: init the LLM straight in quantized
+                        # form (bf16 7B + int8 copies together OOM 16 GB;
+                        # same route as models/openvla/build.py)
+                        import gc
+
+                        from blurr_tpu.models.openvla.llama import (
+                            init_llama_params_w8a8,
+                        )
+
+                        params = model.init_params(jax.random.PRNGKey(0), dtype)
+                        params["llama"] = None
+                        gc.collect()
+                        params["llama"] = init_llama_params_w8a8(
+                            jax.random.PRNGKey(0), spec.llama, dtype
+                        )
+                    else:
+                        params = model.init_params(jax.random.PRNGKey(0), dtype)
                 else:
-                    spec = OpenVLASpec.tiny()
+                    from blurr_tpu.models.openvla.model import RANDOM_SPECS
+
+                    # 'random-minivla' etc. resolve to their real specs —
+                    # the old tiny() fallback silently benchmarked the
+                    # wrong model for every non-7b random id
+                    spec = RANDOM_SPECS.get(model_id, OpenVLASpec.tiny)()
                     model = OpenVLA(spec)
                     params = model.init_params(jax.random.PRNGKey(0), dtype)
+                    if quant:
+                        from blurr_tpu.models.openvla.llama import (
+                            quantize_llama_w8a8,
+                        )
+
+                        params["llama"] = quantize_llama_w8a8(params["llama"])
 
                 processor = OpenVLAProcessor(
                     tokenizer,
